@@ -1,0 +1,82 @@
+"""Column-level text functions: T1 normalization, C1 status, F5 boilerplate.
+
+Everything here is either a pure ``pyspark.sql.functions`` expression
+(JVM-side, whole-stage-codegen friendly) or an Arrow-batched pandas UDF with
+an ASCII fast path — no per-row Python UDFs (north_rule requirement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from .. import rules
+
+# --- T1: unicode normalization (text_extractor.pyc:11-64) ------------------
+# ASCII lines (the overwhelming majority at scale) are a pure .str.strip();
+# only lines containing non-ASCII or NUL take the exact python path.
+_DIRTY_RE = "[^\x01-\x7f]"
+
+
+@pandas_udf(StringType())
+def _normalize_strip(s: pd.Series) -> pd.Series:
+    s = s.fillna("")
+    mask = s.str.contains(_DIRTY_RE, regex=True)
+    out = s.str.strip()
+    if mask.any():
+        out[mask] = s[mask].map(lambda t: rules.normalize_unicode_text(t).strip())
+    return out
+
+
+def normalize_text(col: Column) -> Column:
+    """T1 + strip, vectorized."""
+    return _normalize_strip(col)
+
+
+# --- C1: status detection (text_extractor.pyc:140-175) ---------------------
+
+def _positional_status(col: Column, pattern: str, status_map: tuple[str, ...]) -> Column:
+    """Map the first checked glyph position to its status code (forward
+    when-cascade = first-checked-wins)."""
+    result = None
+    for i, status in enumerate(status_map):
+        grp = F.regexp_extract(col, pattern, i + 1)
+        cond = grp.isin(*rules.CHECKED_GLYPHS)
+        result = F.when(cond, F.lit(status)) if result is None else result.when(cond, F.lit(status))
+    return result.otherwise(F.lit(None).cast("string"))
+
+
+def status_col(col: Column) -> Column:
+    """First-match-wins cascade over the checkbox patterns, then bare letter."""
+    result = None
+    for pattern, status_map in rules.CHECKBOX_PATTERNS:
+        matched = F.regexp_extract(col, pattern, 0) != ""
+        value = _positional_status(col, pattern, status_map)
+        result = F.when(matched, value) if result is None else result.when(matched, value)
+    bare = F.regexp_extract(col, rules.BARE_STATUS_RE, 1)
+    return result.otherwise(F.when(bare != "", bare))
+
+
+# --- F5: boilerplate (data_quality_validator.py:376-409, span level) -------
+
+def _contains_any(low: Column, words: list[str]) -> Column:
+    cond = F.lit(False)
+    for w in words:
+        cond = cond | low.contains(w)
+    return cond
+
+
+def boilerplate_col(col: Column) -> Column:
+    low = F.lower(col)
+    meta = _contains_any(low, rules.METADATA_KEYWORDS)
+    disclaimer = _contains_any(low, rules.DISCLAIMER_PHRASES)
+    rescue = _contains_any(low, rules.DISCLAIMER_RESCUE_WORDS)
+    return meta | (disclaimer & ~rescue)
+
+
+def contains_any_col(col_lower: Column, words: list[str]) -> Column:
+    """Public helper for keyword-containment cascades (C4, W2, etc.)."""
+    return _contains_any(col_lower, words)

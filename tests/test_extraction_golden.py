@@ -1,0 +1,93 @@
+"""Golden span-sequence equality: Spark pipeline vs pure-python oracle.
+
+FIXTURES.md §5: spans compare exactly on (kind, text, media_ref, order);
+issues/tables/metadata compare structurally; floats with 1e-9 tolerance.
+"""
+
+import math
+
+import pytest
+
+from pdf_extraction_spark import corpus, oracle
+from pdf_extraction_spark.plans.extraction import assemble
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    docs_pd = corpus.docs_pandas(N_DOCS)
+    docs = corpus.generate_docs(spark, N_DOCS, partitions=4)
+    got = {r["doc_id"]: r.asDict(recursive=True)
+           for r in assemble(docs).collect()}
+    want = {row.doc_id: oracle.extract_doc(row.doc_id, row.spans)
+            for _, row in docs_pd.iterrows()}
+    assert set(got) == set(want)
+    return got, want
+
+
+def test_span_sequence_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        g_spans = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in g["spans"]]
+        w_spans = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in w["spans"]]
+        assert g_spans == w_spans, f"span mismatch in {doc_id}"
+
+
+def test_issues_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        assert len(g["issues"]) == len(w["issues"]), doc_id
+        for gi, wi in zip(g["issues"], w["issues"]):
+            for k in ("id", "section", "subsection", "status", "priority",
+                      "title", "description"):
+                assert gi[k] == wi[k], f"{doc_id}: issue field {k}"
+            assert gi["page_numbers"] == wi["page_numbers"], doc_id
+            gc, wc = gi["estimated_cost"], wi["estimated_cost"]
+            assert (gc is None) == (wc is None), f"{doc_id}: {gi['id']} cost presence"
+            if gc is not None:
+                for k in ("min", "max", "average"):
+                    assert math.isclose(gc[k], wc[k], abs_tol=1e-9), doc_id
+
+
+def test_tables_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        g_t = [(t["page_num"], t["section"], t["table_type"], t["headers"],
+                t["table_data"]) for t in g["tables"]]
+        w_t = [(t["page_num"], t["section"], t["table_type"], t["headers"],
+                [list(r) for r in t["table_data"]]) for t in w["tables"]]
+        assert g_t == w_t, f"table mismatch in {doc_id}"
+
+
+def test_metadata_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]["metadata"]
+        for k, wv in w["metadata"].items():
+            gv = g[k]
+            if isinstance(wv, float):
+                assert gv is not None and math.isclose(gv, wv, abs_tol=1e-9), \
+                    f"{doc_id}: metadata {k}: {gv} != {wv}"
+            else:
+                assert gv == wv, f"{doc_id}: metadata {k}: {gv!r} != {wv!r}"
+
+
+def test_raw_sections_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]["raw_sections"] or {}
+        assert g == w["raw_sections"], f"raw_sections mismatch in {doc_id}"
+
+
+def test_summary_equality(results):
+    got, want = results
+    for doc_id, w in want.items():
+        g = got[doc_id]["summary"]
+        for k, wv in w["summary"].items():
+            assert g[k] == wv, f"{doc_id}: summary {k}: {g[k]} != {wv}"
