@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship end-to-end extraction (explode → T1 normalize → classify
+→ W1 sections → W2 segmentation → tables/J1 → per-doc reassembly) over spans
+derived from /root/testdata/sf0.001/documents.parquet.
+
+``queries``/``oracle_sql``: one entry per implemented operator family from
+SURVEY.md §2 (see pdf_extraction_spark/queries.py for the derivation recipe
+and per-query reference citations).
 """
 
 from __future__ import annotations
@@ -12,27 +14,38 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pdf_extraction_spark.plans.extraction import assemble
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(toks) / 10).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(
+                " ",
+                F.when(i % 5 == 0, F.lit("Comments:")),
+                F.slice(toks, i * 10 + 1, 10)).alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset")))
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    spans.alias("spans"))
+    return assemble(docs, persist=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extraction_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extraction_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,69 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline workload:
+  - extract_corpus: full extraction plan (explode → T1 → classify → W1 →
+    W2 grouped-map → tables/J1 → per-doc reassembly) over the canonical
+    synthetic span corpus (pdf_extraction_spark.corpus), sized by SF.
+  - the operator queries from pdf_extraction_spark.queries on the SF dir.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all), BENCH_N_DOCS overrides corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.plans.extraction import assemble
+    from pdf_extraction_spark.queries import QUERIES
+    from pdf_extraction_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("BENCH_N_DOCS", 0)) or max(int(20000 * sf), 200)
+
+    spark = get_spark(app_name="pdf-extraction-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    docs = corpus.generate_docs(spark, n_docs, giant_every=997)
+    out = assemble(docs)
+    n_out = out.count()
+    timings["extract_corpus"] = round(time.time() - t0, 3)
+    assert n_out == n_docs, (n_out, n_docs)
+
+    bench_queries = ["segmentation", "sections", "status_detect",
+                     "dedup_exact", "ngram_shingles", "token_stats",
+                     "cosine_topk", "fingerprint"]
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[f"q_{name}"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_corpus"], 2)
+    print(json.dumps({
+        "metric": "end-to-end extraction + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": docs_per_sec,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,26 @@ def boilerplate_col(col: Column) -> Column:
 def contains_any_col(col_lower: Column, words: list[str]) -> Column:
     """Public helper for keyword-containment cascades (C4, W2, etc.)."""
     return _contains_any(col_lower, words)
+
+
+# --- C4: priority (src/data_structurer.py:110-144) -------------------------
+
+def priority_col(content_lower: Column, status: Column) -> Column:
+    """Column form of C4 (the span model carries no font attrs, so the
+    bold/underline branches are constant-False — same as the S4 fallback)."""
+    return (
+        F.when(_contains_any(content_lower, rules.HIGH_PRIORITY_KEYWORDS), F.lit("high"))
+        .when(_contains_any(content_lower, rules.MEDIUM_PRIORITY_KEYWORDS), F.lit("medium"))
+        .when(status.isin(*rules.LOW_PRIORITY_STATUSES), F.lit("low"))
+        .otherwise(F.lit("info")))
+
+
+# --- C5: title extraction (src/data_structurer.py:147-157) -----------------
+
+def title_col(content: Column) -> Column:
+    first = F.split(content, r"\.").getItem(0)
+    return (
+        F.when(F.length(first) < rules.TITLE_MAX_FIRST_SENTENCE, F.trim(first))
+        .otherwise(F.concat(
+            F.trim(F.substring(content, 1, 100)),
+            F.when(F.length(content) > 100, F.lit("...")).otherwise(F.lit("")))))

@@ -1,0 +1,649 @@
+"""Operator-level correctness queries + DuckDB oracle SQL.
+
+Each query exercises one operator family from SURVEY.md §2 through the *real*
+Spark operator implementations, on deterministic text derived from the
+driver's parquet tables (orders / documents / embeddings) so an independent
+ANSI-SQL transcription of the same reference semantics (run by DuckDB on the
+same tables) must produce identical results.
+
+The derived-line recipe is shared: Python constants below are rendered both
+into Spark column expressions and into the oracle SQL string, so the *input*
+is identical by construction and only the *operator semantics* are under
+test.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import rules
+from .functions.text import (boilerplate_col, normalize_text, priority_col,
+                             status_col, title_col)
+from .operators.segmentation import segment_issues
+from .plans.extraction import build_blocks, classify_spans, explode_spans
+from .operators.sections import track_sections
+
+# ---------------------------------------------------------------------------
+# Shared derived-line recipe (rendered into both Spark and SQL)
+# ---------------------------------------------------------------------------
+
+N_DOCS_DERIVED = 100
+
+SECS = ["I. STRUCTURAL SYSTEMS", "II. ELECTRICAL SYSTEMS",
+        "III. HEATING AND COOLING", "IV. PLUMBING SYSTEMS", "V. APPLIANCES"]
+SUBS = ["A. Foundations", "B. Grading and Drainage", "C. Roof Covering",
+        "D. Interior Walls"]
+STATUS_VARIANTS = ["D - marked deficient on form", "I = inspected item ok",
+                   "P noted on checklist", "checked item I on list"]
+ITEMS = ["The window frame", "The door trim", "The ceiling surface",
+         "The floor tile", "The wall panel"]
+PHRASES = ["shows hairline crack near the corner",
+           "has a small leak at the joint",
+           "is worn and requires repair",
+           "is in acceptable condition",
+           "shows rust at the fastener"]
+SUFFIXES = ["", " and requires repair", " posing a safety hazard",
+            " near the foundation", " with minor wear"]
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+def _sql_like_any(expr: str, words: list[str]) -> str:
+    return "(" + " OR ".join(
+        f"{expr} LIKE '%" + w.replace("'", "''") + "%'" for w in words) + ")"
+
+
+def _pick(arr: list[str], idx: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(x) for x in arr]),
+                        (idx + 1).cast("int"))
+
+
+def derived_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id bigint, k bigint, offset int, text string) from orders."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    m = F.pmod(k, F.lit(11))
+    sec = _pick(SECS, F.pmod(F.floor(k / 11), F.lit(5)))
+    sub = _pick(SUBS, F.pmod(F.floor(k / 11), F.lit(4)))
+    st = _pick(STATUS_VARIANTS, F.pmod(F.floor(k / 11), F.lit(4)))
+    item = _pick(ITEMS, F.pmod(F.floor(k / 7), F.lit(5)))
+    phrase = _pick(PHRASES, F.pmod(F.floor(k / 5), F.lit(5)))
+    suffix = _pick(SUFFIXES, F.pmod(k, F.lit(5)))
+    line = (F.when(m == 0, sec)
+            .when(m == 1, sub)
+            .when(m == 2, st)
+            .when(m == 3, F.concat(F.lit("Comments: "), item, F.lit(" "), phrase))
+            .otherwise(F.concat(item, F.lit(" "), phrase, suffix)))
+    df = o.select(F.pmod(k, F.lit(N_DOCS_DERIVED)).alias("doc_id"),
+                  k.alias("k"), line.alias("text"))
+    w = F.row_number().over(Window.partitionBy("doc_id").orderBy("k")) - 1
+    return df.withColumn("offset", w.cast("int"))
+
+
+SQL_LINES_CTE = f"""
+lines AS (
+  SELECT o_orderkey % {N_DOCS_DERIVED} AS doc_id, o_orderkey AS k,
+    CASE CAST(o_orderkey % 11 AS INT)
+      WHEN 0 THEN {_sql_list(SECS)}[CAST(1 + (o_orderkey // 11) % 5 AS INT)]
+      WHEN 1 THEN {_sql_list(SUBS)}[CAST(1 + (o_orderkey // 11) % 4 AS INT)]
+      WHEN 2 THEN {_sql_list(STATUS_VARIANTS)}[CAST(1 + (o_orderkey // 11) % 4 AS INT)]
+      WHEN 3 THEN 'Comments: ' || {_sql_list(ITEMS)}[CAST(1 + (o_orderkey // 7) % 5 AS INT)]
+                  || ' ' || {_sql_list(PHRASES)}[CAST(1 + (o_orderkey // 5) % 5 AS INT)]
+      ELSE {_sql_list(ITEMS)}[CAST(1 + (o_orderkey // 7) % 5 AS INT)]
+           || ' ' || {_sql_list(PHRASES)}[CAST(1 + (o_orderkey // 5) % 5 AS INT)]
+           || {_sql_list(SUFFIXES)}[CAST(1 + o_orderkey % 5 AS INT)]
+    END AS text
+  FROM orders),
+ordered AS (
+  SELECT doc_id, k, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS INT) AS off
+  FROM lines)
+"""
+
+# classified spans CTE: kind + status + W1 section state (oracle side).
+_IS_SEC = r"regexp_matches(text, '^[IVX]+\.\s+.+$')"
+_IS_SUB = r"regexp_matches(text, '^[A-Z]\.\s+.+$')"
+_STATUS = r"nullif(regexp_extract(text, '\b([DINP])\b', 1), '')"
+
+SQL_CLASSIFIED_CTE = SQL_LINES_CTE + f""",
+classified AS (
+  SELECT doc_id, k, off, text,
+    {_IS_SEC} AS is_sec,
+    ({_IS_SUB} AND NOT {_IS_SEC}) AS is_sub,
+    ({_sql_like_any('lower(text)', rules.METADATA_KEYWORDS)}
+     OR ({_sql_like_any('lower(text)', rules.DISCLAIMER_PHRASES)}
+         AND NOT {_sql_like_any('lower(text)', rules.DISCLAIMER_RESCUE_WORDS)})) AS is_boiler,
+    {_STATUS} AS status
+  FROM ordered),
+tracked AS (
+  SELECT *,
+    sum(CASE WHEN is_sec THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch,
+    last_value(CASE WHEN is_sec THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_section
+  FROM classified),
+tracked2 AS (
+  SELECT *,
+    last_value(CASE WHEN is_sub THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id, epoch ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_subsection
+  FROM tracked),
+blocks AS (
+  SELECT doc_id, off, text AS content, status,
+    coalesce(raw_section, '{rules.DEFAULT_SECTION}') AS section,
+    coalesce(raw_subsection, '') AS subsection
+  FROM tracked2
+  WHERE NOT is_sec AND NOT is_sub AND text <> '')
+"""
+
+
+def _spark_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real extraction front-end (explode → classify → W1 → blocks)
+    over the derived lines."""
+    lines = derived_lines(spark, sf_dir)
+    docs = (lines.groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda x: F.struct(
+                    F.lit("text").alias("kind"), x["text"].alias("text"),
+                    F.lit("").alias("media_ref"), x["offset"].alias("offset")),
+            ).alias("spans")))
+    spans = track_sections(classify_spans(explode_spans(docs)))
+    return build_blocks(spans)
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+def q_status_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — first-match-wins status detection (text_extractor.pyc:140-175)."""
+    lines = derived_lines(spark, sf_dir)
+    return lines.select(
+        "doc_id", F.col("k").alias("line_key"),
+        status_col(F.col("text")).alias("status"))
+
+
+SQL_STATUS = f"""
+WITH {SQL_LINES_CTE}
+SELECT doc_id, k AS line_key, {_STATUS} AS status FROM ordered
+"""
+
+
+def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — running section/subsection tracking (text_extractor.pyc:90-129)."""
+    blocks = _spark_blocks(spark, sf_dir)
+    return blocks.select("doc_id", F.col("offset").cast("int").alias("offset"),
+                         "section", "subsection", "content")
+
+
+SQL_SECTIONS = f"""
+WITH {SQL_CLASSIFIED_CTE}
+SELECT doc_id, off AS "offset", section, subsection, content FROM blocks
+"""
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — boilerplate/disclaimer detection (data_quality_validator.py:376-409)
+    over documents.text (real corpus) + injected boilerplate lines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        F.concat(F.lit("It is recommended that professionals review. "),
+                 F.col("text"))
+    ).when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 1,
+        F.concat(F.lit("Noting limitations in scope. "), F.col("text"))
+    ).when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 2,
+        F.concat(F.lit("Disclaimer: please repair notes. "), F.col("text"))
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        boilerplate_col(injected).alias("is_boilerplate"))
+
+
+SQL_BOILERPLATE = f"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'It is recommended that professionals review. ' || text
+      WHEN 1 THEN 'Noting limitations in scope. ' || text
+      WHEN 2 THEN 'Disclaimer: please repair notes. ' || text
+      ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+  ({_sql_like_any('lower(t)', rules.METADATA_KEYWORDS)}
+   OR ({_sql_like_any('lower(t)', rules.DISCLAIMER_PHRASES)}
+       AND NOT {_sql_like_any('lower(t)', rules.DISCLAIMER_RESCUE_WORDS)})) AS is_boilerplate
+FROM inj
+"""
+
+
+def q_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — priority rule (src/data_structurer.py:110-144)."""
+    lines = derived_lines(spark, sf_dir)
+    status = F.when(F.pmod(F.col("k"), F.lit(4)) == 0, F.lit("I")) \
+        .when(F.pmod(F.col("k"), F.lit(4)) == 1, F.lit("NI")) \
+        .when(F.pmod(F.col("k"), F.lit(4)) == 2, F.lit("D"))
+    return lines.select(
+        "doc_id", F.col("k").alias("line_key"),
+        priority_col(F.lower(F.col("text")), status).alias("priority"))
+
+
+SQL_PRIORITY = f"""
+WITH {SQL_LINES_CTE}
+SELECT doc_id, k AS line_key,
+  CASE
+    WHEN {_sql_like_any('lower(text)', rules.HIGH_PRIORITY_KEYWORDS)} THEN 'high'
+    WHEN {_sql_like_any('lower(text)', rules.MEDIUM_PRIORITY_KEYWORDS)} THEN 'medium'
+    WHEN (CASE CAST(k % 4 AS INT) WHEN 0 THEN 'I' WHEN 1 THEN 'NI' WHEN 2 THEN 'D' END)
+         IN ('I','NI','NP') THEN 'low'
+    ELSE 'info'
+  END AS priority
+FROM ordered
+"""
+
+
+def q_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — title extraction (src/data_structurer.py:147-157), long+short cases."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    content = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.substring(F.col("text"), 1, 40), F.lit(". "),
+                 F.substring(F.col("text"), 41, 60)),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", title_col(content).alias("title"))
+
+
+SQL_TITLE = """
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN substring(text, 1, 40) || '. ' || substring(text, 41, 60)
+         ELSE text END AS content
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN length(string_split(content, '.')[1]) < 100
+       THEN trim(string_split(content, '.')[1])
+       ELSE trim(substring(content, 1, 100))
+            || CASE WHEN length(content) > 100 THEN '...' ELSE '' END
+  END AS title
+FROM c
+"""
+
+
+def q_price_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — price parsing (src/data_structurer.py:181-224) on constructed cells."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.pmod(F.col("l_partkey"), F.lit(100))
+    amount = F.concat(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"),
+        F.lit("."), F.lpad(cents.cast("string"), 2, "0"))
+    cell = (F.when(F.pmod(F.col("l_orderkey"), F.lit(3)) == 0,
+                   F.concat(F.lit("estimate $"), amount, F.lit(" for repair")))
+            .when(F.pmod(F.col("l_orderkey"), F.lit(3)) == 1,
+                  F.concat(F.lit("about "), amount, F.lit(" dollars total")))
+            .otherwise(F.concat(F.lit("quantity "),
+                                F.col("l_quantity").cast("int").cast("string"),
+                                F.lit(" units"))))
+    prices_s = F.coalesce(*[
+        F.when(F.size(e := F.regexp_extract_all(cell, F.lit(p), F.lit(1))) > 0, e)
+        for p in rules.PRICE_PATTERNS])
+    prices = F.transform(prices_s,
+                         lambda x: F.regexp_replace(x, ",", "").cast("double"))
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.array_min(prices).alias("price_min"),
+        F.array_max(prices).alias("price_max"))
+
+
+SQL_PRICE = r"""
+WITH cells AS (
+  SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+    CASE CAST(l_orderkey % 3 AS INT)
+      WHEN 0 THEN 'estimate $' || CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR)
+                  || '.' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') || ' for repair'
+      WHEN 1 THEN 'about ' || CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR)
+                  || '.' || lpad(CAST(l_partkey % 100 AS VARCHAR), 2, '0') || ' dollars total'
+      ELSE 'quantity ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) || ' units'
+    END AS cell
+  FROM lineitem),
+ext AS (
+  SELECT order_key, line_no,
+    CASE
+      WHEN len(regexp_extract_all(cell, '\$(\d+(?:,\d{3})*(?:\.\d{2})?)', 1)) > 0
+        THEN regexp_extract_all(cell, '\$(\d+(?:,\d{3})*(?:\.\d{2})?)', 1)
+      WHEN len(regexp_extract_all(cell, '(\d+(?:,\d{3})*(?:\.\d{2})?)\s*\$', 1)) > 0
+        THEN regexp_extract_all(cell, '(\d+(?:,\d{3})*(?:\.\d{2})?)\s*\$', 1)
+      WHEN len(regexp_extract_all(cell, '(\d+(?:,\d{3})*(?:\.\d{2})?)\s*dollars?', 1)) > 0
+        THEN regexp_extract_all(cell, '(\d+(?:,\d{3})*(?:\.\d{2})?)\s*dollars?', 1)
+    END AS ps
+  FROM cells)
+SELECT order_key, line_no,
+  list_min(list_transform(ps, x -> CAST(replace(x, ',', '') AS DOUBLE))) AS price_min,
+  list_max(list_transform(ps, x -> CAST(replace(x, ',', '') AS DOUBLE))) AS price_max
+FROM ext
+"""
+
+
+def q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3/C4/C5 — issue segmentation via the grouped-map operator
+    (src/data_structurer.py:35-107). The derived corpus keeps every
+    subsection change adjacent to a section change, so the SQL oracle can
+    express boundaries as keyword/D-status/section-change."""
+    blocks = _spark_blocks(spark, sf_dir)
+    issues = segment_issues(
+        blocks.withColumn("doc_id", F.col("doc_id").cast("string")))
+    return issues.select(
+        "doc_id", "issue_order", "id", "section", "subsection", "status",
+        "priority", "title",
+        F.size("page_numbers").alias("n_pages"), "description")
+
+
+SQL_SEGMENTATION = f"""
+WITH {SQL_CLASSIFIED_CTE},
+b2 AS (
+  SELECT *,
+    (status = 'D' OR {_sql_like_any('lower(content)', rules.ISSUE_KEYWORDS)}) AS is_start,
+    CAST(off // 50 + 1 AS INT) AS page_num
+  FROM blocks),
+b3 AS (
+  SELECT * FROM (
+    SELECT *, min(CASE WHEN is_start THEN off END)
+                OVER (PARTITION BY doc_id) AS first_start
+    FROM b2) WHERE off >= first_start),
+b3a AS (
+  SELECT *, coalesce(status, '@') AS status_nn,
+    (is_start OR section <> lag(section, 1, section)
+                 OVER (PARTITION BY doc_id ORDER BY off)) AS is_boundary
+  FROM b3),
+b4 AS (
+  SELECT *,
+    sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM b3a)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(seg - 1 AS INT) AS issue_order,
+  arg_min(section, off) || '_' || CAST(seg - 1 AS VARCHAR) AS id,
+  arg_min(section, off) AS section,
+  arg_min(subsection, off) AS subsection,
+  CASE WHEN arg_min(status_nn, off) = '@' THEN 'I'
+       ELSE arg_min(status_nn, off) END AS status,
+  CASE
+    WHEN {_sql_like_any('lower(arg_min(content, off))', rules.HIGH_PRIORITY_KEYWORDS)} THEN 'high'
+    WHEN {_sql_like_any('lower(arg_min(content, off))', rules.MEDIUM_PRIORITY_KEYWORDS)} THEN 'medium'
+    WHEN arg_min(status_nn, off) IN ('I','NI','NP') THEN 'low'
+    ELSE 'info'
+  END AS priority,
+  CASE WHEN length(string_split(arg_min(content, off), '.')[1]) < 100
+       THEN trim(string_split(arg_min(content, off), '.')[1])
+       ELSE trim(substring(arg_min(content, off), 1, 100))
+            || CASE WHEN length(arg_min(content, off)) > 100 THEN '...' ELSE '' END
+  END AS title,
+  CAST(count(DISTINCT page_num) AS INT) AS n_pages,
+  string_agg(content, chr(10) ORDER BY off) AS description
+FROM b4
+GROUP BY doc_id, seg
+"""
+
+
+DIRTY_PREFIXES = ["caf\u00e9 ", "\u201cquoted\u201d ", "dash\u2013dash ",
+                  "em\u2014em ", "A\u00a0B ", "z\u200bw ", "\u00fcber ",
+                  "\u00feorn ", "", "plain "]
+
+
+def _sql_replace_chain(expr: str) -> str:
+    """Render rules.UNICODE_REPLACEMENTS as a nested SQL replace() chain."""
+    for old, new in rules.UNICODE_REPLACEMENTS:
+        if old == "\x00":
+            expr = "replace(" + expr + ", chr(0), '')"
+        else:
+            o = old.replace("'", "''")
+            n = new.replace("'", "''")
+            expr = "replace(" + expr + ", '" + o + "', '" + n + "')"
+    return expr
+
+
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 \u2014 unicode normalization (text_extractor.pyc:11-64): replacement
+    map, NFKD, combining-mark strip (= strip_accents on this charset)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = F.concat(
+        _pick(DIRTY_PREFIXES, F.pmod(F.col("doc_id"), F.lit(10))),
+        F.substring(F.col("text"), 1, 40))
+    return d.select("doc_id", normalize_text(dirty).alias("norm"))
+
+
+SQL_NORMALIZE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+    {_sql_list(DIRTY_PREFIXES)}[CAST(1 + doc_id % 10 AS INT)]
+      || substring(text, 1, 40) AS t
+  FROM documents)
+SELECT doc_id, trim(strip_accents({_sql_replace_chain("t")})) AS norm
+FROM dirty
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy on content (training-data op)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data op): whitespace tokens, uniques, chars."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_chars_nospace"))
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique,
+  length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (training-data op): stopword / length signals as
+    scaled integers (engine-stable)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "an", "and", "of", "to", "in", "is"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
+        F.floor(n_stop * 1000000 / n_tok).cast("long").alias("stop_ratio_ppm"),
+        (n_tok.between(5, 1000)).alias("length_ok"))
+
+
+SQL_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is'))) AS n_stopwords,
+  CAST(floor(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is')))
+             * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_ppm,
+  len(toks) BETWEEN 5 AND 1000 AS length_ok
+FROM t
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-data op): English function-word hits."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    en = F.array([F.lit(w) for w in ["the", "a", "and", "of", "is", "to"]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return d.select(
+        "doc_id", hits.alias("en_hits"),
+        F.when(hits * 100 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("unknown")).alias("pred_lang"))
+
+
+SQL_LANGID = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('the','a','and','of','is','to'))) AS en_hits,
+  CASE WHEN len(list_filter(toks, x -> x IN ('the','a','and','of','is','to'))) * 100
+            >= len(toks)
+       THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (training-data op): order-canonical content
+    fingerprint = md5 over the sorted distinct token set."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.array_sort(F.array_distinct(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+    return d.select(
+        "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+      string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (similarity-search
+    baseline; the LSH/IVF path shares the same scoring kernel)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q_emb"))
+    joined = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "q_emb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("q_emb")))
+    scored = joined.select("vec_id", "label",
+                           F.floor(sim * 1000).cast("long").alias("sim_milli"))
+    return scored.orderBy(F.desc("sim_milli"), "vec_id").limit(10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id, label,
+  CAST(floor(list_cosine_similarity(embedding, q_emb) * 1000) AS BIGINT) AS sim_milli
+FROM embeddings, q
+ORDER BY sim_milli DESC, vec_id LIMIT 10
+"""
+
+
+def q_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-style shingle selection (near-dup building block): the K
+    smallest md5(3-gram shingle) values per doc — deterministic, engine-
+    portable, and the exact candidate-generation kernel the LSH dedup uses."""
+    K = 8
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    shingles = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                   F.element_at(toks, i + 1),
+                                   F.element_at(toks, i + 2))))
+    hashes = F.slice(F.array_sort(
+        F.transform(shingles, lambda s: F.md5(s))), 1, K)
+    return (d.select("doc_id", F.explode(hashes).alias("shingle_hash"))
+            .groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+SQL_NGRAM_SHINGLES = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+  FROM t),
+hashed AS (
+  SELECT doc_id,
+    list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS hs
+  FROM sh),
+un AS (SELECT doc_id, unnest(hs) AS shingle_hash FROM hashed)
+SELECT shingle_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM un GROUP BY shingle_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "status_detect": q_status_detect,
+    "sections": q_sections,
+    "segmentation": q_segmentation,
+    "boilerplate": q_boilerplate,
+    "priority": q_priority,
+    "title": q_title,
+    "price_parse": q_price_parse,
+    "normalize_unicode": q_normalize_unicode,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "ngram_shingles": q_ngram_shingles,
+}
+
+ORACLES: dict[str, str] = {
+    "status_detect": SQL_STATUS,
+    "sections": SQL_SECTIONS,
+    "segmentation": SQL_SEGMENTATION,
+    "boilerplate": SQL_BOILERPLATE,
+    "priority": SQL_PRIORITY,
+    "title": SQL_TITLE,
+    "price_parse": SQL_PRICE,
+    "normalize_unicode": SQL_NORMALIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ngram_shingles": SQL_NGRAM_SHINGLES,
+}

@@ -1,0 +1,105 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each __spark_entry__.queries() entry on Spark and its oracle_sql() on
+DuckDB (views pre-registered over the same parquet), then compares
+row-count + column set + order-insensitive values. Usage:
+
+    python tools/check_correctness.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None or (isinstance(v, float) and np.isnan(v)) else v)
+    return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    s, o = canon(sdf), canon(odf)
+    if len(s) != len(o):
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = pd.to_numeric(sv, errors="coerce")
+            ov = pd.to_numeric(ov, errors="coerce")
+            bad = ~(np.isclose(sv.fillna(np.nan), ov.fillna(np.nan),
+                               rtol=0, atol=1e-9, equal_nan=True))
+        else:
+            bad = ~(sv.astype(object).fillna("\x00N") == ov.astype(object).fillna("\x00N"))
+        n_bad = int(bad.sum())
+        if n_bad:
+            i = int(np.argmax(bad.values))
+            problems.append(
+                f"col {c}: {n_bad} mismatches; first at row {i}: "
+                f"spark={s[c].iloc[i]!r} oracle={o[c].iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from pdf_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="correctness-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"[FAIL] {name}:")
+            for p in problems:
+                print(f"    {p}")
+            failed.append(name)
+        else:
+            print(f"[OK]   {name}: {len(sdf)} rows match")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
