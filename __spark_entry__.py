@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from pdf_extraction_spark.plans.extraction import assemble
+    from pdf_extraction_spark.plans.fused import assemble_fused
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
             i.cast("int").alias("offset")))
     docs = d.select(F.col("doc_id").cast("string").alias("doc_id"),
                     spans.alias("spans"))
-    return assemble(docs, persist=False)
+    return assemble_fused(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

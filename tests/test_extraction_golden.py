@@ -10,16 +10,18 @@ import pytest
 
 from pdf_extraction_spark import corpus, oracle
 from pdf_extraction_spark.plans.extraction import assemble
+from pdf_extraction_spark.plans.fused import assemble_fused
 
 N_DOCS = 40
 
 
-@pytest.fixture(scope="module")
-def results(spark):
+@pytest.fixture(scope="module", params=["exploded", "fused"])
+def results(request, spark):
     docs_pd = corpus.docs_pandas(N_DOCS)
     docs = corpus.generate_docs(spark, N_DOCS, partitions=4)
+    plan = assemble if request.param == "exploded" else assemble_fused
     got = {r["doc_id"]: r.asDict(recursive=True)
-           for r in assemble(docs).collect()}
+           for r in plan(docs).collect()}
     want = {row.doc_id: oracle.extract_doc(row.doc_id, row.spans)
             for _, row in docs_pd.iterrows()}
     assert set(got) == set(want)
