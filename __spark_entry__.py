@@ -41,11 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries import QUERIES
+    from pdf_extraction_spark.queries_enrich import QUERIES_ENRICH
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_ENRICH}
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries import ORACLES
+    from pdf_extraction_spark.queries_enrich import ORACLES_ENRICH
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_ENRICH}
