@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, from exact to fuzzy, all designed for the 100 TB shape:
+
+- exact: hash-groupBy — one shuffle on a 128-bit content hash.
+- minhash + LSH: shingle -> K minhash values -> banded bucket join; the
+  only shuffle is on (band_index, band_hash), and candidate verification
+  happens inside buckets — never an all-pairs join.
+- simhash: 64-bit near-dup signature, computed vectorized in one
+  mapInArrow pass; candidates via 16-bit chunk banding (Hamming<=k by
+  pigeonhole) + exact popcount check.
+- n-gram jaccard: bounded top-K min-hashed shingle sets -> pair join on
+  shared shingles -> exact jaccard over the K-sets.
+
+Everything except the simhash bit-vote is pure pyspark.sql.functions
+(JVM codegen); hashes are md5-derived so they are engine-portable and
+deterministic (no Spark-specific murmur).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+# 2^31-1: keeps a*x + b below 2^62 under ANSI-checked int64 arithmetic
+MERSENNE_P = (1 << 31) - 1
+_HASH_SPACE = 1 << 30
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(text)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the minimum id per content hash; adds
+    (content_hash, keeper_doc_id, is_duplicate)."""
+    h = content_hash(F.col(text_col)).alias("content_hash")
+    hashed = docs.select(F.col(id_col), h)
+    w = Window.partitionBy("content_hash")
+    return (hashed
+            .withColumn("keeper_doc_id", F.min(id_col).over(w))
+            .withColumn("is_duplicate", F.col(id_col) != F.col("keeper_doc_id")))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    toks = tokens_col(F.lower(text))
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)])))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Shingles -> 60-bit integer hashes (md5-derived, engine-portable)."""
+    return F.transform(
+        shingles_col(text, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+
+
+def minhash_signature(text: Column, k: int = 64, n: int = 3) -> Column:
+    """K-permutation minhash signature over shingle hashes.
+
+    h_i(x) = (a_i * x + b_i) mod p with deterministic (a_i, b_i) from a
+    seeded generator — identical on every executor and run.
+    """
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MERSENNE_P, size=k, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=k, dtype=np.int64)
+    hashes = F.transform(shingle_hashes(text, n),
+                         lambda x: F.pmod(x, F.lit(_HASH_SPACE)))
+    perms = F.array(*[
+        F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b"))
+        for i in range(k)])
+    return F.transform(
+        perms,
+        lambda p: F.array_min(F.transform(
+            hashes,
+            lambda x: F.pmod(p["a"] * x + p["b"], F.lit(MERSENNE_P)))))
+
+
+def lsh_bands(signature: Column, bands: int = 16) -> Column:
+    """Split a signature into band hashes: array<struct<band:int,h:string>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band"),
+            F.md5(F.concat_ws(
+                ",", F.slice(signature,
+                             band * (F.size(signature) / bands).cast("int") + 1,
+                             (F.size(signature) / bands).cast("int"))))
+            .alias("h")))
+
+
+def minhash_candidates(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 64,
+                       bands: int = 16) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket, with the
+    minhash jaccard estimate. Shuffles on (band, band_hash) only."""
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k).alias("sig"))
+    banded = sigs.select(
+        "id", "sig", F.explode(lsh_bands(F.col("sig"), bands)).alias("b"))
+    left = banded.select(F.col("b.band").alias("band"),
+                         F.col("b.h").alias("h"),
+                         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    right = banded.select(F.col("b.band").alias("band"),
+                          F.col("b.h").alias("h"),
+                          F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (left.join(right, ["band", "h"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b")
+             .distinct())
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return pairs.select(
+        "id_a", "id_b",
+        (agree / F.size("sig_a")).alias("jaccard_est"))
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  k: int = 64, bands: int = 16) -> DataFrame:
+    """Near-dup verdict: per doc, the minimum partner id among pairs with
+    jaccard_est >= threshold (single-hop keeper assignment; full
+    connected components would iterate this join to a fixpoint)."""
+    pairs = minhash_candidates(docs, text_col, id_col, k, bands) \
+        .where(F.col("jaccard_est") >= threshold)
+    partners = pairs.select(F.col("id_a").alias("id"),
+                            F.col("id_b").alias("partner")) \
+        .union(pairs.select(F.col("id_b").alias("id"),
+                            F.col("id_a").alias("partner")))
+    keeper = partners.groupBy("id").agg(F.min("partner").alias("min_partner"))
+    return (docs.join(keeper, docs[id_col] == keeper["id"], "left")
+            .select(docs["*"],
+                    F.least(F.coalesce("min_partner", docs[id_col]),
+                            docs[id_col]).alias("keeper_doc_id"))
+            .withColumn("is_near_duplicate",
+                        F.col("keeper_doc_id") != F.col(id_col)))
+
+
+def topk_shingle_hashes(text: Column, k: int = 8, n: int = 3) -> Column:
+    """K smallest md5(shingle) values — the bounded candidate-generation
+    set used by jaccard pair mining (portable across engines)."""
+    return F.slice(F.array_sort(
+        F.transform(shingles_col(text, n), lambda s: F.md5(s))), 1, k)
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 8,
+                  min_shared: int = 2) -> DataFrame:
+    """N-gram jaccard near-dup pairs over bounded top-K shingle sets:
+    join on shared shingle hash, then exact jaccard of the two K-sets."""
+    sets_df = docs.select(F.col(id_col).alias("id"),
+                          topk_shingle_hashes(F.col(text_col), k).alias("hs"))
+    exploded = sets_df.select("id", "hs", F.explode("hs").alias("h"))
+    left = exploded.select(F.col("h"), F.col("id").alias("id_a"),
+                           F.col("hs").alias("hs_a"))
+    right = exploded.select(F.col("h"), F.col("id").alias("id_b"),
+                            F.col("hs").alias("hs_b"))
+    pairs = (left.join(right, "h")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.first("hs_a").alias("hs_a"), F.first("hs_b").alias("hs_b"),
+                  F.count(F.lit(1)).alias("n_shared")))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (pairs.where(F.col("n_shared") >= min_shared)
+            .select("id_a", "id_b",
+                    inter.cast("long").alias("n_intersect"),
+                    (inter / union).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized bit votes in one mapInArrow pass)
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash per doc: per-token 64-bit hashes vote +1/-1 per bit;
+    the sign of each bit-sum forms the signature. Token hashing uses
+    blake2b (stable across runs/machines); the bit-vote accumulation is
+    numpy-vectorized per Arrow batch."""
+    df = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def token_hash(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                    "big")
+                cache[tok] = h
+            return h
+
+        for rb in batches:
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            texts = rb.column(1).to_numpy(zero_copy_only=False)
+            out = np.empty(len(ids), dtype=np.uint64)
+            for i, text in enumerate(texts):
+                toks = (text or "").lower().split()
+                if not toks:
+                    out[i] = 0
+                    continue
+                hs = np.fromiter((token_hash(t) for t in toks),
+                                 dtype=np.uint64, count=len(toks))
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                votes = bits.sum(axis=0) * 2 - len(toks)
+                sig = np.uint64(0)
+                for j in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(j)
+                out[i] = sig
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(out.view(np.int64))],
+                names=["doc_id", "simhash"])
+
+    return df.mapInArrow(run, schema="doc_id string, simhash long")
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via 16-bit chunk
+    banding (a pair within distance 3 must agree on >=1 of 4 chunks)."""
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+        .bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)])
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    left = banded.select("chunk_idx", "chunk_val",
+                         F.col("doc_id").alias("id_a"),
+                         F.col("simhash").alias("sig_a"))
+    right = banded.select("chunk_idx", "chunk_val",
+                          F.col("doc_id").alias("id_b"),
+                          F.col("simhash").alias("sig_b"))
+    pairs = (left.join(right, ["chunk_idx", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,64 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM, whole-stage
+codegen; no UDFs): token counting, quality scoring, language-ID heuristic,
+and content fingerprinting over a ``documents(doc_id, text, ...)`` table.
+These are the building blocks the dedup/similarity operators reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is"]
+EN_FUNCTION_WORDS = ["the", "a", "and", "of", "is", "to"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: totals, uniques, char counts."""
+    toks = tokens_col(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+        .cast("long").alias("n_chars_nospace"))
+
+
+def quality_columns(text: Column) -> list[Column]:
+    """Quality-scoring signal columns (length / stopword-density)."""
+    toks = tokens_col(F.lower(text))
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_tok = F.size(toks)
+    return [
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.floor(n_stop * 1000000 / n_tok).cast("long").alias("stop_ratio_ppm"),
+        n_tok.between(5, 1000).alias("length_ok"),
+    ]
+
+
+def lang_id_columns(text: Column) -> list[Column]:
+    """Language-ID heuristic: English function-word density."""
+    toks = tokens_col(F.lower(text))
+    en = F.array(*[F.lit(w) for w in EN_FUNCTION_WORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return [
+        hits.cast("long").alias("en_hits"),
+        F.when(hits * 100 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("unknown")).alias("pred_lang"),
+    ]
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-canonical content fingerprint: md5 over the sorted distinct
+    token set (stable under token reordering / duplication)."""
+    toks = F.array_sort(F.array_distinct(tokens_col(F.lower(text))))
+    return F.md5(F.array_join(toks, " "))

@@ -608,6 +608,108 @@ FROM un GROUP BY shingle_hash
 """
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram jaccard near-dup pairs over bounded top-K shingle sets
+    (operators/dedup.py jaccard_pairs)."""
+    from .operators.dedup import jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return jaccard_pairs(d, min_shared=2)
+
+
+SQL_JACCARD_PAIRS = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT id,
+    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+  FROM t),
+hs AS (
+  SELECT id, list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS hs
+  FROM sh),
+un AS (SELECT id, hs, unnest(hs) AS h FROM hs),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         any_value(a.hs) AS hs_a, any_value(b.hs) AS hs_b,
+         count(*) AS n_shared
+  FROM un a JOIN un b ON a.h = b.h AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(hs_a, hs_b)) AS BIGINT) AS n_intersect,
+  len(list_intersect(hs_a, hs_b))
+    / CAST(len(list_distinct(list_concat(hs_a, hs_b))) AS DOUBLE) AS jaccard
+FROM pairs WHERE n_shared >= 2
+"""
+
+
+def q_knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label vote (operators/similarity.py knn_label_vote)."""
+    from .operators.similarity import knn_label_vote
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return knn_label_vote(e, [float(x) for x in qv], k=10)
+
+
+SQL_KNN_VOTE = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1),
+top AS (
+  SELECT label FROM embeddings, q
+  ORDER BY list_cosine_similarity(embedding, q_emb) DESC, vec_id LIMIT 10)
+SELECT label, count(*) AS votes FROM top
+GROUP BY label ORDER BY votes DESC, label LIMIT 1
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.py) — rows-only check (the
+    bit-vote accumulation is not expressible in portable SQL)."""
+    from .operators.dedup import simhash, simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return simhash_pairs(simhash(d), max_hamming=16)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup verdicts (operators/dedup.py) — rows-only
+    check (modular-permutation minhash has no portable SQL twin)."""
+    from .operators.dedup import minhash_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    out = minhash_dedup(d, threshold=0.5)
+    return out.select("doc_id", "keeper_doc_id", "is_near_duplicate")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours
+    (operators/similarity.py ann_topk) — rows-only check."""
+    from .operators.similarity import ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in first["embedding"]]
+    return ann_topk(e, qv, dim=len(qv), k=10)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators/multimodal.py): synthesize media for
+    refs derived from documents, decode with the deterministic stand-in —
+    rows-only check (binary/feature pipeline has no SQL twin)."""
+    from .operators.multimodal import decode_media, synthesize_media
+
+    refs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("img://doc_"), F.col("doc_id").cast("string"),
+                 F.lit("/0")).alias("media_ref"))
+    media = synthesize_media(spark, refs)
+    return decode_media(media, fake=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -628,6 +730,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ngram_shingles": q_ngram_shingles,
+    "jaccard_pairs": q_jaccard_pairs,
+    "knn_vote": q_knn_vote,
+    "simhash_pairs": q_simhash_pairs,
+    "minhash_dedup": q_minhash_dedup,
+    "ann_topk": q_ann_topk,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -646,4 +754,9 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
     "ngram_shingles": SQL_NGRAM_SHINGLES,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "knn_vote": SQL_KNN_VOTE,
+    # simhash_pairs / minhash_dedup / ann_topk / media_features: rows-only
+    # (non-SQL-expressible: bit votes, modular minhash, hyperplane LSH,
+    # binary feature extraction)
 }

@@ -1,0 +1,156 @@
+"""Training-data operators: dedup tiers, similarity search, multimodal
+plumbing. Deterministic micro-fixtures + behavioural invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog near the barn"),
+        ("d1", "the quick brown fox jumps over the lazy dog near the barn"),
+        ("d2", "the quick brown fox jumps over the lazy dog near the shed"),
+        ("d3", "completely different content about database query engines"),
+        ("d4", "another unrelated text mentioning sort merge join operators"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r.asDict() for r in dedup.exact_dedup(docs).collect()}
+    assert out["d0"]["is_duplicate"] is False
+    assert out["d1"]["is_duplicate"] is True
+    assert out["d1"]["keeper_doc_id"] == "d0"
+    assert out["d2"]["is_duplicate"] is False  # one word differs
+
+
+def test_minhash_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_est"]
+             for r in dedup.minhash_candidates(docs).collect()}
+    assert pairs[("d0", "d1")] == 1.0            # identical
+    near = pairs.get(("d0", "d2"), 0.0)
+    assert near > 0.5                             # one-word change
+    assert ("d0", "d3") not in pairs or pairs[("d0", "d3")] < 0.3
+
+    verdict = {r["doc_id"]: r.asDict()
+               for r in dedup.minhash_dedup(docs, threshold=0.8).collect()}
+    assert verdict["d1"]["is_near_duplicate"] is True
+    assert verdict["d1"]["keeper_doc_id"] == "d0"
+    assert verdict["d3"]["is_near_duplicate"] is False
+
+
+def test_simhash_and_pairs(docs, spark):
+    sigs = dedup.simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert rows["d0"] == rows["d1"]  # identical text -> identical signature
+    # d2 differs by one token -> closer to d0 than unrelated d3 is
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(rows["d0"], rows["d2"]) < ham(rows["d0"], rows["d3"])
+
+    # the 16-bit chunk banding GUARANTEES recall for hamming <= 3
+    # (pigeonhole over 4 chunks): verify on constructed signatures
+    base = rows["d0"]
+    crafted = spark.createDataFrame(
+        [("s0", base), ("s1", base ^ 0b101),          # hamming 2
+         ("s2", base ^ (1 << 40)),                    # hamming 1
+         ("s3", base ^ ((1 << 5) | (1 << 21) | (1 << 37) | (1 << 53)))],
+        "doc_id string, simhash long")                # hamming 4, spread
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(crafted, max_hamming=3).collect()}
+    assert pairs[("s0", "s1")] == 2
+    assert pairs[("s0", "s2")] == 1
+    assert ("s0", "s3") not in pairs  # hamming 4 > threshold
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs, min_shared=2).collect()}
+    assert pairs[("d0", "d1")] == 1.0
+    assert ("d0", "d3") not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(30):
+        if i < 5:  # tight cluster around base, label 1
+            v = base + 0.01 * rng.standard_normal(8)
+            label = 1
+        else:
+            v = rng.standard_normal(8)
+            label = 0
+        rows.append((i, [float(x) for x in v], label))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"), base
+
+
+def test_cosine_topk_and_knn(embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base]
+    top = similarity.cosine_topk(df, q, k=5).collect()
+    assert {r["vec_id"] for r in top} == {0, 1, 2, 3, 4}
+    assert all(r["cosine"] > 0.99 for r in top)
+    vote = similarity.knn_label_vote(df, q, k=5).collect()[0]
+    assert vote["label"] == 1 and vote["votes"] == 5
+
+
+def test_ann_matches_exact_for_cluster(embeddings):
+    df, base = embeddings
+    q = [float(x) for x in base]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    approx = [r["vec_id"]
+              for r in similarity.ann_topk(df, q, dim=8, k=5).collect()]
+    # the tight cluster lands in the query's (multi-probed) bucket
+    assert set(exact) & set(approx), (exact, approx)
+
+
+def test_all_pairs_topk(embeddings):
+    df, _ = embeddings
+    out = similarity.all_pairs_topk(df, k=3).collect()
+    by_a: dict[int, list] = {}
+    for r in out:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for a, rows in by_a.items():
+        assert len(rows) <= 3
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_multimodal_plumbing(spark):
+    refs = spark.createDataFrame(
+        [(f"img://doc_{i}/{j}",) for i in range(4) for j in range(3)],
+        "media_ref string")
+    media = multimodal.synthesize_media(spark, refs)
+    rows = media.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert isinstance(r["content"], (bytes, bytearray))
+        assert r["meta"]["width"] >= 16 and r["meta"]["height"] >= 16
+        assert r["meta"]["mime"] in ("image/png", "video/mp4", "audio/wav")
+
+    feats = multimodal.decode_media(media, fake=True).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalized
+
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        multimodal.decode_media(media, fake=False).collect()
+
+    frames = multimodal.sample_frames(media, every_ms=80, fake=True).collect()
+    n_video = sum(1 for r in rows if r["meta"]["mime"] == "video/mp4")
+    if n_video:
+        assert len(frames) > 0
+        assert all(len(r["frame"]) == 16 for r in frames)
+
+    # determinism: same refs -> same features
+    feats2 = multimodal.decode_media(media, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
