@@ -257,18 +257,12 @@ def _metadata_records(page1: list[str], first2: list[str],
     return recs
 
 
-def _extract_core(doc_ids: np.ndarray, bounds: np.ndarray,
-                  raw_kinds: np.ndarray, texts: np.ndarray,
-                  refs: np.ndarray, offs: np.ndarray) -> dict[str, Any]:
-    """Vectorized extraction over flat span arrays.
-
-    ``bounds``: int64 array of len(docs)+1 — doc d owns flat rows
-    [bounds[d], bounds[d+1]).  Spans must be offset-ascending within a doc
-    (callers sort when needed).  Returns columnar outputs:
-    spans as a pyarrow ListArray; the small per-doc structures as py lists.
-    """
+def _classify_arrays(raw_kinds: np.ndarray,
+                     texts: np.ndarray) -> dict[str, Any]:
+    """Per-span vectorized classification (T1/C1/F5/kind) — no cross-span
+    state, so it runs identically over whole docs or doc *chunks* (the
+    salted plan classifies chunks in parallel and merges downstream)."""
     n = len(texts)
-    n_docs = len(doc_ids)
     is_media = raw_kinds == "media"
 
     norm = _normalize_series(pd.Series(texts, dtype=object))
@@ -320,21 +314,45 @@ def _extract_core(doc_ids: np.ndarray, bounds: np.ndarray,
     kind[is_media] = KIND_MEDIA
     kind[empty & ~is_media] = KIND_TEXT
 
-    # W1 — running section/subsection (text_extractor.pyc:90-129), vectorized
-    lengths = np.diff(bounds)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-    sec_vals = norm.where(pd.Series(is_sec))
-    section = sec_vals.groupby(doc_idx, sort=False).ffill()
-    epoch = pd.Series(is_sec.astype(np.int64)).groupby(
-        doc_idx, sort=False).cumsum()
-    sub_vals = norm.where(pd.Series(is_sub))
-    subsection = sub_vals.groupby([doc_idx, epoch.values], sort=False).ffill()
+    return {
+        "norm": norm, "is_media": is_media, "is_sec": is_sec,
+        "is_sub": is_sub, "is_table": is_table, "status": status,
+        "kind": kind,
+        "is_block": (~is_media & ~is_sec & ~is_sub & ~is_table & ~empty),
+        "is_kw": _contains_any_pa(low_pa, rules.ISSUE_KEYWORDS),
+        "is_high": _contains_any_pa(low_pa, rules.HIGH_PRIORITY_KEYWORDS),
+        "is_med": _contains_any_pa(low_pa, rules.MEDIUM_PRIORITY_KEYWORDS),
+    }
 
-    # block stream + vectorized block-level flags
-    is_block = (~is_media & ~is_sec & ~is_sub & ~is_table & ~empty)
-    is_kw = _contains_any_pa(low_pa, rules.ISSUE_KEYWORDS)
-    is_high = _contains_any_pa(low_pa, rules.HIGH_PRIORITY_KEYWORDS)
-    is_med = _contains_any_pa(low_pa, rules.MEDIUM_PRIORITY_KEYWORDS)
+
+def _sections_fill(norm: pd.Series, is_sec: np.ndarray, is_sub: np.ndarray,
+                   doc_idx: np.ndarray) -> tuple[pd.Series, pd.Series]:
+    """W1 — running section/subsection (text_extractor.pyc:90-129):
+    grouped forward-fill with the section-epoch guard."""
+    sec_vals = norm.where(pd.Series(is_sec, index=norm.index))
+    section = sec_vals.groupby(doc_idx, sort=False).ffill()
+    epoch = pd.Series(is_sec.astype(np.int64), index=norm.index).groupby(
+        doc_idx, sort=False).cumsum()
+    sub_vals = norm.where(pd.Series(is_sub, index=norm.index))
+    subsection = sub_vals.groupby([doc_idx, epoch.values], sort=False).ffill()
+    return section, subsection
+
+
+def _build_outputs(doc_ids: np.ndarray, bounds: np.ndarray,
+                   cls: dict[str, Any], section: pd.Series,
+                   subsection: pd.Series, texts: np.ndarray,
+                   refs: np.ndarray, offs: np.ndarray) -> dict[str, Any]:
+    """Per-doc fold (W2 segmentation, tables, J1, metadata, A1/A4) +
+    vectorized span-sequence rebuild. ``cls`` is _classify_arrays output."""
+    n_docs = len(doc_ids)
+    norm = cls["norm"]
+    is_media = cls["is_media"]
+    is_sec = cls["is_sec"]
+    is_table = cls["is_table"]
+    is_block = cls["is_block"]
+    status = cls["status"]
+    kind = cls["kind"]
+    is_kw, is_high, is_med = cls["is_kw"], cls["is_high"], cls["is_med"]
     page = (offs.astype(np.int64) // LINES_PER_PAGE + 1)
 
     # ---- vectorized output span sequence (no per-span python) ----
@@ -492,6 +510,25 @@ def _extract_core(doc_ids: np.ndarray, bounds: np.ndarray,
                              type=_META_T),
         "summary": pa.array(all_summary, type=_SUMMARY_T),
     }
+
+
+def _extract_core(doc_ids: np.ndarray, bounds: np.ndarray,
+                  raw_kinds: np.ndarray, texts: np.ndarray,
+                  refs: np.ndarray, offs: np.ndarray) -> dict[str, Any]:
+    """Vectorized extraction over flat span arrays.
+
+    ``bounds``: int64 array of len(docs)+1 — doc d owns flat rows
+    [bounds[d], bounds[d+1]).  Spans must be offset-ascending within a doc
+    (callers sort when needed).  Returns columnar outputs:
+    spans as a pyarrow ListArray; the small per-doc structures as py lists.
+    """
+    cls = _classify_arrays(raw_kinds, texts)
+    lengths = np.diff(bounds)
+    doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lengths)
+    section, subsection = _sections_fill(cls["norm"], cls["is_sec"],
+                                         cls["is_sub"], doc_idx)
+    return _build_outputs(doc_ids, bounds, cls, section, subsection,
+                          texts, refs, offs)
 
 
 def _sort_flat(doc_idx: np.ndarray, offs: np.ndarray,

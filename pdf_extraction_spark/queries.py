@@ -697,6 +697,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(e, qv, dim=len(qv), k=10)
 
 
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming/events.py — the
+    batch twin of the Structured Streaming query)."""
+    from .streaming.events import windowed_counts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(e, "1 hour")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, sum(value) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (operators/multimodal.py): synthesize media for
     refs derived from documents, decode with the deterministic stand-in —
@@ -736,6 +752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
+    "events_window": q_events_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -756,6 +773,7 @@ ORACLES: dict[str, str] = {
     "ngram_shingles": SQL_NGRAM_SHINGLES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "knn_vote": SQL_KNN_VOTE,
+    "events_window": SQL_EVENTS_WINDOW,
     # simhash_pairs / minhash_dedup / ann_topk / media_features: rows-only
     # (non-SQL-expressible: bit votes, modular minhash, hyperplane LSH,
     # binary feature extraction)

@@ -11,21 +11,44 @@ import pytest
 from pdf_extraction_spark import corpus, oracle
 from pdf_extraction_spark.plans.extraction import assemble
 from pdf_extraction_spark.plans.fused import assemble_fused
+from pdf_extraction_spark.plans.salted import assemble_salted
 
 N_DOCS = 40
 
+PLANS = {
+    "exploded": assemble,
+    "fused": assemble_fused,
+    "salted": lambda docs: assemble_salted(docs, chunk_spans=64),
+}
 
-@pytest.fixture(scope="module", params=["exploded", "fused"])
+
+@pytest.fixture(scope="module", params=list(PLANS))
 def results(request, spark):
     docs_pd = corpus.docs_pandas(N_DOCS)
     docs = corpus.generate_docs(spark, N_DOCS, partitions=4)
-    plan = assemble if request.param == "exploded" else assemble_fused
     got = {r["doc_id"]: r.asDict(recursive=True)
-           for r in plan(docs).collect()}
+           for r in PLANS[request.param](docs).collect()}
     want = {row.doc_id: oracle.extract_doc(row.doc_id, row.spans)
             for _, row in docs_pd.iterrows()}
     assert set(got) == set(want)
     return got, want
+
+
+def test_salted_matches_fused_on_giants(spark):
+    """Giant-doc skew path: chunked+salted output must equal the fused
+    plan span-for-span, including chunk-seam section carry."""
+    docs = corpus.generate_docs(spark, 9, giant_every=3, partitions=2).persist()
+    a = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_fused(docs).collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_salted(docs, chunk_spans=512,
+                                  partitions=8).collect()}
+    assert set(a) == set(b)
+    for doc_id in a:
+        for key in ("spans", "issues", "tables", "raw_sections",
+                    "metadata", "summary"):
+            assert a[doc_id][key] == b[doc_id][key], f"{doc_id}.{key}"
+    docs.unpersist()
 
 
 def test_span_sequence_equality(results):
