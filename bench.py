@@ -47,6 +47,14 @@ def main() -> None:
     timings["extract_corpus"] = round(time.time() - t0, 3)
     assert n_out == n_docs, (n_out, n_docs)
 
+    from pdf_extraction_spark.plans.enrichment import enrich_extracted
+    extracted = assemble_fused(docs).persist()
+    extracted.count()
+    t0 = time.time()
+    enrich_extracted(extracted).write.format("noop").mode("overwrite").save()
+    timings["enrich_corpus"] = round(time.time() - t0, 3)
+    extracted.unpersist()
+
     bench_queries = ["segmentation", "sections", "status_detect",
                      "dedup_exact", "ngram_shingles", "token_stats",
                      "cosine_topk", "fingerprint"]

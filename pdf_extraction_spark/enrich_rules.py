@@ -83,11 +83,26 @@ _DUP_PHRASE_RES = [
 ]  # text_cleaner.py:184-186
 
 
+_CLEAN_CACHE: dict[tuple[str, bool], str] = {}
+
+
 def clean_text(text: str, preserve_case: bool = False) -> str:
     """T2 (text_cleaner.py:70-114): NFKD, control-char strip, whitespace,
-    OCR corrections, punctuation, de-repetition, casing."""
+    OCR corrections, punctuation, de-repetition, casing. Memoized (pure;
+    section/title strings repeat heavily across issues)."""
     if not text or not isinstance(text, str):
         return ""
+    key = (text, preserve_case)
+    cached = _CLEAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    result = _clean_text_impl(text, preserve_case)
+    if len(_CLEAN_CACHE) < 200_000:
+        _CLEAN_CACHE[key] = result
+    return result
+
+
+def _clean_text_impl(text: str, preserve_case: bool) -> str:
     text = unicodedata.normalize("NFKD", text)
     text = "".join(c for c in text
                    if unicodedata.category(c)[0] != "C" or c in "\n\r\t")
@@ -171,8 +186,14 @@ class DuplicateTracker:
         if not text:
             return False
         normalized = clean_text(text.lower())
+        sm = SequenceMatcher()
+        sm.set_seq2(normalized)
         for seen in self.seen:
-            if SequenceMatcher(None, normalized, seen).ratio() >= threshold:
+            # quick-ratio upper bounds make the skip exact
+            sm.set_seq1(seen)
+            if sm.real_quick_ratio() >= threshold \
+                    and sm.quick_ratio() >= threshold \
+                    and sm.ratio() >= threshold:
                 return True
         self.seen.append(normalized)
         return False
@@ -362,11 +383,25 @@ def quality_validate(issue: dict) -> tuple[str, float, str]:
 # C7 — severity normalization (src/normalization/severity_normalizer.py)
 # ---------------------------------------------------------------------------
 
+_SEVERITY_TEXT_CACHE: dict[str, tuple[str, float]] = {}
+
+
 def _match_severity_text(text: str) -> tuple[str, float]:
     """severity_normalizer.py:106-143: exact membership, substring
-    containment (conf = len ratio), difflib fuzzy tier."""
+    containment (conf = len ratio), difflib fuzzy tier. Memoized — the
+    inputs are the low-cardinality severity/priority labels."""
     if not text:
         return "unknown", 0.0
+    cached = _SEVERITY_TEXT_CACHE.get(text)
+    if cached is not None:
+        return cached
+    result = _match_severity_text_impl(text)
+    if len(_SEVERITY_TEXT_CACHE) < 100_000:
+        _SEVERITY_TEXT_CACHE[text] = result
+    return result
+
+
+def _match_severity_text_impl(text: str) -> tuple[str, float]:
     low = text.lower().strip()
     for severity, keywords in rules.SEVERITY_MAPPING.items():
         if low in keywords:
@@ -488,24 +523,42 @@ _TAXONOMY_LOOKUP = _build_lookup()
 
 
 def taxonomy_standardize(item_name: str) -> tuple[str, str | None, float]:
-    """component_taxonomy.py:102-162: exact lookup then difflib fuzzy."""
+    """component_taxonomy.py:102-162: exact lookup then difflib fuzzy.
+
+    Memoized, and the fuzzy scan prunes candidates with difflib's
+    quick-ratio upper bounds — exact, because a candidate whose upper
+    bound cannot *strictly* beat the running best can never replace it
+    (the reference keeps the first strictly-greater candidate)."""
     if not item_name:
         return "Unknown", None, 0.0
+    cached = _STANDARDIZE_CACHE.get(item_name)
+    if cached is not None:
+        return cached
     cleaned = item_name.lower().strip()
     cleaned = re.sub(r"[^\w\s/-]", "", cleaned)
     if cleaned in _TAXONOMY_LOOKUP:
-        return _TAXONOMY_LOOKUP[cleaned]
-    best: tuple[str, str | None, float] = ("Unknown", None, 0.0)
-    for key, (category, subcat, base_conf) in _TAXONOMY_LOOKUP.items():
-        similarity = SequenceMatcher(None, cleaned, key).ratio()
-        if key in cleaned or cleaned in key:
-            similarity = max(similarity, 0.75)
-        confidence = similarity * base_conf
-        if confidence > best[2]:
-            best = (category, subcat, confidence)
-    if best[2] > 0.6:
-        return best
-    return "Unknown", None, 0.0
+        result = _TAXONOMY_LOOKUP[cleaned]
+    else:
+        best: tuple[str, str | None, float] = ("Unknown", None, 0.0)
+        sm = SequenceMatcher()
+        sm.set_seq2(cleaned)
+        for key, (category, subcat, base_conf) in _TAXONOMY_LOOKUP.items():
+            floor = 0.75 if (key in cleaned or cleaned in key) else 0.0
+            sm.set_seq1(key)
+            if max(sm.real_quick_ratio(), floor) * base_conf <= best[2]:
+                continue
+            if max(sm.quick_ratio(), floor) * base_conf <= best[2]:
+                continue
+            confidence = max(sm.ratio(), floor) * base_conf
+            if confidence > best[2]:
+                best = (category, subcat, confidence)
+        result = best if best[2] > 0.6 else ("Unknown", None, 0.0)
+    if len(_STANDARDIZE_CACHE) < 200_000:
+        _STANDARDIZE_CACHE[item_name] = result
+    return result
+
+
+_STANDARDIZE_CACHE: dict[str, tuple[str, str | None, float]] = {}
 
 
 def taxonomy_from_context(item_name: str, section: str | None,

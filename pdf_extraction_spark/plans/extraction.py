@@ -142,24 +142,30 @@ def doc_metadata(spans: DataFrame) -> DataFrame:
         ).alias("metadata"))
 
 
-def raw_sections(blocks: DataFrame) -> DataFrame:
-    """A4 (src/data_structurer.py:227-237): 'sec > subsec' -> doc-ordered
-    concatenated content (each line newline-terminated)."""
+def raw_section_rows(blocks: DataFrame) -> DataFrame:
+    """A4 (src/data_structurer.py:227-237) as rows:
+    (doc_id, section_key, text) with 'sec > subsec' keys and doc-ordered,
+    newline-terminated concatenated content."""
     key = F.when(F.col("subsection") != "",
                  F.concat(F.col("section"), F.lit(" > "), F.col("subsection"))
                  ).otherwise(F.col("section"))
-    per_key = (blocks.withColumn("_key", key)
-               .groupBy("doc_id", "_key")
-               .agg(F.concat(
-                   F.array_join(
-                       F.transform(
-                           F.array_sort(F.collect_list(F.struct("offset", "content"))),
-                           lambda x: x["content"]),
-                       "\n"),
-                   F.lit("\n")).alias("_text")))
-    return (per_key.groupBy("doc_id")
+    return (blocks.withColumn("section_key", key)
+            .groupBy("doc_id", "section_key")
+            .agg(F.concat(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("offset", "content"))),
+                        lambda x: x["content"]),
+                    "\n"),
+                F.lit("\n")).alias("text")))
+
+
+def raw_sections(blocks: DataFrame) -> DataFrame:
+    """A4 rolled up to one map per doc."""
+    return (raw_section_rows(blocks).groupBy("doc_id")
             .agg(F.map_from_entries(
-                F.collect_list(F.struct("_key", "_text"))).alias("raw_sections")))
+                F.collect_list(F.struct("section_key", "text")))
+                .alias("raw_sections")))
 
 
 def assemble(docs: DataFrame, persist: bool = True) -> DataFrame:

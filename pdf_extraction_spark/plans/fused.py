@@ -599,6 +599,10 @@ def assemble_fused(docs: DataFrame, partitions: int | None = None) -> DataFrame:
         docs = docs.repartition(partitions)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one Spark task == one core: stop pyarrow from spinning up its own
+        # per-process thread pool (32 workers x 32 arrow threads thrashes)
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
         for rb in batches:
             if rb.num_rows:
                 yield extract_record_batch(rb)

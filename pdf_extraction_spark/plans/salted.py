@@ -63,6 +63,8 @@ def split_docs(docs: DataFrame, chunk_spans: int = 4096) -> DataFrame:
 
 def _classify_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Stage A: vectorized per-span classification of chunk rows."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
     for rb in batches:
         names = rb.schema.names
         spans_col = rb.column(names.index("spans"))

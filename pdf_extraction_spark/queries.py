@@ -47,6 +47,12 @@ PHRASES = ["shows hairline crack near the corner",
            "shows rust at the fastener"]
 SUFFIXES = ["", " and requires repair", " posing a safety hazard",
             " near the foundation", " with minor wear"]
+TBL_HEADERS = ["Item | Estimated Cost | Notes", "Point | Elevation | Grade",
+               "Task | Price Range | Urgency"]
+TBL_DATA = ["Roof fix | $500 - $700 | flashing",
+            "A1 | 100.2 | 1.2% slope",
+            "Panel fix | 150$ each | soon",
+            "Total | 2,000 dollars | combined"]
 
 
 def _sql_list(items: list[str]) -> str:
@@ -78,6 +84,8 @@ def derived_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(m == 1, sub)
             .when(m == 2, st)
             .when(m == 3, F.concat(F.lit("Comments: "), item, F.lit(" "), phrase))
+            .when(m == 4, _pick(TBL_HEADERS, F.pmod(F.floor(k / 11), F.lit(3))))
+            .when(m == 5, _pick(TBL_DATA, F.pmod(F.floor(k / 7), F.lit(4))))
             .otherwise(F.concat(item, F.lit(" "), phrase, suffix)))
     df = o.select(F.pmod(k, F.lit(N_DOCS_DERIVED)).alias("doc_id"),
                   k.alias("k"), line.alias("text"))
@@ -94,6 +102,8 @@ lines AS (
       WHEN 2 THEN {_sql_list(STATUS_VARIANTS)}[CAST(1 + (o_orderkey // 11) % 4 AS INT)]
       WHEN 3 THEN 'Comments: ' || {_sql_list(ITEMS)}[CAST(1 + (o_orderkey // 7) % 5 AS INT)]
                   || ' ' || {_sql_list(PHRASES)}[CAST(1 + (o_orderkey // 5) % 5 AS INT)]
+      WHEN 4 THEN {_sql_list(TBL_HEADERS)}[CAST(1 + (o_orderkey // 11) % 3 AS INT)]
+      WHEN 5 THEN {_sql_list(TBL_DATA)}[CAST(1 + (o_orderkey // 7) % 4 AS INT)]
       ELSE {_sql_list(ITEMS)}[CAST(1 + (o_orderkey // 7) % 5 AS INT)]
            || ' ' || {_sql_list(PHRASES)}[CAST(1 + (o_orderkey // 5) % 5 AS INT)]
            || {_sql_list(SUFFIXES)}[CAST(1 + o_orderkey % 5 AS INT)]
@@ -140,7 +150,7 @@ blocks AS (
     coalesce(raw_section, '{rules.DEFAULT_SECTION}') AS section,
     coalesce(raw_subsection, '') AS subsection
   FROM tracked2
-  WHERE NOT is_sec AND NOT is_sub AND text <> '')
+  WHERE NOT is_sec AND NOT is_sub AND text NOT LIKE '% | %' AND text <> '')
 """
 
 
@@ -608,6 +618,222 @@ FROM un GROUP BY shingle_hash
 """
 
 
+def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/C6/W5/T6/F10 — table assembly, classification, section context,
+    and price parsing via the real operators (operators/tables.py)."""
+    from .operators.tables import extract_tables
+
+    lines = derived_lines(spark, sf_dir)
+    docs = (lines.groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda x: F.struct(
+                    F.lit("text").alias("kind"), x["text"].alias("text"),
+                    F.lit("").alias("media_ref"), x["offset"].alias("offset")),
+            ).alias("spans")))
+    spans = track_sections(classify_spans(explode_spans(docs)))
+    t = extract_tables(spans)
+    return t.select(
+        "doc_id", F.col("first_offset").cast("int").alias("first_off"),
+        "page_num", "section", "table_type",
+        F.array_join("headers", "~").alias("headers_joined"),
+        F.size("table_data").alias("n_rows"),
+        F.col("cost.min").alias("cost_min"),
+        F.col("cost.max").alias("cost_max"),
+        F.col("cost.average").alias("cost_avg"))
+
+
+def _sql_tables() -> str:
+    type_case = ""
+    for ttype, kws in rules.TABLE_TYPE_KEYWORDS:
+        type_case += f"WHEN {_sql_like_any('combined', kws)} THEN '{ttype}' "
+    price_pats = [p.replace("'", "''") for p in rules.PRICE_PATTERNS]
+    cell_prices = (
+        "CASE "
+        f"WHEN len(regexp_extract_all(c, '{price_pats[0]}', 1)) > 0 "
+        f"THEN regexp_extract_all(c, '{price_pats[0]}', 1) "
+        f"WHEN len(regexp_extract_all(c, '{price_pats[1]}', 1)) > 0 "
+        f"THEN regexp_extract_all(c, '{price_pats[1]}', 1) "
+        f"WHEN len(regexp_extract_all(c, '{price_pats[2]}', 1)) > 0 "
+        f"THEN regexp_extract_all(c, '{price_pats[2]}', 1) "
+        "ELSE [] END")
+    return f"""
+WITH {SQL_CLASSIFIED_CTE},
+trow AS (
+  SELECT doc_id, off, text FROM classified
+  WHERE text LIKE '% | %' AND NOT is_sec AND NOT is_sub),
+runs AS (
+  SELECT *, off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS run
+  FROM trow),
+grouped AS (
+  SELECT doc_id, run, min(off) AS first_off,
+    list(list_transform(string_split(text, '|'),
+                        c -> trim(regexp_replace(c, '\\s+', ' ', 'g')))
+         ORDER BY off) AS rows_all
+  FROM runs GROUP BY doc_id, run),
+cleaned AS (
+  SELECT doc_id, first_off,
+    list_filter(rows_all,
+                r -> len(list_filter(r, c -> c <> '')) > 0) AS rows_ne
+  FROM grouped),
+sized AS (
+  SELECT doc_id, first_off, rows_ne[1] AS headers,
+         rows_ne[2:] AS data_rows
+  FROM cleaned
+  WHERE len(rows_ne) >= 2
+    AND len(rows_ne) - 1 <= {rules.TABLE_MAX_ROWS}
+    AND len(rows_ne[1]) <= {rules.TABLE_MAX_COLS}),
+typed AS (
+  SELECT *, CAST(first_off // 50 + 1 AS INT) AS page_num,
+    lower(array_to_string(headers, ' ') || ' ' ||
+          array_to_string(list_transform(data_rows,
+                          r -> array_to_string(r, ' ')), ' ')) AS combined
+  FROM sized),
+page_secs AS (
+  SELECT doc_id, CAST(off // 50 + 1 AS INT) AS page_num,
+         arg_min(text, off) AS page_section
+  FROM classified WHERE is_sec GROUP BY 1, 2),
+priced AS (
+  SELECT t.*,
+    coalesce(p.page_section, 'PAGE_' || CAST(t.page_num AS VARCHAR)) AS section,
+    CASE {type_case} ELSE 'generic' END AS table_type,
+    list_filter(list_transform(data_rows,
+      r -> CASE WHEN len(list_filter(list_transform(r, c -> {cell_prices}),
+                                     x -> len(x) > 0)) > 0
+                THEN list_filter(list_transform(r, c -> {cell_prices}),
+                                 x -> len(x) > 0)[-1] END),
+      x -> x IS NOT NULL) AS price_rows
+  FROM typed t LEFT JOIN page_secs p USING (doc_id, page_num)),
+final AS (
+  SELECT *, CASE WHEN len(price_rows) > 0 THEN
+      list_transform(price_rows[1],
+                     x -> CAST(replace(x, ',', '') AS DOUBLE)) END AS prices
+  FROM priced)
+SELECT doc_id, CAST(first_off AS INT) AS first_off, page_num, section,
+  table_type,
+  array_to_string(headers, '~') AS headers_joined,
+  CAST(len(data_rows) AS INT) AS n_rows,
+  list_min(prices) AS cost_min, list_max(prices) AS cost_max,
+  CASE WHEN prices IS NOT NULL THEN
+    list_sum(prices) / len(prices) END AS cost_avg
+FROM final
+"""
+
+
+def q_raw_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — doc-ordered per-section concatenation via the real operator
+    (plans/extraction.py raw_section_rows)."""
+    from .plans.extraction import raw_section_rows
+
+    blocks = _spark_blocks(spark, sf_dir)
+    return raw_section_rows(blocks).select("doc_id", "section_key", "text")
+
+
+SQL_RAW_SECTIONS = f"""
+WITH {SQL_CLASSIFIED_CTE}
+SELECT doc_id,
+  CASE WHEN subsection <> '' THEN section || ' > ' || subsection
+       ELSE section END AS section_key,
+  string_agg(content || chr(10), '' ORDER BY off) AS text
+FROM blocks GROUP BY 1, 2
+"""
+
+
+META_LINE_EXPRS_DOC = """
+  'Report Number: RPT' || CAST(doc_id AS VARCHAR) || chr(10) ||
+  'Inspection Date: Saturday, August 16' || chr(10) ||
+  'Built in ' || CAST(1900 + doc_id % 120 AS VARCHAR) || chr(10) ||
+  CAST(1 + doc_id % 8 AS VARCHAR) || ',' ||
+    lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0') || ' square feet' || chr(10) ||
+  CAST(1 + doc_id % 5 AS VARCHAR) || ' bedrooms, ' ||
+    CAST(1 + doc_id % 3 AS VARCHAR) || '.5 bathrooms' || chr(10) ||
+  CAST(1 + doc_id % 3 AS VARCHAR) || ' story layout' || chr(10) ||
+  'Property Type: single family residence' || chr(10) ||
+  'Lot size: 8,500 sq ft' || chr(10) ||
+  'Property Address: ' || CAST(100 + doc_id AS VARCHAR) ||
+    ' Oak Hollow Dr, Austin, TX 78701'
+"""
+
+
+def q_property_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/T7 — report + property metadata regex cascades via the real
+    doc_metadata operator (plans/extraction.py)."""
+    from .plans.extraction import doc_metadata
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_id = F.col("doc_id")
+    lines = F.array(
+        F.concat(F.lit("Report Number: RPT"), doc_id.cast("string")),
+        F.lit("Inspection Date: Saturday, August 16"),
+        F.concat(F.lit("Built in "), (1900 + F.pmod(doc_id, F.lit(120))).cast("string")),
+        F.concat((1 + F.pmod(doc_id, F.lit(8))).cast("string"), F.lit(","),
+                 F.lpad(F.pmod(doc_id * 37, F.lit(1000)).cast("string"), 3, "0"),
+                 F.lit(" square feet")),
+        F.concat((1 + F.pmod(doc_id, F.lit(5))).cast("string"),
+                 F.lit(" bedrooms, "),
+                 (1 + F.pmod(doc_id, F.lit(3))).cast("string"),
+                 F.lit(".5 bathrooms")),
+        F.concat((1 + F.pmod(doc_id, F.lit(3))).cast("string"),
+                 F.lit(" story layout")),
+        F.lit("Property Type: single family residence"),
+        F.lit("Lot size: 8,500 sq ft"),
+        F.concat(F.lit("Property Address: "), (100 + doc_id).cast("string"),
+                 F.lit(" Oak Hollow Dr, Austin, TX 78701")),
+    )
+    spans = F.transform(
+        lines, lambda t, i: F.struct(
+            F.lit("text").alias("kind"), t.alias("text"),
+            F.lit("").alias("media_ref"), i.cast("int").alias("offset")))
+    docs = d.select(doc_id.cast("string").alias("doc_id"),
+                    spans.alias("spans"))
+    md = doc_metadata(classify_spans(explode_spans(docs)))
+    return md.select(
+        "doc_id", F.col("metadata.total_pages").alias("total_pages"),
+        F.col("metadata.report_type").alias("report_type"),
+        F.col("metadata.report_number").alias("report_number"),
+        F.col("metadata.inspection_date").alias("inspection_date"),
+        F.col("metadata.property_address").alias("property_address"),
+        F.col("metadata.square_footage").alias("square_footage"),
+        F.col("metadata.year_built").alias("year_built"),
+        F.col("metadata.stories").alias("stories"),
+        F.col("metadata.home_type").alias("home_type"),
+        F.col("metadata.lot_size").alias("lot_size"),
+        F.col("metadata.bedrooms").alias("bedrooms"),
+        F.col("metadata.bathrooms").alias("bathrooms"),
+        F.col("metadata.location").alias("location"))
+
+
+SQL_PROPERTY_META = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {META_LINE_EXPRS_DOC} AS txt
+  FROM documents)
+SELECT doc_id, 1 AS total_pages, 'inspection' AS report_type,
+  nullif(regexp_extract(txt, 'Report Number:\\s*(\\S+)', 1), '') AS report_number,
+  trim(nullif(regexp_extract(txt, 'Inspection Date:\\s*(.+?)(?:\\n|$)', 1), ''))
+    AS inspection_date,
+  nullif(regexp_extract(txt,
+    '(\\d+\\s+[\\w\\s]+,\\s*\\w+,\\s*TX\\s*\\d{{5}})', 1), '') AS property_address,
+  CAST(replace(nullif(regexp_extract(txt,
+    '(?i)(\\d{{1,2}},?\\d{{3}})\\s*(?:square\\s*feet|sq\\.?\\s*ft\\.?|sf)', 1),
+    ''), ',', '') AS INT) AS square_footage,
+  CAST(1900 + CAST(doc_id AS INT) % 120 AS INT) AS year_built,
+  CAST(1 + CAST(doc_id AS INT) % 3 AS INT) AS stories,
+  trim(nullif(regexp_extract(txt,
+    '(?i)(?:property\\s*type|home\\s*type|style)[:\\s]*([\\w\\s]+?)(?:\\n|,|;)', 1),
+    '')) AS home_type,
+  nullif(regexp_extract(txt,
+    '(?i)lot\\s*size[:\\s]*([\\d,]+)\\s*(?:sq\\.?\\s*ft\\.?|sf)', 1), '') AS lot_size,
+  CAST(nullif(regexp_extract(txt, '(?i)(\\d+)\\s*bed(?:room)?s?', 1), '') AS INT)
+    AS bedrooms,
+  CAST(nullif(regexp_extract(txt,
+    '(?i)(\\d+(?:\\.\\d+)?)\\s*bath(?:room)?s?', 1), '') AS DOUBLE) AS bathrooms,
+  trim(regexp_replace(nullif(regexp_extract(txt,
+    '(?i)(?:location|address|property\\s*address)[:\\s]*([^\\n]+)', 1), ''),
+    '\\s+', ' ', 'g')) AS location
+FROM t
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram jaccard near-dup pairs over bounded top-K shingle sets
     (operators/dedup.py jaccard_pairs)."""
@@ -753,6 +979,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "events_window": q_events_window,
+    "tables": q_tables,
+    "raw_sections": q_raw_sections,
+    "property_meta": q_property_meta,
 }
 
 ORACLES: dict[str, str] = {
@@ -774,6 +1003,9 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "knn_vote": SQL_KNN_VOTE,
     "events_window": SQL_EVENTS_WINDOW,
+    "tables": _sql_tables(),
+    "raw_sections": SQL_RAW_SECTIONS,
+    "property_meta": SQL_PROPERTY_META,
     # simhash_pairs / minhash_dedup / ann_topk / media_features: rows-only
     # (non-SQL-expressible: bit votes, modular minhash, hyperplane LSH,
     # binary feature extraction)

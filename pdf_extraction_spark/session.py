@@ -25,6 +25,12 @@ def get_spark(
         # left to AQE coalescing from a higher initial number
         shuffle_partitions = max(cores, 8)
 
+    # one Spark task == one core: pyarrow/numpy must not each spin up a
+    # machine-wide thread pool inside every python worker (n_workers *
+    # n_cpus threads thrash badly at local[32])
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("ARROW_IO_THREADS", "2")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -37,6 +43,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,69 @@
+"""spark-submit job: timed end-to-end extraction over a parquet span corpus.
+
+Usage (master/cores come from spark-submit):
+
+    spark-submit --master local[8] \
+        --py-files pdf_extraction_spark.zip \
+        tools/extract_job.py --input /tmp/corpus --warmup 512
+
+Prints ONE JSON line: {"cores": ..., "docs": N, "wall_sec": ...,
+"docs_per_sec": ..., "spans": M, "spans_per_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--warmup", type=int, default=2048)
+    ap.add_argument("--plan", default="fused", choices=["fused", "salted"])
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.plans.salted import assemble_salted
+
+    if args.plan == "fused":
+        def plan(d):
+            return assemble_fused(d)
+    else:
+        def plan(d):
+            return assemble_salted(d, chunk_spans=8192, partitions=cores * 3)
+
+    docs = spark.read.parquet(args.input)
+    n_docs = docs.count()
+    n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
+
+    # warm-up: spin up python workers + JIT outside the timed region
+    plan(docs.limit(args.warmup)) \
+        .write.format("noop").mode("overwrite").save()
+
+    walls = []
+    for _ in range(6):
+        t0 = time.time()
+        plan(docs).write.format("noop").mode("overwrite").save()
+        walls.append(time.time() - t0)
+    wall = min(walls)  # steady-state throughput
+
+    print(json.dumps({
+        "cores": cores, "plan": args.plan, "docs": n_docs,
+        "spans": int(n_spans), "wall_sec": round(wall, 2),
+        "walls": [round(w, 2) for w in walls],
+        "docs_per_sec": round(n_docs / wall, 1),
+        "spans_per_sec": round(n_spans / wall, 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

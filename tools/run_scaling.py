@@ -1,0 +1,100 @@
+"""Two-cluster-size scaling protocol (BASELINE.md): run the identical
+spark-submit job on identical input at N and 4N cores; report throughput
+at both and efficiency = thpt_4N / (4 * thpt_N).
+
+    python tools/run_scaling.py [--docs 40000] [--n 8] [--out BENCH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_zip(tmp: str) -> str:
+    zpath = os.path.join(tmp, "pdf_extraction_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "pdf_extraction_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def generate_corpus(path: str, n_docs: int) -> None:
+    if os.path.exists(path):
+        return
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus.generate_docs(spark, n_docs, giant_every=997,
+                         partitions=128).write.parquet(path)
+    spark.stop()
+
+
+def run_submit(cores: int, zpath: str, input_path: str, plan: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or "/usr/bin/pyspark"),
+        "spark-submit")
+    cmd = [
+        spark_submit, "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.executor.memory=24g",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "extract_job.py"),
+        "--input", input_path, "--plan", plan,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON in output:\n{out.stdout}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40000)
+    ap.add_argument("--n", type=int, default=8, help="small cluster size N")
+    ap.add_argument("--plan", default="fused")
+    ap.add_argument("--data", default="/tmp/scaling_corpus")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    args = ap.parse_args()
+
+    generate_corpus(args.data, args.docs)
+    zpath = make_zip("/tmp")
+
+    small = run_submit(args.n, zpath, args.data, args.plan)
+    large = run_submit(args.n * 4, zpath, args.data, args.plan)
+    eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
+
+    result = {"N": args.n, "4N": args.n * 4, "plan": args.plan,
+              "run_N": small, "run_4N": large,
+              "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
