@@ -1187,6 +1187,43 @@ def enrich_document(issues: list[dict]) -> dict:
 
     # C18 estimates + A5 summary (rule_based_cost_estimator.py:341-366)
     estimates = [estimate_cost(i) for i in kept]
+
+    # Phase-2 estimation layer: C19 selector + C21 Houston adjust + C20
+    # confidence (estimation_rules.py), run deterministically per issue
+    from . import estimation_rules as est2
+    phase2 = []
+    for issue, e18 in zip(kept, estimates):
+        sel_input = {
+            "title": issue.get("title", ""),
+            "description": issue.get("description", ""),
+            "category": issue.get("standard_category", ""),
+            "severity": issue.get("standard_severity", ""),
+        }
+        sel = est2.select_strategy_phase2(sel_input)
+        adj = est2.houston_adjust(sel["cost_estimate"], sel_input) \
+            if sel.get("cost_estimate") else None
+        locations = issue.get("extracted_attributes", {}).get("locations", [])
+        conf = est2.confidence_score(
+            {"estimated_low": e18["estimated_low"],
+             "estimated_high": e18["estimated_high"],
+             "reasoning": e18["reasoning"]},
+            {"issue": issue.get("description", ""),
+             "description": issue.get("description", ""),
+             "location": locations[0] if locations else "",
+             "category": issue.get("standard_category", ""),
+             "item": issue.get("title", ""),
+             "severity": issue.get("standard_severity", "")})
+        phase2.append({
+            "issue_id": issue.get("id", "unknown"),
+            "strategy": sel["strategy"],
+            "strategy_confidence": sel["confidence"],
+            "adjusted_low": adj["cost"]["total"]["min"] if adj else None,
+            "adjusted_high": adj["cost"]["total"]["max"] if adj else None,
+            "permit_type": adj["permit_type"] if adj else None,
+            "trade": adj["trade"] if adj else None,
+            "confidence_overall": conf["overall"],
+            "manual_review": bool(conf["manual_review_needed"]),
+        })
     est_summary = {
         "estimated_issues": len(estimates),
         "total_estimated_low": int(sum(e["estimated_low"] for e in estimates)),
@@ -1199,7 +1236,7 @@ def enrich_document(issues: list[dict]) -> dict:
 
     return {"issues": kept, "groups": groups, "summary": summary,
             "estimates": estimates, "estimate_summary": est_summary,
-            "n_excluded": n_excluded}
+            "phase2": phase2, "n_excluded": n_excluded}
 
 
 def summarize_issues(issues: list[dict]) -> dict:

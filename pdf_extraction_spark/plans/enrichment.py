@@ -66,6 +66,10 @@ _SUMMARY_T = ("struct<total_issues:int,by_severity:map<string,int>,"
 _EST_SUMMARY_T = ("struct<estimated_issues:int,total_estimated_low:long,"
                   "total_estimated_high:long,average_confidence:int,"
                   "needs_review:int>")
+_PHASE2_T = ("struct<issue_id:string,strategy:string,"
+             "strategy_confidence:double,adjusted_low:double,"
+             "adjusted_high:double,permit_type:string,trade:string,"
+             "confidence_overall:double,manual_review:boolean>")
 
 ENRICHED_SCHEMA = (
     "doc_id string, "
@@ -74,6 +78,7 @@ ENRICHED_SCHEMA = (
     f"estimates array<{_EST_T}>, "
     f"summary {_SUMMARY_T}, "
     f"estimate_summary {_EST_SUMMARY_T}, "
+    f"phase2 array<{_PHASE2_T}>, "
     "n_excluded int"
 )
 
@@ -145,11 +150,13 @@ def enrich_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "estimates": result["estimates"],
             "summary": result["summary"],
             "estimate_summary": result["estimate_summary"],
+            "phase2": result["phase2"],
             "n_excluded": result["n_excluded"],
         })
     return pd.DataFrame(
         rows, columns=["doc_id", "issues", "groups", "estimates",
-                       "summary", "estimate_summary", "n_excluded"])
+                       "summary", "estimate_summary", "phase2",
+                       "n_excluded"])
 
 
 def enrich_extracted(extracted: DataFrame) -> DataFrame:

@@ -205,6 +205,11 @@ def test_spark_matches_python(spark):
                 assert math.isclose(gi[k], wi[k], abs_tol=1e-9), \
                     f"{row.doc_id}: {gi['id']}.{k}"
         assert len(g["groups"]) == len(want["groups"]), row.doc_id
+        gp = [(p["issue_id"], p["strategy"], p["adjusted_low"],
+               p["confidence_overall"]) for p in g["phase2"]]
+        wp = [(p["issue_id"], p["strategy"], p["adjusted_low"],
+               p["confidence_overall"]) for p in want["phase2"]]
+        assert gp == wp, f"{row.doc_id} phase2"
         assert g["summary"]["total_issues"] == want["summary"]["total_issues"]
         assert g["estimate_summary"]["total_estimated_low"] == \
             want["estimate_summary"]["total_estimated_low"], row.doc_id
