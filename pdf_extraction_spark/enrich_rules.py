@@ -1234,9 +1234,26 @@ def enrich_document(issues: list[dict]) -> dict:
         "needs_review": sum(1 for e in estimates if e["needs_review"]),
     }
 
+    # J7 relationship analysis (relationship_rules.py), document-local
+    from . import relationship_rules as rel
+    rel_inputs = []
+    for issue in kept:
+        locations = issue.get("extracted_attributes", {}).get("locations", [])
+        rel_inputs.append({
+            "id": issue.get("id", "unknown"),
+            "issue": issue.get("description", ""),
+            "description": issue.get("description", ""),
+            "item": issue.get("title", ""),
+            "category": issue.get("standard_category", ""),
+            "location": locations[0] if locations else "",
+            "severity": issue.get("standard_severity", ""),
+        })
+    relationships = rel.analyze_issues(rel_inputs)
+
     return {"issues": kept, "groups": groups, "summary": summary,
             "estimates": estimates, "estimate_summary": est_summary,
-            "phase2": phase2, "n_excluded": n_excluded}
+            "phase2": phase2, "relationships": relationships,
+            "n_excluded": n_excluded}
 
 
 def summarize_issues(issues: list[dict]) -> dict:

@@ -70,6 +70,14 @@ _PHASE2_T = ("struct<issue_id:string,strategy:string,"
              "strategy_confidence:double,adjusted_low:double,"
              "adjusted_high:double,permit_type:string,trade:string,"
              "confidence_overall:double,manual_review:boolean>")
+_REL_T = ("struct<causal_chains:array<struct<root_cause_id:string,"
+          "caused_issue_ids:array<string>,chain_length:int,priority:string>>,"
+          "bundles:array<struct<bundle_type:string,key:string,"
+          "issue_ids:array<string>,savings_pct:double>>,"
+          "isolated_issue_ids:array<string>,"
+          "statistics:struct<total_issues:int,issues_in_chains:int,"
+          "isolated_issues:int,potential_bundles:int,"
+          "average_savings_pct:double,max_savings_pct:double>>")
 
 ENRICHED_SCHEMA = (
     "doc_id string, "
@@ -79,6 +87,7 @@ ENRICHED_SCHEMA = (
     f"summary {_SUMMARY_T}, "
     f"estimate_summary {_EST_SUMMARY_T}, "
     f"phase2 array<{_PHASE2_T}>, "
+    f"relationships {_REL_T}, "
     "n_excluded int"
 )
 
@@ -151,12 +160,13 @@ def enrich_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "summary": result["summary"],
             "estimate_summary": result["estimate_summary"],
             "phase2": result["phase2"],
+            "relationships": result["relationships"],
             "n_excluded": result["n_excluded"],
         })
     return pd.DataFrame(
         rows, columns=["doc_id", "issues", "groups", "estimates",
                        "summary", "estimate_summary", "phase2",
-                       "n_excluded"])
+                       "relationships", "n_excluded"])
 
 
 def enrich_extracted(extracted: DataFrame) -> DataFrame:

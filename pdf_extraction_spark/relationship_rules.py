@@ -1,0 +1,220 @@
+"""J7 — issue relationship analysis: causal chains + bundling.
+
+Faithful transcription of src/estimation/relationship_analyzer.py
+(:31-100 pattern tables, :237-460 chain/bundle discovery). Document-local
+(an issue only relates to issues of the same report), so it runs inside
+the same per-doc mapInPandas batches as the rest of enrichment.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+CAUSAL_RELATIONSHIPS: dict[str, list[str]] = {
+    "foundation_cracks": ["grading_issues", "drainage_problems",
+                          "plumbing_leaks", "door_misalignment",
+                          "wall_cracks", "floor_slope"],
+    "roof_leak": ["ceiling_stains", "attic_moisture", "insulation_damage",
+                  "mold_growth", "drywall_damage"],
+    "plumbing_leak": ["foundation_settlement", "water_damage", "mold",
+                      "flooring_damage", "ceiling_stains"],
+    "hvac_failure": ["duct_leaks", "thermostat_issues", "air_filter_dirty",
+                     "poor_airflow", "high_humidity"],
+    "electrical_panel_issues": ["frequent_breaker_trips", "outlet_problems",
+                                "flickering_lights", "inadequate_power"],
+    "drainage_problems": ["foundation_issues", "basement_moisture",
+                          "yard_flooding", "erosion"],
+    "termite_damage": ["structural_weakness", "wood_deterioration",
+                       "moisture_problems"],
+}
+
+BUNDLING_SAVINGS = {"same_location": 0.15, "same_contractor": 0.20,
+                    "shared_access": 0.25, "related_systems": 0.10}
+
+_WATER_KEYWORDS = ["leak", "water", "moisture", "stain", "mold", "drainage"]
+_STRUCTURAL_KEYWORDS = ["foundation", "crack", "settlement", "structural",
+                        "slope"]
+_CONTRACTOR_KEYWORDS = {
+    "hvac": ["hvac", "air conditioner", "furnace", "heating", "cooling",
+             "duct"],
+    "plumber": ["plumbing", "pipe", "drain", "water heater", "leak",
+                "faucet"],
+    "electrician": ["electrical", "wiring", "outlet", "panel", "breaker",
+                    "switch"],
+    "roofer": ["roof", "shingles", "flashing", "gutter", "downspout"],
+    "foundation_specialist": ["foundation", "pier", "settlement", "slab"],
+    "handyman": ["door", "window", "drywall", "paint", "minor"],
+}
+_ACCESS_KEYWORDS = {
+    "attic": ["attic", "roof deck", "soffit"],
+    "crawl_space": ["crawl space", "under house", "subfloor"],
+    "roof": ["roof", "shingles", "flashing", "gutter"],
+    "exterior": ["exterior", "outside", "facade"],
+    "basement": ["basement", "below grade"],
+}
+
+
+def issue_id(issue: dict) -> str:
+    """relationship_analyzer.py:641-645."""
+    return issue.get("id", f"{issue.get('category', '')}_"
+                           f"{issue.get('item', '')}_"
+                           f"{issue.get('issue', '')[:20]}")
+
+
+def matches_pattern(issue: dict, pattern: str) -> bool:
+    """relationship_analyzer.py:415-436: multi-word patterns need >= 2
+    word hits across the searchable fields."""
+    words = pattern.lower().replace("_", " ").split()
+    text = " ".join([issue.get("item", ""), issue.get("category", ""),
+                     issue.get("issue", ""),
+                     issue.get("description", "")]).lower()
+    if len(words) > 1:
+        return sum(1 for w in words if w in text) >= 2
+    return words[0] in text
+
+
+def _plausibly_related(a: dict, b: dict) -> bool:
+    """relationship_analyzer.py:438-462."""
+    a_txt = str(a.get("issue", "")).lower()
+    b_txt = str(b.get("issue", "")).lower()
+    if any(k in a_txt for k in _WATER_KEYWORDS) \
+            and any(k in b_txt for k in _WATER_KEYWORDS):
+        return True
+    return (any(k in a_txt for k in _STRUCTURAL_KEYWORDS)
+            and any(k in b_txt for k in _STRUCTURAL_KEYWORDS))
+
+
+def infer_contractor_type(issue: dict) -> str:
+    """relationship_analyzer.py:521-547."""
+    searchable = (f"{issue.get('category', '').lower()} "
+                  f"{issue.get('item', '').lower()} "
+                  f"{issue.get('issue', '').lower()}")
+    for contractor, keywords in _CONTRACTOR_KEYWORDS.items():
+        if any(k in searchable for k in keywords):
+            return contractor
+    return "general_contractor"
+
+
+def find_caused_issues(cause: dict, all_issues: list[dict]) -> list[dict]:
+    """relationship_analyzer.py:260-320."""
+    caused: list[dict] = []
+    cause_id = issue_id(cause)
+    for pattern, effects in CAUSAL_RELATIONSHIPS.items():
+        if matches_pattern(cause, pattern):
+            for other in all_issues:
+                if issue_id(other) == cause_id:
+                    continue
+                for effect in effects:
+                    if matches_pattern(other, effect):
+                        caused.append(other)
+                        break
+    cause_loc = cause.get("location", "").lower()
+    if cause_loc:
+        for other in all_issues:
+            if issue_id(other) == cause_id:
+                continue
+            other_loc = other.get("location", "").lower()
+            if other_loc and cause_loc in other_loc \
+                    or other_loc in cause_loc:
+                if other not in caused and _plausibly_related(cause, other):
+                    caused.append(other)
+    return caused
+
+
+def find_causal_chains(issues: list[dict]) -> list[dict]:
+    """relationship_analyzer.py:237-258."""
+    chains = []
+    for issue in issues:
+        caused = find_caused_issues(issue, issues)
+        if caused:
+            chains.append({
+                "root_cause_id": issue_id(issue),
+                "caused_issue_ids": [issue_id(c) for c in caused],
+                "chain_length": len(caused) + 1,
+                "priority": "high"
+                if issue.get("severity", "").lower() in ("critical", "high")
+                else "medium",
+            })
+    return sorted(chains, key=lambda x: x["chain_length"], reverse=True)
+
+
+def find_bundles(issues: list[dict]) -> list[dict]:
+    """relationship_analyzer.py:322-358: location / contractor / access
+    grouping with duplicate-set suppression."""
+    bundles: list[dict] = []
+
+    loc_groups: dict[str, list[dict]] = {}
+    for issue in issues:
+        loc = issue.get("location", "Unknown").strip()
+        if loc and loc.lower() not in ("unknown", "not specified", "n/a"):
+            loc_groups.setdefault(loc, []).append(issue)
+    for loc, group in loc_groups.items():
+        if len(group) >= 2:
+            bundles.append({"bundle_type": "same_location", "key": loc,
+                            "issue_ids": [issue_id(i) for i in group],
+                            "savings_pct": BUNDLING_SAVINGS["same_location"]})
+
+    def _dedup_add(bundle: dict) -> None:
+        ids = set(bundle["issue_ids"])
+        if not any(set(b["issue_ids"]) == ids for b in bundles):
+            bundles.append(bundle)
+
+    con_groups: dict[str, list[dict]] = {}
+    for issue in issues:
+        con_groups.setdefault(infer_contractor_type(issue), []).append(issue)
+    for contractor, group in con_groups.items():
+        if len(group) >= 2:
+            _dedup_add({"bundle_type": "same_contractor", "key": contractor,
+                        "issue_ids": [issue_id(i) for i in group],
+                        "savings_pct": BUNDLING_SAVINGS["same_contractor"]})
+
+    acc_groups: dict[str, list[dict]] = {}
+    for issue in issues:
+        searchable = (issue.get("location", "") + " "
+                      + issue.get("issue", "") + " "
+                      + issue.get("item", "")).lower()
+        matched = False
+        for access, keywords in _ACCESS_KEYWORDS.items():
+            if any(k in searchable for k in keywords):
+                acc_groups.setdefault(access, []).append(issue)
+                matched = True
+                break
+        if not matched:
+            acc_groups.setdefault("standard", []).append(issue)
+    for access, group in acc_groups.items():
+        if len(group) >= 2:
+            _dedup_add({"bundle_type": "shared_access", "key": access,
+                        "issue_ids": [issue_id(i) for i in group],
+                        "savings_pct": BUNDLING_SAVINGS["shared_access"]})
+
+    return bundles
+
+
+def analyze_issues(issues: list[dict]) -> dict[str, Any]:
+    """relationship_analyzer.py:101-158: chains + bundles + isolated set."""
+    chains = find_causal_chains(issues)
+    bundles = find_bundles(issues)
+    related_ids: set[str] = set()
+    for chain in chains:
+        related_ids.add(chain["root_cause_id"])
+        related_ids.update(chain["caused_issue_ids"])
+    for bundle in bundles:
+        related_ids.update(bundle["issue_ids"])
+    isolated = [issue_id(i) for i in issues
+                if issue_id(i) not in related_ids]
+    return {
+        "causal_chains": chains,
+        "bundles": bundles,
+        "isolated_issue_ids": isolated,
+        "statistics": {
+            "total_issues": len(issues),
+            "issues_in_chains": len(related_ids),
+            "isolated_issues": len(isolated),
+            "potential_bundles": len(bundles),
+            "average_savings_pct":
+                sum(b["savings_pct"] for b in bundles) / len(bundles)
+                if bundles else 0,
+            "max_savings_pct":
+                max((b["savings_pct"] for b in bundles), default=0),
+        },
+    }

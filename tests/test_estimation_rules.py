@@ -146,3 +146,42 @@ def test_c20_confidence_scorer():
     bad = est.confidence_score({"estimated_low": 0, "estimated_high": 0},
                                issue)
     assert bad["breakdown"]["estimate_range_quality"] == 0.0
+
+
+def test_j7_relationships():
+    from pdf_extraction_spark import relationship_rules as rel
+
+    issues = [
+        {"id": "R1", "issue": "Roof leak observed at ridge with water stain",
+         "description": "Roof leak observed at ridge with water stain",
+         "item": "roof covering", "category": "Roofing",
+         "location": "attic", "severity": "high"},
+        {"id": "R2", "issue": "Ceiling stains in master bedroom below attic",
+         "description": "Ceiling stains in master bedroom below attic",
+         "item": "ceiling", "category": "Interior",
+         "location": "attic", "severity": "medium"},
+        {"id": "R3", "issue": "Dishwasher drain line improperly installed",
+         "description": "Dishwasher drain line improperly installed",
+         "item": "dishwasher", "category": "Appliances",
+         "location": "kitchen", "severity": "low"},
+    ]
+    out = rel.analyze_issues(issues)
+    # roof_leak -> ceiling_stains causal chain
+    chains = {c["root_cause_id"]: c for c in out["causal_chains"]}
+    assert "R1" in chains
+    assert "R2" in chains["R1"]["caused_issue_ids"]
+    assert chains["R1"]["priority"] == "high"
+    # attic location bundle (R1+R2)
+    kinds = {(b["bundle_type"], tuple(sorted(b["issue_ids"])))
+             for b in out["bundles"]}
+    assert ("same_location", ("R1", "R2")) in kinds
+    stats = out["statistics"]
+    assert stats["total_issues"] == 3
+    assert stats["potential_bundles"] >= 1
+    # 'leak' is a plumber keyword and plumber precedes roofer in the
+    # contractor table, so a roof LEAK routes to plumber (reference quirk,
+    # relationship_analyzer.py:534-545)
+    assert rel.infer_contractor_type(issues[0]) == "plumber"
+    assert rel.infer_contractor_type(
+        {"category": "Roofing", "item": "shingles",
+         "issue": "worn shingles"}) == "roofer"
