@@ -176,26 +176,35 @@ def clean_item_name(item: str) -> str:
 
 
 class DuplicateTracker:
-    """T5 (text_cleaner.py:275-301): per-document sequential near-dup check."""
+    """T5 (text_cleaner.py:275-301): per-document sequential near-dup check.
+
+    Exact accelerations: an identical string short-circuits (ratio 1.0),
+    the length-ratio bound (== difflib real_quick_ratio) skips pairs that
+    cannot reach the threshold, and quick_ratio gates the full ratio."""
 
     def __init__(self) -> None:
-        self.seen: list[str] = []
+        self.seen: list[tuple[str, int]] = []
+        self.seen_set: set[str] = set()
 
     def is_duplicate(self, text: str,
                      threshold: float = rules.DUPLICATE_SIMILARITY_THRESHOLD) -> bool:
         if not text:
             return False
         normalized = clean_text(text.lower())
+        if normalized in self.seen_set:
+            return True
+        ln = len(normalized)
         sm = SequenceMatcher()
         sm.set_seq2(normalized)
-        for seen in self.seen:
-            # quick-ratio upper bounds make the skip exact
+        for seen, ls in self.seen:
+            mn, mx = (ls, ln) if ls < ln else (ln, ls)
+            if 2 * mn < threshold * (mn + mx):
+                continue
             sm.set_seq1(seen)
-            if sm.real_quick_ratio() >= threshold \
-                    and sm.quick_ratio() >= threshold \
-                    and sm.ratio() >= threshold:
+            if sm.quick_ratio() >= threshold and sm.ratio() >= threshold:
                 return True
-        self.seen.append(normalized)
+        self.seen.append((normalized, ln))
+        self.seen_set.add(normalized)
         return False
 
 

@@ -95,41 +95,85 @@ def infer_contractor_type(issue: dict) -> str:
     return "general_contractor"
 
 
-def find_caused_issues(cause: dict, all_issues: list[dict]) -> list[dict]:
-    """relationship_analyzer.py:260-320."""
-    caused: list[dict] = []
-    cause_id = issue_id(cause)
-    for pattern, effects in CAUSAL_RELATIONSHIPS.items():
-        if matches_pattern(cause, pattern):
-            for other in all_issues:
-                if issue_id(other) == cause_id:
-                    continue
-                for effect in effects:
-                    if matches_pattern(other, effect):
-                        caused.append(other)
-                        break
-    cause_loc = cause.get("location", "").lower()
-    if cause_loc:
-        for other in all_issues:
-            if issue_id(other) == cause_id:
+_ALL_EFFECTS = sorted({e for effs in CAUSAL_RELATIONSHIPS.values()
+                       for e in effs})
+
+
+class _Ctx:
+    """Precomputed per-issue pattern matches: turns the O(n² · patterns)
+    chain scan into O(n²) set intersections with identical output."""
+
+    def __init__(self, issues: list[dict]):
+        self.ids = [issue_id(i) for i in issues]
+        self.cause_masks = [
+            [p for p in CAUSAL_RELATIONSHIPS if matches_pattern(i, p)]
+            for i in issues]
+        self.effect_sets = [
+            {e for e in _ALL_EFFECTS if matches_pattern(i, e)}
+            for i in issues]
+        self.locs = [i.get("location", "").lower() for i in issues]
+        self.water = [any(k in str(i.get("issue", "")).lower()
+                          for k in _WATER_KEYWORDS) for i in issues]
+        self.structural = [any(k in str(i.get("issue", "")).lower()
+                               for k in _STRUCTURAL_KEYWORDS)
+                           for i in issues]
+
+
+def _caused_indices(ci: int, issues: list[dict], ctx: _Ctx) -> list[int]:
+    """Index-level twin of the reference loop (relationship_analyzer.py:
+    260-320): per matched cause-pattern, every other issue matching any of
+    its effects (duplicates across patterns preserved); then the
+    location/plausibility tier with the `not in caused` equality check."""
+    caused: list[int] = []
+    cause_id = ctx.ids[ci]
+    for pattern in ctx.cause_masks[ci]:
+        effects = set(CAUSAL_RELATIONSHIPS[pattern])
+        for oi in range(len(issues)):
+            if ctx.ids[oi] == cause_id:
                 continue
-            other_loc = other.get("location", "").lower()
+            if ctx.effect_sets[oi] & effects:
+                caused.append(oi)
+    cause_loc = ctx.locs[ci]
+    if cause_loc:
+        # the reference dedups with dict EQUALITY (`other not in caused`),
+        # so an equal-but-distinct issue dict also blocks the append
+        caused_frozen = {frozenset(issues[i].items()) for i in caused}
+        for oi in range(len(issues)):
+            if ctx.ids[oi] == cause_id:
+                continue
+            other_loc = ctx.locs[oi]
             if other_loc and cause_loc in other_loc \
                     or other_loc in cause_loc:
-                if other not in caused and _plausibly_related(cause, other):
-                    caused.append(other)
+                fz = frozenset(issues[oi].items())
+                if fz not in caused_frozen:
+                    plausible = ((ctx.water[ci] and ctx.water[oi])
+                                 or (ctx.structural[ci]
+                                     and ctx.structural[oi]))
+                    if plausible:
+                        caused.append(oi)
+                        caused_frozen.add(fz)
     return caused
+
+
+def find_caused_issues(cause: dict, all_issues: list[dict]) -> list[dict]:
+    """relationship_analyzer.py:260-320."""
+    ctx = _Ctx([cause] + [i for i in all_issues])
+    # context indexes: cause at 0, all_issues at 1..n (the cause may also
+    # appear inside all_issues; id-based skip handles it as the reference does)
+    idxs = _caused_indices(0, [cause] + list(all_issues), ctx)
+    return [([cause] + list(all_issues))[i] for i in idxs]
 
 
 def find_causal_chains(issues: list[dict]) -> list[dict]:
     """relationship_analyzer.py:237-258."""
+    ctx = _Ctx(issues)
     chains = []
-    for issue in issues:
-        caused = find_caused_issues(issue, issues)
+    for ci, issue in enumerate(issues):
+        caused = _caused_indices(ci, issues, ctx)
         if caused:
             chains.append({
-                "root_cause_id": issue_id(issue),
-                "caused_issue_ids": [issue_id(c) for c in caused],
+                "root_cause_id": ctx.ids[ci],
+                "caused_issue_ids": [ctx.ids[i] for i in caused],
                 "chain_length": len(caused) + 1,
                 "priority": "high"
                 if issue.get("severity", "").lower() in ("critical", "high")
