@@ -525,6 +525,59 @@ FROM sized GROUP BY doc_id, k
 """
 
 
+def q_topn_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — top-N priority view (enrich_data.py:107-132): global sort by
+    urgency desc with deterministic tie-break, take N."""
+    scored = q_urgency(spark, sf_dir)
+    return (scored.orderBy(F.desc("urgency"), "line_key").limit(50))
+
+
+def _sql_topn() -> str:
+    inner = _sql_urgency().strip()
+    return f"SELECT * FROM ({inner}) ORDER BY urgency DESC, line_key LIMIT 50"
+
+
+def q_group_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — economies-of-scale discount schedule
+    (issue_grouper.py:122-166) via the real enrich_rules code."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = o.select(F.col("o_orderkey").alias("k"),
+                  (F.pmod(F.col("o_orderkey"), F.lit(8)) + 1)
+                  .cast("int").alias("group_size"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            adj = [er.group_cost_adjustment(int(n))
+                   for n in pdf["group_size"]]
+            yield pd.DataFrame({
+                "line_key": pdf["k"], "group_size": pdf["group_size"],
+                "total_cost": [a["total_cost"] for a in adj],
+                "savings": [a["savings"] for a in adj]})
+
+    return df.mapInPandas(
+        run, "line_key bigint, group_size int, total_cost double, "
+             "savings double")
+
+
+# schedule [1.0, 0.7, 0.6, 0.6, ...]: total(n) = 1000*(1 + 0.7 + 0.6*(n-2))
+SQL_GROUP_DISCOUNT = """
+WITH g AS (
+  SELECT o_orderkey AS line_key,
+         CAST(o_orderkey % 8 + 1 AS INT) AS group_size
+  FROM orders),
+c AS (
+  SELECT *, CASE WHEN group_size <= 1 THEN 1000.0
+                 WHEN group_size = 2 THEN 1000.0 * (1 + 0.7)
+                 ELSE 1000.0 * (1 + 0.7) + 1000.0 * 0.6 * (group_size - 2)
+            END AS raw_total
+  FROM g)
+SELECT line_key, group_size, round(raw_total, 2) AS total_cost,
+  CASE WHEN group_size <= 1 THEN 0.0
+       ELSE round(1000.0 * group_size - raw_total, 2) END AS savings
+FROM c
+"""
+
+
 QUERIES_ENRICH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "severity_normalize": q_severity,
     "action_normalize": q_action,
@@ -532,6 +585,8 @@ QUERIES_ENRICH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trade_classify": q_trade,
     "cost_estimate": q_cost_estimate,
     "issue_grouping": q_grouping,
+    "topn_urgency": q_topn_urgency,
+    "group_discount": q_group_discount,
 }
 
 ORACLES_ENRICH: dict[str, str] = {
@@ -541,4 +596,6 @@ ORACLES_ENRICH: dict[str, str] = {
     "trade_classify": _sql_trade(),
     "cost_estimate": _sql_cost(),
     "issue_grouping": SQL_GROUPING,
+    "topn_urgency": _sql_topn(),
+    "group_discount": SQL_GROUP_DISCOUNT,
 }

@@ -48,9 +48,9 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                                rtol=0, atol=1e-9, equal_nan=True))
         else:
             bad = ~(sv.astype(object).fillna("\x00N") == ov.astype(object).fillna("\x00N"))
-        n_bad = int(bad.sum())
+        n_bad = int(np.asarray(bad).sum())
         if n_bad:
-            i = int(np.argmax(bad.values))
+            i = int(np.argmax(np.asarray(bad)))
             problems.append(
                 f"col {c}: {n_bad} mismatches; first at row {i}: "
                 f"spark={s[c].iloc[i]!r} oracle={o[c].iloc[i]!r}")
