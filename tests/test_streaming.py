@@ -35,3 +35,31 @@ def test_stream_matches_batch(spark, tmp_path):
 
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.extract import extract_stream
+
+    src = str(tmp_path / "docs")
+    corpus.generate_docs(spark, 20, partitions=2).write.parquet(src)
+
+    batch = {r["doc_id"]: (len(r["spans"]), r["summary"]["total_issues"])
+             for r in assemble_fused(spark.read.parquet(src)).collect()}
+
+    q = (extract_stream(spark, src)
+         .select("doc_id", F.size("spans").alias("n_spans"),
+                 F.col("summary.total_issues").alias("n_issues"))
+         .writeStream.format("memory").queryName("ext_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["n_spans"], r["n_issues"])
+               for r in spark.sql("select * from ext_stream").collect()}
+    finally:
+        q.stop()
+
+    assert got == batch
