@@ -29,7 +29,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_docs = int(os.environ.get("BENCH_N_DOCS", 0)) or max(int(20000 * sf), 200)
+    n_docs = int(os.environ.get("BENCH_N_DOCS", 0)) or max(int(100000 * sf), 500)
 
     spark = get_spark(app_name="pdf-extraction-bench")
     spark.sparkContext.setLogLevel("ERROR")
