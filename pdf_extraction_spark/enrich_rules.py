@@ -183,7 +183,7 @@ class DuplicateTracker:
     cannot reach the threshold, and quick_ratio gates the full ratio."""
 
     def __init__(self) -> None:
-        self.seen: list[tuple[str, int]] = []
+        self.seen: list[tuple[str, int, SequenceMatcher]] = []
         self.seen_set: set[str] = set()
 
     def is_duplicate(self, text: str,
@@ -194,16 +194,20 @@ class DuplicateTracker:
         if normalized in self.seen_set:
             return True
         ln = len(normalized)
-        sm = SequenceMatcher()
-        sm.set_seq2(normalized)
-        for seen, ls in self.seen:
+        # Reference order (text_cleaner.py:294): SequenceMatcher(None,
+        # new, seen) — seq2 (where autojunk applies for >200-char strings)
+        # is the SEEN text. One prepared matcher per seen entry keeps the
+        # b2j cache while preserving that argument order.
+        for seen, ls, sm in self.seen:
             mn, mx = (ls, ln) if ls < ln else (ln, ls)
             if 2 * mn < threshold * (mn + mx):
                 continue
-            sm.set_seq1(seen)
+            sm.set_seq1(normalized)
             if sm.quick_ratio() >= threshold and sm.ratio() >= threshold:
                 return True
-        self.seen.append((normalized, ln))
+        sm = SequenceMatcher()
+        sm.set_seq2(normalized)
+        self.seen.append((normalized, ln, sm))
         self.seen_set.add(normalized)
         return False
 
@@ -549,11 +553,13 @@ def taxonomy_standardize(item_name: str) -> tuple[str, str | None, float]:
         result = _TAXONOMY_LOOKUP[cleaned]
     else:
         best: tuple[str, str | None, float] = ("Unknown", None, 0.0)
-        sm = SequenceMatcher()
-        sm.set_seq2(cleaned)
-        for key, (category, subcat, base_conf) in _TAXONOMY_LOOKUP.items():
+        # Reference order (component_taxonomy.py:150): SequenceMatcher(
+        # None, text, key) — seq2 is the taxonomy KEY. The per-key
+        # matchers (seq2 prepared once, module-level) preserve that order
+        # without recomputing b2j per item.
+        for key, sm, (category, subcat, base_conf) in _taxonomy_matchers():
             floor = 0.75 if (key in cleaned or cleaned in key) else 0.0
-            sm.set_seq1(key)
+            sm.set_seq1(cleaned)
             if max(sm.real_quick_ratio(), floor) * base_conf <= best[2]:
                 continue
             if max(sm.quick_ratio(), floor) * base_conf <= best[2]:
@@ -568,6 +574,19 @@ def taxonomy_standardize(item_name: str) -> tuple[str, str | None, float]:
 
 
 _STANDARDIZE_CACHE: dict[str, tuple[str, str | None, float]] = {}
+
+_TAXONOMY_MATCHERS: list[tuple[str, SequenceMatcher,
+                               tuple[str, str | None, float]]] = []
+
+
+def _taxonomy_matchers() -> list[tuple[str, SequenceMatcher,
+                                       tuple[str, str | None, float]]]:
+    if not _TAXONOMY_MATCHERS:
+        for key, val in _TAXONOMY_LOOKUP.items():
+            sm = SequenceMatcher()
+            sm.set_seq2(key)
+            _TAXONOMY_MATCHERS.append((key, sm, val))
+    return _TAXONOMY_MATCHERS
 
 
 def taxonomy_from_context(item_name: str, section: str | None,

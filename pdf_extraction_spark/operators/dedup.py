@@ -51,13 +51,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles. Docs with fewer than ``n`` tokens
+    produce an empty shingle set (CASE WHEN is lazily evaluated, so the
+    ANSI-mode element_at bound check never fires on the short branch)."""
     toks = tokens_col(F.lower(text))
     size = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)])))
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
@@ -81,11 +85,14 @@ def minhash_signature(text: Column, k: int = 64, n: int = 3) -> Column:
     perms = F.array(*[
         F.struct(F.lit(int(a[i])).alias("a"), F.lit(int(b[i])).alias("b"))
         for i in range(k)])
-    return F.transform(
+    sig = F.transform(
         perms,
         lambda p: F.array_min(F.transform(
             hashes,
             lambda x: F.pmod(p["a"] * x + p["b"], F.lit(MERSENNE_P)))))
+    # Docs too short to shingle have no signature (null), and are dropped
+    # from candidate generation rather than bucketed together on md5("").
+    return F.when(F.size(hashes) > 0, sig)
 
 
 def lsh_bands(signature: Column, bands: int = 16) -> Column:
@@ -108,19 +115,26 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text",
     minhash jaccard estimate. Shuffles on (band, band_hash) only."""
     sigs = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k).alias("sig"))
+        minhash_signature(F.col(text_col), k).alias("sig")) \
+        .where(F.col("sig").isNotNull())
+    # Band with (id, band, h) ONLY: the k-long signature arrays never enter
+    # the candidate shuffle or the distinct — at 10^9 docs that saves
+    # ~bands x signature bytes of shuffle I/O. Signatures are re-attached
+    # once per distinct pair afterwards.
     banded = sigs.select(
-        "id", "sig", F.explode(lsh_bands(F.col("sig"), bands)).alias("b"))
-    left = banded.select(F.col("b.band").alias("band"),
-                         F.col("b.h").alias("h"),
-                         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    right = banded.select(F.col("b.band").alias("band"),
-                          F.col("b.h").alias("h"),
-                          F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (left.join(right, ["band", "h"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b")
-             .distinct())
+        "id", F.explode(lsh_bands(F.col("sig"), bands)).alias("b")) \
+        .select("id", F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+    left = banded.select("band", "h", F.col("id").alias("id_a"))
+    right = banded.select("band", "h", F.col("id").alias("id_b"))
+    id_pairs = (left.join(right, ["band", "h"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct())
+    pairs = (id_pairs
+             .join(sigs.select(F.col("id").alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col("id").alias("id_b"),
+                               F.col("sig").alias("sig_b")), "id_b"))
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return pairs.select(
@@ -188,9 +202,10 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit simhash per doc: per-token 64-bit hashes vote +1/-1 per bit;
-    the sign of each bit-sum forms the signature. Token hashing uses
-    blake2b (stable across runs/machines); the bit-vote accumulation is
-    numpy-vectorized per Arrow batch."""
+    the sign of each bit-sum forms the signature. Token hashing is the
+    first 64 bits of md5 — engine-portable (DuckDB computes the identical
+    signature in SQL, so the gate query has a brute-force oracle); the
+    bit-vote accumulation is numpy-vectorized per Arrow batch."""
     df = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -201,9 +216,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
         def token_hash(tok: str) -> int:
             h = cache.get(tok)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "big")
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
                 cache[tok] = h
             return h
 
@@ -219,7 +232,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
                 hs = np.fromiter((token_hash(t) for t in toks),
                                  dtype=np.uint64, count=len(toks))
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-                votes = bits.sum(axis=0) * 2 - len(toks)
+                # int64 before the subtract: uint64 arithmetic wraps on
+                # negative votes and silently sets (almost) every bit
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
                 sig = np.uint64(0)
                 for j in np.nonzero(votes > 0)[0]:
                     sig |= np.uint64(1) << np.uint64(j)
@@ -233,12 +248,22 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming via 16-bit chunk
-    banding (a pair within distance 3 must agree on >=1 of 4 chunks)."""
+    """Near-dup pairs with Hamming distance <= max_hamming via chunk
+    banding into ``max_hamming + 1`` chunks: a pair differing in at most
+    ``max_hamming`` bits cannot touch every chunk (pigeonhole), so it must
+    agree exactly on >=1 chunk — candidate recall is exact, not
+    probabilistic. Narrow chunks (large max_hamming) mean bigger buckets;
+    keep max_hamming small (<=7) at corpus scale."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    nchunks = max_hamming + 1
+    base, rem = divmod(64, nchunks)
+    widths = [base + 1 if i < rem else base for i in range(nchunks)]
+    starts = [sum(widths[:i]) for i in range(nchunks)]
     chunks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-        .bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-        for i in range(4)])
+        F.shiftrightunsigned(F.col("simhash"), starts[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"c{i}")
+        for i in range(nchunks)])
     banded = sigs.select(
         "doc_id", "simhash",
         F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
@@ -252,6 +277,6 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "sig_a", "sig_b").distinct())
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", hamming)
+    return (pairs.withColumn("hamming", hamming.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

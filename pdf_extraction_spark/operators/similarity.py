@@ -103,13 +103,14 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
             .orderBy(F.desc("cosine"), id_col).limit(k))
 
 
-def all_pairs_topk(embeddings: DataFrame, k: int = 5,
+def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding") -> DataFrame:
     """Per-vector top-k neighbours inside LSH buckets (bucketed self-join;
-    the scale-path replacement for a quadratic crossJoin)."""
-    dim_row = embeddings.select(F.size(emb_col).alias("d")).first()
-    bucketed = with_lsh_buckets(embeddings, int(dim_row["d"]), 8)
+    the scale-path replacement for a quadratic crossJoin). ``dim`` is the
+    embedding dimensionality — passed in rather than sniffed with a
+    driver-side action."""
+    bucketed = with_lsh_buckets(embeddings, dim, 8)
     left = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_a"),
                            F.col(emb_col).alias("e_a"))
     right = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_b"),

@@ -37,10 +37,13 @@ def quality_columns(text: Column) -> list[Column]:
     stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     n_tok = F.size(toks)
+    # cast to long BEFORE scaling: n_stop * 1e6 overflows int32 under ANSI
+    # for docs with >2147 stopword hits
     return [
         n_tok.cast("long").alias("n_tokens"),
         n_stop.cast("long").alias("n_stopwords"),
-        F.floor(n_stop * 1000000 / n_tok).cast("long").alias("stop_ratio_ppm"),
+        F.floor(n_stop.cast("long") * 1000000 / n_tok)
+        .cast("long").alias("stop_ratio_ppm"),
         n_tok.between(5, 1000).alias("length_ok"),
     ]
 
@@ -52,7 +55,7 @@ def lang_id_columns(text: Column) -> list[Column]:
     hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     return [
         hits.cast("long").alias("en_hits"),
-        F.when(hits * 100 >= F.size(toks), F.lit("en"))
+        F.when(hits.cast("long") * 100 >= F.size(toks), F.lit("en"))
         .otherwise(F.lit("unknown")).alias("pred_lang"),
     ]
 

@@ -130,9 +130,9 @@ def _merge_doc(table: pa.Table) -> pa.Table:
     offs = np.concatenate([np.asarray(x, dtype=np.int64)
                            for x in df["offs"]]) \
         if len(df) else np.array([], dtype=np.int64)
-    norm = pd.Series(np.concatenate(
-        [np.asarray(x, dtype=object) for x in df["norm"]])
-        if len(df) else [], dtype=object)
+    norm_a = np.concatenate(
+        [np.asarray(x, dtype=object) for x in df["norm"]]) \
+        if len(df) else np.array([], dtype=object)
     kind = np.concatenate([np.asarray(x, dtype=object)
                            for x in df["kind"]]) \
         if len(df) else np.array([], dtype=object)
@@ -146,6 +146,18 @@ def _merge_doc(table: pa.Table) -> pa.Table:
                             for x in df["flags"]]) \
         if len(df) else np.array([], dtype=np.int32)
     n = len(offs)
+
+    # Sort by span offset: chunk order only restores the *stored* array
+    # order, so unsorted span input would silently diverge from the fused
+    # plan (which sorts in _sort_flat); the searchsorted-based metadata
+    # text reconstruction below also requires ascending offs.
+    order = np.argsort(offs, kind="stable")
+    if n and not np.array_equal(order, np.arange(n)):
+        offs, kind, status, refs, flags = (
+            offs[order], kind[order], status[order], refs[order],
+            flags[order])
+        norm_a = norm_a[order]
+    norm = pd.Series(norm_a, dtype=object)
 
     cls = {
         "norm": norm,

@@ -492,7 +492,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     return d.select(
         "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stopwords"),
-        F.floor(n_stop * 1000000 / n_tok).cast("long").alias("stop_ratio_ppm"),
+        F.floor(n_stop.cast("long") * 1000000 / n_tok)
+        .cast("long").alias("stop_ratio_ppm"),
         (n_tok.between(5, 1000)).alias("length_ok"))
 
 
@@ -517,7 +518,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     return d.select(
         "doc_id", hits.alias("en_hits"),
-        F.when(hits * 100 >= F.size(toks), F.lit("en"))
+        F.when(hits.cast("long") * 100 >= F.size(toks), F.lit("en"))
         .otherwise(F.lit("unknown")).alias("pred_lang"))
 
 
@@ -586,11 +587,12 @@ def q_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    shingles = F.array_distinct(F.transform(
+    idx = F.sequence(F.lit(1), n - 2)
+    grams = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(toks, i),
                                    F.element_at(toks, i + 1),
                                    F.element_at(toks, i + 2))))
+    shingles = F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
     hashes = F.slice(F.array_sort(
         F.transform(shingles, lambda s: F.md5(s))), 1, K)
     return (d.select("doc_id", F.explode(hashes).alias("shingle_hash"))
@@ -605,8 +607,10 @@ WITH t AS (
   FROM documents),
 sh AS (
   SELECT doc_id,
-    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        for i in range(1, len(toks) - 2 + 1)])
+    ELSE [] END AS shingles
   FROM t),
 hashed AS (
   SELECT doc_id,
@@ -851,8 +855,10 @@ WITH t AS (
   FROM documents),
 sh AS (
   SELECT id,
-    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        for i in range(1, len(toks) - 2 + 1)])
+    ELSE [] END AS shingles
   FROM t),
 hs AS (
   SELECT id, list_sort(list_transform(shingles, s -> md5(s)))[1:8] AS hs
@@ -892,18 +898,46 @@ GROUP BY label ORDER BY votes DESC, label LIMIT 1
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (operators/dedup.py) — rows-only check (the
-    bit-vote accumulation is not expressible in portable SQL)."""
+    """SimHash near-dup pairs (operators/dedup.py). max_hamming=3 matches
+    the 4-chunk banding recall guarantee exactly (pigeonhole), so the
+    banded Spark plan must equal the brute-force oracle."""
     from .operators.dedup import simhash, simhash_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    return simhash_pairs(simhash(d), max_hamming=16)
+    return simhash_pairs(simhash(d), max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(toks, tok -> ('0x' || substr(md5(tok),1,16))::UBIGINT) AS hs
+  FROM t),
+sig AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN 0::UBIGINT ELSE
+      CAST(list_sum([
+        CASE WHEN 2 * list_sum(list_transform(hs,
+                     x -> CAST((x >> b) & 1 AS BIGINT))) > len(hs)
+             THEN (1::UBIGINT << b) ELSE 0::UBIGINT END
+        for b in range(0, 64)]) AS UBIGINT) END AS s
+  FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup verdicts (operators/dedup.py) — rows-only
-    check (modular-permutation minhash has no portable SQL twin)."""
+    """MinHash+LSH near-dup verdicts (operators/dedup.py). The md5-derived
+    shingle hashes and modular permutations are engine-portable, so the
+    full banded LSH pipeline has an exact DuckDB transcription."""
     from .operators.dedup import minhash_dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -912,15 +946,129 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keeper_doc_id", "is_near_duplicate")
 
 
+def _sql_minhash_dedup(k: int = 64, bands: int = 16,
+                       threshold: float = 0.5) -> str:
+    """Full SQL transcription of minhash_dedup: same seeded (a_i, b_i)
+    permutation constants (numpy default_rng(42), as in
+    operators/dedup.py minhash_signature), same banding, same keeper rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    mersenne = (1 << 31) - 1
+    a = rng.integers(1, mersenne, size=k, dtype=np.int64)
+    b = rng.integers(0, mersenne, size=k, dtype=np.int64)
+    perms = ", ".join("{'a': %d, 'b': %d}" % (int(a[i]), int(b[i]))
+                      for i in range(k))
+    rows = k // bands
+    return rf"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+sh AS (
+  SELECT id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        for i in range(1, len(toks) - 2 + 1)])
+    ELSE [] END AS shingles
+  FROM t),
+xs AS (
+  SELECT id,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s),1,15))::BIGINT % 1073741824) AS xs
+  FROM sh),
+sigs AS (
+  SELECT id,
+    [list_min(list_transform(xs, x -> (p.a * x + p.b) % {mersenne}))
+     for p in [{perms}]] AS sig
+  FROM xs WHERE len(xs) > 0),
+banded AS (
+  SELECT id, j,
+    md5(array_to_string(sig[{rows}*j+1:{rows}*j+{rows}], ',')) AS h
+  FROM sigs CROSS JOIN unnest(range(0, {bands})) AS t(j)),
+id_pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.j = b.j AND a.h = b.h AND a.id < b.id),
+scored AS (
+  SELECT id_a, id_b,
+    len(list_filter(range(1, {k}+1), i -> sa.sig[i] = sb.sig[i]))
+      / CAST({k} AS DOUBLE) AS jaccard_est
+  FROM id_pairs p
+  JOIN sigs sa ON sa.id = p.id_a
+  JOIN sigs sb ON sb.id = p.id_b),
+near AS (SELECT * FROM scored WHERE jaccard_est >= {threshold}),
+partners AS (
+  SELECT id_a AS id, id_b AS partner FROM near
+  UNION ALL
+  SELECT id_b AS id, id_a AS partner FROM near),
+keeper AS (SELECT id, min(partner) AS min_partner FROM partners GROUP BY id)
+SELECT t.id AS doc_id,
+  least(coalesce(k.min_partner, t.id), t.id) AS keeper_doc_id,
+  least(coalesce(k.min_partner, t.id), t.id) <> t.id AS is_near_duplicate
+FROM t LEFT JOIN keeper k ON k.id = t.id
+"""
+
+
+ANN_N_PLANES = 8
+ANN_DIM = 64
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbours
-    (operators/similarity.py ann_topk) — rows-only check."""
-    from .operators.similarity import ann_topk
+    """LSH-bucketed approximate nearest neighbours (the candidate pruning
+    of operators/similarity.py ann_topk — bucket + Hamming-1 multi-probe),
+    scored at milli precision so float fold-order differences between
+    engines cannot reorder the top-k."""
+    from .operators.similarity import cosine_col, with_lsh_buckets, hyperplanes
+    import numpy as np
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = e.orderBy("vec_id").limit(1).collect()[0]
     qv = [float(x) for x in first["embedding"]]
-    return ann_topk(e, qv, dim=len(qv), k=10)
+    planes = hyperplanes(ANN_DIM, ANN_N_PLANES)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes)
+                       if float(np.dot(np.asarray(qv), p)) >= 0))
+    bucketed = with_lsh_buckets(e, ANN_DIM, ANN_N_PLANES)
+    cand = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= 1)
+    qc = F.array(*[F.lit(float(x)) for x in qv])
+    sim_milli = F.floor(cosine_col(F.col("embedding"), qc) * 1000) \
+        .cast("long")
+    return (cand.select("vec_id", "label", sim_milli.alias("sim_milli"))
+            .orderBy(F.desc("sim_milli"), "vec_id").limit(10))
+
+
+def _sql_ann_topk() -> str:
+    """SQL transcription of the ANN gate: the same seeded hyperplanes
+    (inlined as literals), sign-bit bucket, Hamming<=1 probe set, and
+    milli-floored cosine scoring."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(ANN_DIM, ANN_N_PLANES)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product({{emb}}, pl.planes[{i+1}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(ANN_N_PLANES))
+    return f"""
+WITH pl AS (SELECT [{plane_lits}] AS planes),
+q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1),
+qb AS (SELECT {bucket_expr.format(emb='q_emb')} AS q_bucket FROM q, pl),
+be AS (
+  SELECT vec_id, label, embedding,
+         {bucket_expr.format(emb='embedding')} AS bucket
+  FROM embeddings, pl),
+cand AS (
+  SELECT be.vec_id, be.label, be.embedding
+  FROM be, qb
+  WHERE bit_count(xor(CAST(be.bucket AS UBIGINT),
+                      CAST(qb.q_bucket AS UBIGINT))) <= 1)
+SELECT vec_id, label,
+  CAST(floor(list_cosine_similarity(embedding, q_emb) * 1000) AS BIGINT)
+    AS sim_milli
+FROM cand, q
+ORDER BY sim_milli DESC, vec_id LIMIT 10
+"""
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,15 +1089,53 @@ FROM events GROUP BY 1, 2
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (operators/multimodal.py): synthesize media for
-    refs derived from documents, decode with the deterministic stand-in —
-    rows-only check (binary/feature pipeline has no SQL twin)."""
+    refs derived from documents, decode with the deterministic stand-in.
+    The feature vector (a 16-bin byte histogram over the synthetic
+    content, each count/128 exact in float32) is projected to its integer
+    counts joined as a string — hashable for the gate, and exactly
+    recomputable by the SQL oracle from the md5 hex nibbles."""
     from .operators.multimodal import decode_media, synthesize_media
 
     refs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.concat(F.lit("img://doc_"), F.col("doc_id").cast("string"),
                  F.lit("/0")).alias("media_ref"))
     media = synthesize_media(spark, refs)
-    return decode_media(media, fake=True)
+    feats = decode_media(media, fake=True)
+    counts = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x.cast("double") * 128).cast("int").cast("string"))
+    return feats.select(
+        "media_ref", "mime", "width", "height",
+        F.array_join(counts, ",").alias("hist_counts"))
+
+
+def _sql_media_features() -> str:
+    """SQL twin of the fake decode: synthetic content = unhex(repeat(md5(
+    ref), 8)) (128 bytes), and a 16-bin histogram over byte values where
+    bin(v) = v >> 4 = the byte's first hex nibble — so each bin count is
+    8 x (occurrences of that hex digit at odd positions of the md5)."""
+    odd_chars = " || ".join(f"substr(h, {2*i+1}, 1)" for i in range(16))
+    digits = "0123456789abcdef"
+    cnts = ", ".join(
+        f"CAST(8 * (16 - length(replace(odd, '{d}', ''))) AS VARCHAR)"
+        for d in digits)
+    return f"""
+WITH refs AS (
+  SELECT 'img://doc_' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref
+  FROM documents),
+m AS (SELECT media_ref, md5(media_ref) AS h FROM refs),
+meta AS (
+  SELECT media_ref, h, {odd_chars} AS odd,
+    CAST(('0x' || substr(h, 1, 4))::INT % 1920 + 16 AS INT) AS width,
+    CAST(('0x' || substr(h, 5, 4))::INT % 1080 + 16 AS INT) AS height,
+    CASE ('0x' || substr(h, 11, 2))::INT % 3
+      WHEN 0 THEN 'image/png' WHEN 1 THEN 'video/mp4'
+      ELSE 'audio/wav' END AS mime
+  FROM m)
+SELECT media_ref, mime, width, height,
+  concat_ws(',', {cnts}) AS hist_counts
+FROM meta
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1006,7 +1192,8 @@ ORACLES: dict[str, str] = {
     "tables": _sql_tables(),
     "raw_sections": SQL_RAW_SECTIONS,
     "property_meta": SQL_PROPERTY_META,
-    # simhash_pairs / minhash_dedup / ann_topk / media_features: rows-only
-    # (non-SQL-expressible: bit votes, modular minhash, hyperplane LSH,
-    # binary feature extraction)
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "minhash_dedup": _sql_minhash_dedup(),
+    "ann_topk": _sql_ann_topk(),
+    "media_features": _sql_media_features(),
 }

@@ -116,3 +116,25 @@ def test_summary_equality(results):
         g = got[doc_id]["summary"]
         for k, wv in w["summary"].items():
             assert g[k] == wv, f"{doc_id}: summary {k}: {g[k]} != {wv}"
+
+
+def test_salted_handles_unsorted_spans(spark):
+    """Span arrays stored out of offset order must still produce output
+    identical to the fused plan (which sorts in _sort_flat): the salted
+    merge sorts the concatenated chunk arrays by offset."""
+    import pyspark.sql.functions as F
+
+    docs = corpus.generate_docs(spark, 6, partitions=2)
+    shuffled = docs.select(
+        "doc_id",
+        F.reverse("spans").alias("spans"))  # deterministic disorder
+    a = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_fused(shuffled).collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_salted(shuffled, chunk_spans=32,
+                                  partitions=4).collect()}
+    assert set(a) == set(b)
+    for doc_id in a:
+        for key in ("spans", "issues", "tables", "raw_sections",
+                    "metadata", "summary"):
+            assert a[doc_id][key] == b[doc_id][key], f"{doc_id}.{key}"

@@ -113,7 +113,7 @@ def test_ann_matches_exact_for_cluster(embeddings):
 
 def test_all_pairs_topk(embeddings):
     df, _ = embeddings
-    out = similarity.all_pairs_topk(df, k=3).collect()
+    out = similarity.all_pairs_topk(df, dim=8, k=3).collect()
     by_a: dict[int, list] = {}
     for r in out:
         by_a.setdefault(r["id_a"], []).append(r)
@@ -154,3 +154,68 @@ def test_multimodal_plumbing(spark):
     # determinism: same refs -> same features
     feats2 = multimodal.decode_media(media, fake=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+def test_short_and_empty_docs_survive_ansi(spark):
+    """Docs with fewer tokens than the shingle width used to throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode;
+    they must instead contribute no shingles / no signature."""
+    rows = [("s0", ""), ("s1", "one"), ("s2", "just two"),
+            ("s3", "exactly three tokens"),
+            ("s4", "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    sh = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("s")).collect()}
+    assert sh["s0"] == [] and sh["s1"] == [] and sh["s2"] == []
+    assert sh["s3"] == ["exactly three tokens"]
+
+    sigs = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id",
+        dedup.minhash_signature(F.col("text")).alias("sig")).collect()}
+    assert sigs["s1"] is None and sigs["s3"] is not None
+
+    # candidate generation drops sig-less docs instead of erroring
+    assert dedup.minhash_candidates(df).count() == 0
+    verdicts = {r["doc_id"]: r["is_near_duplicate"]
+                for r in dedup.minhash_dedup(df).collect()}
+    assert set(verdicts) == {"s0", "s1", "s2", "s3", "s4"}
+    assert not any(verdicts.values())
+    assert dedup.jaccard_pairs(df).count() == 0
+
+
+def test_long_doc_quality_no_overflow(spark):
+    """>2147 stopword hits used to overflow int32 in stop_ratio_ppm under
+    ANSI mode."""
+    from pdf_extraction_spark.operators import textstats
+
+    long_doc = "the and of to in is a an " * 400  # 3200 stopwords
+    df = spark.createDataFrame(
+        [("L", long_doc), ("s", "tiny doc")], "doc_id string, text string")
+    q = df.select("doc_id", *textstats.quality_columns(F.col("text")))
+    out = {r["doc_id"]: r.asDict() for r in q.collect()}
+    assert out["L"]["n_stopwords"] == 3200
+    assert out["L"]["stop_ratio_ppm"] == 1000000
+    lang = df.select("doc_id", *textstats.lang_id_columns(F.col("text")))
+    assert {r["doc_id"]: r["pred_lang"]
+            for r in lang.collect()}["L"] == "en"
+
+
+def test_simhash_matches_bruteforce_reference(docs):
+    """The mapInArrow bit-vote must equal a pure-python simhash (the
+    uint64 vote wrap regression): sign(2*ones - n) per bit, md5 token
+    hashes."""
+    import hashlib
+
+    def ref_simhash(text):
+        toks = text.lower().split()
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == ref_simhash(r["text"]), r["doc_id"]
