@@ -42,12 +42,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries import QUERIES
     from pdf_extraction_spark.queries_enrich import QUERIES_ENRICH
+    from pdf_extraction_spark.queries_validate import QUERIES_VALIDATE
 
-    return {**QUERIES, **QUERIES_ENRICH}
+    return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE}
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries import ORACLES
     from pdf_extraction_spark.queries_enrich import ORACLES_ENRICH
+    from pdf_extraction_spark.queries_validate import ORACLES_VALIDATE
 
-    return {**ORACLES, **ORACLES_ENRICH}
+    return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE}
