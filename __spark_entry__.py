@@ -43,13 +43,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries import QUERIES
     from pdf_extraction_spark.queries_enrich import QUERIES_ENRICH
     from pdf_extraction_spark.queries_validate import QUERIES_VALIDATE
+    from pdf_extraction_spark.queries_enrich2 import QUERIES_ENRICH2
 
-    return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE}
+    return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
+            **QUERIES_ENRICH2}
 
 
 def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries import ORACLES
     from pdf_extraction_spark.queries_enrich import ORACLES_ENRICH
     from pdf_extraction_spark.queries_validate import ORACLES_VALIDATE
+    from pdf_extraction_spark.queries_enrich2 import ORACLES_ENRICH2
 
-    return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE}
+    return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
+            **ORACLES_ENRICH2}
