@@ -420,14 +420,403 @@ FROM cx{prev}
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# T2 + T3 + T4 — text cleaning (text_cleaner.py:70-273)
+# ---------------------------------------------------------------------------
+
+CLEAN_PRE = ["", "teh roo1 above ", "e1ectrical panel near ", "hvac unit by "]
+CLEAN_MID = ["", " crack ed paint seen", " address promptly promptly",
+             " wat er stain found"]
+CLEAN_END = ["", " needs work  now", " fix this ,please", " urgent!!"]
+CLEAN_ITEMS = ["window frame", "hvac unit", "kitchen sink", "gfci outlet",
+               "front door"]
+
+
+def q_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 clean_text / T3 clean_description / T4 clean_item_name via the
+    real enrich_rules code, over deterministically dirtied text (OCR word
+    errors, split suffixes, duplicate words, spacing/punctuation)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    dirty = F.concat(
+        _pick(CLEAN_PRE, F.pmod(F.floor(k / 3), F.lit(4))),
+        _pick(ITEMS, F.pmod(F.floor(k / 7), F.lit(5))), F.lit(" "),
+        _pick(PHRASES, F.pmod(F.floor(k / 5), F.lit(5))),
+        _pick(CLEAN_MID, F.pmod(F.floor(k / 11), F.lit(4))),
+        _pick(CLEAN_END, F.pmod(F.floor(k / 13), F.lit(4))))
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        dirty.alias("dirty"),
+        _pick(CLEAN_ITEMS, F.pmod(k, F.lit(5))).alias("item"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "line_key": pdf["k"],
+                "cleaned": [er.clean_text(t) for t in pdf["dirty"]],
+                "cleaned_desc": [er.clean_description(t)
+                                 for t in pdf["dirty"]],
+                "cleaned_item": [er.clean_item_name(i)
+                                 for i in pdf["item"]],
+            })
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, cleaned string, "
+             "cleaned_desc string, cleaned_item string")
+
+
+def _sql_cleaning() -> str:
+    ocr_arms = " ".join(
+        f"WHEN '{w}' THEN CASE WHEN substr(x, 1, 1) BETWEEN 'A' AND 'Z' "
+        f"THEN upper(substr('{c}', 1, 1)) || substr('{c}', 2) "
+        f"ELSE '{c}' END"
+        for w, c in rules.OCR_CORRECTIONS.items() if " " not in w)
+    suffixes = "|".join(rules.SPLIT_SUFFIXES)
+    title_terms = ", ".join(f"'{t}'" for t in sorted(rules.TITLE_CASE_ITEMS))
+    return rf"""
+WITH base AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_pick_sql(CLEAN_PRE, 3, 4)} || {_pick_sql(ITEMS, 7, 5)} || ' '
+      || {_pick_sql(PHRASES, 5, 5)} || {_pick_sql(CLEAN_MID, 11, 4)}
+      || {_pick_sql(CLEAN_END, 13, 4)} AS dirty,
+    {_sql_list(CLEAN_ITEMS)}[CAST(1 + o_orderkey % 5 AS INT)] AS item
+  FROM orders),
+s1 AS (  -- whitespace collapse
+  SELECT *, trim(regexp_replace(dirty, ' +', ' ', 'g')) AS t1 FROM base),
+s2 AS (  -- word-level OCR map (capitalization-preserving)
+  SELECT *, array_to_string(list_transform(string_split(t1, ' '),
+    x -> CASE lower(x) {ocr_arms} ELSE x END), ' ') AS t2 FROM s1),
+s3 AS (  -- split-suffix rejoin
+  SELECT *, regexp_replace(t2, '\b(\w+)\s+({suffixes})\b', '\1\2', 'g')
+    AS t3 FROM s2),
+s4 AS (  -- punctuation fixes
+  SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    t3, '\s+([.,;:!?])', '\1', 'g'),
+        '([.,;:!?])([A-Za-z])', '\1 \2', 'g'),
+        '\.\.\.+', '...', 'g'),
+        '([!?.]){{2,}}', '\1', 'g') AS t4 FROM s3),
+s5 AS (  -- duplicate-word collapse (injected dup only; RE2 lacks \1)
+  SELECT *, replace(t4, 'promptly promptly', 'promptly') AS t5 FROM s4),
+s6 AS (  -- TITLE_CASE_ITEMS uppercasing
+  SELECT *, trim(array_to_string(list_transform(string_split(t5, ' '),
+    x -> CASE WHEN lower(x) IN ({title_terms}) THEN upper(x) ELSE x END),
+    ' ')) AS cleaned FROM s5),
+s7 AS (
+  SELECT *,
+    CASE WHEN substr(cleaned, 1, 1) BETWEEN 'a' AND 'z'
+         THEN upper(substr(cleaned, 1, 1)) || substr(cleaned, 2)
+         ELSE cleaned END AS d1
+  FROM s6),
+s8 AS (
+  SELECT *, CASE WHEN substr(d1, -1, 1) IN ('.', '!', '?') THEN d1
+                 ELSE d1 || '.' END AS cleaned_desc
+  FROM s7),
+it AS (  -- T4: title() + acronym uppercase (clean inputs -> no-op pipeline)
+  SELECT *,
+    replace(replace(array_to_string(list_transform(string_split(item, ' '),
+      x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))), ' '),
+      'Hvac', 'HVAC'), 'Gfci', 'GFCI') AS cleaned_item
+  FROM s8)
+SELECT doc_id, k AS line_key, cleaned, cleaned_desc, cleaned_item FROM it
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — per-document near-duplicate detection (text_cleaner.py:275-301)
+# ---------------------------------------------------------------------------
+
+DUP_TEMPLATES = [
+    "crack noted",
+    "leak found at the main junction area",
+    "the exterior surface coating shows wear deterioration and requires "
+    "scheduled maintenance within the coming season window",
+]
+
+
+def q_dedup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 via the real DuplicateTracker, one tracker per document in k
+    order. Distinct templates are length-separated (ratio < 0.739 =
+    difflib's real_quick_ratio bound at threshold 0.85), so the fuzzy
+    tier provably cannot fire and the verdict equals exact repetition —
+    which the SQL oracle expresses as a window."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(DUP_TEMPLATES, F.pmod(F.floor(k / 5), F.lit(3))).alias("text"))
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k")
+        tracker = er.DuplicateTracker()
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"], "line_key": pdf["k"],
+            "is_duplicate": [tracker.is_duplicate(t) for t in pdf["text"]],
+        })
+
+    return df.groupBy("doc_id").applyInPandas(
+        per_doc, "doc_id bigint, line_key bigint, is_duplicate boolean")
+
+
+SQL_DEDUP_DOC = f"""
+WITH t AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_pick_sql(DUP_TEMPLATES, 5, 3)} AS text
+  FROM orders)
+SELECT doc_id, k AS line_key,
+  row_number() OVER (PARTITION BY doc_id, text ORDER BY k) > 1
+    AS is_duplicate
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 + F3 + F4 + F6 + F7 + F8 + F9 — quality gate routing
+# (schema_validator.py:66-204, data_quality_validator.py:137-610)
+# ---------------------------------------------------------------------------
+
+Q_DESCS = [
+    "",
+    "{item} {phrase} recommend repair promptly",
+    "It is recommended that buyers consult qualified people",
+    "No issues observed in the area today",
+    "tiny",
+    "??? !!! *** ### @@@ %%% ^^ &&",
+    "Comments: minor crack noted",
+    "For your information please refer to the related section",
+]
+Q_TITLES = ["Item condition", "ROOF COVERING AREA", "general note",
+            "Item condition summary"]
+Q_STATUSES = ["D", "I", "XX", ""]
+Q_SECTIONS = ["I. STRUCTURAL", "HEADER"]
+Q_PRIORITIES = [None, "high", "low"]
+
+
+def _q_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    item = _pick(ITEMS, F.pmod(F.floor(k / 7), F.lit(5)))
+    phrase = _pick(PHRASES, F.pmod(F.floor(k / 5), F.lit(5)))
+    d_i = F.pmod(k, F.lit(8)).cast("int")
+    desc_t = _pick(Q_DESCS, d_i)
+    desc = F.when(d_i == 1, F.concat(item, F.lit(" "), phrase,
+                                     F.lit(" recommend repair promptly"))) \
+        .otherwise(desc_t)
+    return o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        desc.alias("description"),
+        _pick(Q_TITLES, F.pmod(F.floor(k / 3), F.lit(4))).alias("title"),
+        _pick(Q_STATUSES, F.pmod(F.floor(k / 11), F.lit(4))).alias("status"),
+        _pick(Q_SECTIONS, F.pmod(F.floor(k / 17), F.lit(2))).alias("section"),
+        F.element_at(
+            F.array(F.lit(None).cast("string"), F.lit("high"), F.lit("low")),
+            (F.pmod(F.floor(k / 13), F.lit(3)) + 1).cast("int"))
+        .alias("priority"))
+
+
+def q_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 schema validation + F3/F4/F6/F7/F8/F9 quality routing via the
+    real enrich_rules code (validate_schema then quality_validate, as in
+    the enrichment pipeline's phase 1)."""
+    df = _q_inputs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                issue = {"id": f"iss_{r.k}", "section": r.section,
+                         "description": r.description, "status": r.status,
+                         "title": r.title}
+                if r.priority is not None:
+                    issue["priority"] = r.priority
+                cleaned, is_valid = er.validate_schema(issue)
+                action, score, reason = er.quality_validate(cleaned)
+                rows.append({
+                    "doc_id": r.doc_id, "line_key": r.k,
+                    "schema_valid": is_valid,
+                    "validation_status": cleaned["validation_status"],
+                    "priority_out": cleaned["priority"],
+                    "action": action, "quality": score, "reason": reason,
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, schema_valid boolean, "
+             "validation_status string, priority_out string, "
+             "action string, quality double, reason string")
+
+
+def _sql_quality_routing() -> str:
+    meta_kw = _like_any("low_td", rules.METADATA_KEYWORDS)
+    disc = _like_any("low_td", rules.DISCLAIMER_PHRASES)
+    rescue = _like_any("low_td", rules.DISCLAIMER_RESCUE_WORDS)
+    non_issue = "(" + " OR ".join(
+        "regexp_matches(low_d, '" + p.replace("'", "''") + "')"
+        for p in rules.NON_ISSUE_PATTERNS) + ")"
+    hdr_ci = "(" + " OR ".join(
+        f"regexp_matches(lower(title), '{p}') "
+        f"OR regexp_matches(low_d, '{p}')"
+        for p in rules.HEADER_CI_PATTERNS) + ")"
+    hdr_cs = "(" + " OR ".join(
+        f"regexp_matches(title, '{p}') OR regexp_matches(description, '{p}')"
+        for p in rules.HEADER_CS_PATTERNS) + ")"
+    single_words = ", ".join(f"'{w}'" for w in rules.HEADER_SINGLE_WORDS)
+    sect_ind = _like_any("low_d", rules.SECTION_INDICATOR_PHRASES)
+    hdr_prefix = rules.HEADER_PREFIX_RE
+    hdr_kw = _like_any("lower(content_after)", rules.HEADER_ISSUE_KEYWORDS)
+    title_action = _like_any("low_d", rules.TITLE_ACTION_WORDS)
+    non_action = _like_any("low_d", rules.NON_ACTIONABLE_PHRASES)
+    act_kw_count = " + ".join(
+        f"CASE WHEN low_d LIKE '%{w}%' THEN 1 ELSE 0 END"
+        for w in rules.ACTIONABLE_KEYWORDS)
+    mean_loc = _like_any("low_d", rules.MEANING_LOCATIONS)
+    statuses = ", ".join(f"'{s}'" for s in sorted(rules.VALID_STATUSES))
+    meas_re = r"(?i)\d+\s*(inch|ft|year|degree|percent|%|\x22)"
+    return rf"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    CASE CAST(o_orderkey % 8 AS INT)
+      WHEN 1 THEN {_pick_sql(ITEMS, 7, 5)} || ' '
+        || {_pick_sql(PHRASES, 5, 5)} || ' recommend repair promptly'
+      ELSE {_sql_list(Q_DESCS)}[CAST(1 + o_orderkey % 8 AS INT)]
+    END AS description,
+    {_pick_sql(Q_TITLES, 3, 4)} AS title,
+    {_pick_sql(Q_STATUSES, 11, 4)} AS status,
+    {_pick_sql(Q_SECTIONS, 17, 2)} AS section,
+    [NULL, 'high', 'low'][CAST(1 + (o_orderkey // 13) % 3 AS INT)]
+      AS priority
+  FROM orders),
+schema_chk AS (
+  -- F2: id/section/status/description present + non-blank (ASCII inputs:
+  -- T1 normalization is the identity, types are all str)
+  SELECT *,
+    trim(description) <> '' AND trim(status) <> '' AS schema_valid,
+    coalesce(priority, 'unknown') AS priority_out
+  FROM inputs),
+txt AS (
+  SELECT *,
+    trim(description) AS d, trim(title) AS ttl,
+    lower(trim(title) || ' ' || trim(description)) AS low_td,
+    lower(trim(description)) AS low_d
+  FROM schema_chk),
+corr AS (
+  -- F4 (ASCII inputs -> severe/ascii/combining branches cannot fire;
+  -- only the special-char-ratio minor branch can)
+  SELECT *,
+    CASE WHEN length(ttl || ' ' || d) > 0
+              AND length(regexp_replace(ttl || ' ' || d,
+                                        '[A-Za-z0-9\s]', '', 'g'))
+                  > 0.7 * length(ttl || ' ' || d)
+         THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END AS corr_pen
+  FROM txt),
+meaning AS (
+  -- F8 (same fp accumulation order as the python: kw, digits,
+  -- measurement, location, word count)
+  SELECT *,
+    least(1.0::DOUBLE, greatest(0.0::DOUBLE,
+      ((((0.5::DOUBLE
+        + least(0.3::DOUBLE, ({act_kw_count}) * 0.1::DOUBLE))
+        + CASE WHEN regexp_matches(d, '\d+') THEN 0.1::DOUBLE
+               ELSE 0.0::DOUBLE END)
+        + CASE WHEN regexp_matches(d, '{meas_re}') THEN 0.1::DOUBLE
+               ELSE 0.0::DOUBLE END)
+        + CASE WHEN {mean_loc} THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END)
+        + CASE WHEN len(string_split_regex(d, '\s+'))
+                    BETWEEN 5 AND 100 THEN 0.1::DOUBLE
+               WHEN len(string_split_regex(d, '\s+')) < 3
+               THEN -0.3::DOUBLE ELSE 0.0::DOUBLE END))
+      AS meaning
+  FROM corr),
+hdr AS (
+  -- F7 (the reachable branches for these inputs, in reference order)
+  SELECT *,
+    regexp_replace(d, '(?i){hdr_prefix}', '') AS content_after,
+    CASE
+      WHEN {hdr_ci} THEN TRUE
+      WHEN {hdr_cs} THEN TRUE
+      WHEN ttl <> '' AND ttl = upper(ttl) AND ttl <> lower(ttl)
+           AND length(d) < 30 THEN TRUE
+      WHEN ttl = d AND length(ttl) < 50 THEN TRUE
+      WHEN len(string_split_regex(trim(replace(ttl, ':', '')), '\s+')) = 1
+           AND lower(string_split_regex(trim(replace(ttl, ':', '')),
+                                        '\s+')[1]) IN ({single_words})
+           THEN TRUE
+      WHEN ttl = upper(ttl) AND ttl <> lower(ttl)
+           AND len(string_split_regex(ttl, '\s+')) BETWEEN 2 AND 3
+           AND ({sect_ind} OR length(d) < 40) THEN TRUE
+      WHEN regexp_matches(d, '(?i){hdr_prefix}') THEN
+        CASE WHEN length(regexp_replace(d, '(?i){hdr_prefix}', '')) < 15
+             THEN TRUE
+             WHEN {hdr_kw}
+                  AND length(regexp_replace(d, '(?i){hdr_prefix}', '')) > 30
+             THEN FALSE
+             WHEN length(regexp_replace(d, '(?i){hdr_prefix}', '')) < 30
+             THEN TRUE
+             ELSE FALSE END
+      WHEN regexp_matches(trim(ttl), '(?i)^general\s+\w+\s*$') THEN TRUE
+      WHEN length(d) < 20 AND d LIKE '%:' THEN TRUE
+      WHEN position(lower(trim(ttl)) IN lower(trim(d))) > 0
+           AND length(d) < 60 AND NOT {title_action} THEN TRUE
+      WHEN {non_action} AND length(d) < 100 THEN TRUE
+      ELSE FALSE END AS is_header
+  FROM meaning),
+quality AS (
+  SELECT *,
+    greatest(0.0::DOUBLE,
+      ((((1.0::DOUBLE - corr_pen)
+        - CASE WHEN length(d) < 5 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        - CASE WHEN status NOT IN ({statuses}) THEN 0.2::DOUBLE
+               ELSE 0.0::DOUBLE END)
+        - CASE WHEN meaning < 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+      - (1.0::DOUBLE - meaning) * 0.2::DOUBLE) AS q
+  FROM hdr)
+SELECT doc_id, k AS line_key, schema_valid,
+  CASE WHEN schema_valid THEN 'pending' ELSE 'failed' END
+    AS validation_status,
+  priority_out,
+  CASE
+    WHEN d = '' THEN 'exclude'
+    WHEN upper(section) = 'HEADER' OR {meta_kw}
+         OR ({disc} AND NOT {rescue}) THEN 'exclude'
+    WHEN {non_issue} THEN 'exclude'
+    WHEN is_header THEN 'exclude'
+    WHEN q < 0.3 THEN 'flag_for_review'
+    ELSE 'accept' END AS action,
+  CASE
+    WHEN d = '' THEN 0.0::DOUBLE
+    WHEN upper(section) = 'HEADER' OR {meta_kw}
+         OR ({disc} AND NOT {rescue}) THEN 0.1::DOUBLE
+    WHEN {non_issue} THEN 0.9::DOUBLE
+    WHEN is_header THEN 0.2::DOUBLE
+    ELSE q END AS quality,
+  CASE
+    WHEN d = '' THEN 'empty_description'
+    WHEN upper(section) = 'HEADER' OR {meta_kw}
+         OR ({disc} AND NOT {rescue}) THEN 'metadata_content'
+    WHEN {non_issue} THEN 'non_issue_statement'
+    WHEN is_header THEN 'header_content'
+    WHEN q < 0.3 THEN 'low_quality_score'
+    ELSE 'passed' END AS reason
+FROM quality
+"""
+
+
 QUERIES_ENRICH2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attributes": q_attributes,
     "metadata_enrich": q_metadata_enrich,
     "classification": q_classification,
+    "cleaning": q_cleaning,
+    "dedup_doc": q_dedup_doc,
+    "quality_routing": q_quality_routing,
 }
 
 ORACLES_ENRICH2: dict[str, str] = {
     "attributes": _sql_attributes(),
     "metadata_enrich": _sql_metadata_enrich(),
     "classification": _sql_classification(),
+    "cleaning": _sql_cleaning(),
+    "dedup_doc": SQL_DEDUP_DOC,
+    "quality_routing": _sql_quality_routing(),
 }
