@@ -803,6 +803,338 @@ FROM quality
 """
 
 
+# ---------------------------------------------------------------------------
+# C17 + J5 — cost strategy + standard-item match
+# (cost_strategy_assigner.py:73-161)
+# ---------------------------------------------------------------------------
+
+ST_WORKS = ["replacement", "repair", "inspection", "maintenance"]
+ST_COMPLEX = ["simple", "moderate", "complex"]
+ST_CATS = ["HVAC", "Plumbing", "Electrical", "Roofing", "Unknown"]
+ST_TRADES = ["hvac", "plumbing", "electrical", "roofing", "general"]
+ST_DESCS = ["the furnace unit needs replacement work",
+            "toilet replacement required at hall bath",
+            "outlet replacement recommended by inspector",
+            "window replacement for the rear elevation",
+            "minor wear observed at the trim",
+            "the accessible panel cover at the exterior wall near the rear "
+            "elevation shows deterioration and displacement that has "
+            "progressed beyond routine maintenance thresholds and now "
+            "requires coordinated corrective work across multiple adjoining "
+            "substrate sections to restore the assembly"]
+
+
+def q_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 assign_strategy + J5 match_standard_item via the real
+    enrich_rules code."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(ST_WORKS, F.pmod(k, F.lit(4))).alias("work"),
+        _pick(ST_COMPLEX, F.pmod(F.floor(k / 3), F.lit(3))).alias("cx"),
+        _pick(ST_CATS, F.pmod(F.floor(k / 7), F.lit(5))).alias("cat"),
+        _pick(ST_TRADES, F.pmod(F.floor(k / 11), F.lit(5))).alias("trade"),
+        _pick(ST_DESCS, F.pmod(F.floor(k / 5), F.lit(6))).alias("description"),
+        (F.pmod(F.floor(k / 13), F.lit(2)) == 0).alias("has_meas"),
+        (F.pmod(F.floor(k / 17), F.lit(2)) == 0).alias("specialist"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                issue = {
+                    "classification": {"work_type": r.work,
+                                       "complexity": r.cx,
+                                       "trade": r.trade},
+                    "standard_category": r.cat,
+                    "description": r.description,
+                    "requires_specialized_labor": bool(r.specialist),
+                    "extracted_attributes": {
+                        "measurements": {"areas": ["10 sq ft"]}
+                        if r.has_meas else {}},
+                }
+                strategy, conf, matched = er.assign_strategy(issue)
+                rows.append({"doc_id": r.doc_id, "line_key": r.k,
+                             "strategy": strategy, "confidence": conf,
+                             "matched_item": matched})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, strategy string, "
+             "confidence double, matched_item string")
+
+
+def _sql_strategy() -> str:
+    match_case = " ".join(
+        "WHEN " + " AND ".join(f"search LIKE '%{part}%'"
+                               for part in key.split("_"))
+        + f" THEN '{key}'"
+        for key in rules.STANDARD_REPLACEMENTS)
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_sql_list(ST_WORKS)}[CAST(1 + o_orderkey % 4 AS INT)] AS work,
+    {_pick_sql(ST_COMPLEX, 3, 3)} AS cx,
+    {_pick_sql(ST_CATS, 7, 5)} AS cat,
+    {_pick_sql(ST_TRADES, 11, 5)} AS trade,
+    {_pick_sql(ST_DESCS, 5, 6)} AS description,
+    (o_orderkey // 13) % 2 = 0 AS has_meas,
+    (o_orderkey // 17) % 2 = 0 AS specialist
+  FROM orders),
+m AS (
+  SELECT *, lower(trade || ' ' || cat || ' ' || description) AS search
+  FROM inputs),
+matched AS (
+  SELECT *, CASE {match_case} ELSE '' END AS std_key FROM m)
+SELECT doc_id, k AS line_key,
+  CASE
+    WHEN work = 'replacement' AND cx IN ('simple', 'moderate')
+         AND std_key <> '' THEN 'lookup_table'
+    WHEN cx = 'complex' THEN 'llm_reasoning'
+    WHEN length(description) > 200 THEN 'llm_reasoning'
+    WHEN specialist OR work = 'inspection' THEN 'llm_reasoning'
+    WHEN has_meas AND cat <> 'Unknown' AND cx IN ('simple', 'moderate')
+         THEN 'ml_model'
+    ELSE 'llm_reasoning' END AS strategy,
+  CASE
+    WHEN work = 'replacement' AND cx IN ('simple', 'moderate')
+         AND std_key <> '' THEN 0.9::DOUBLE
+    WHEN cx = 'complex' THEN 0.85::DOUBLE
+    WHEN length(description) > 200 THEN 0.8::DOUBLE
+    WHEN specialist OR work = 'inspection' THEN 0.85::DOUBLE
+    WHEN has_meas AND cat <> 'Unknown' AND cx IN ('simple', 'moderate')
+         THEN 0.75::DOUBLE
+    ELSE 0.7::DOUBLE END AS confidence,
+  CASE WHEN work = 'replacement' AND cx IN ('simple', 'moderate')
+       THEN std_key ELSE '' END AS matched_item
+FROM matched
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 + J3 — component taxonomy (component_taxonomy.py:80-252)
+# ---------------------------------------------------------------------------
+
+TAX_ITEMS = ["", "hvac", "shingles", "breaker box", "water heater",
+             "zq 0097 xv 13"]
+TAX_SECTIONS = ["", "III. HEATING EQUIPMENT", "IV. PLUMBING SYSTEMS",
+                "ROOF COVERING MATERIALS"]
+TAX_DESCS = ["", "furnace making intermittent noise",
+             "pipe leak under the hall sink",
+             "wiring concern at the service panel",
+             "paint scuff noted at entry"]
+
+
+def q_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 taxonomy_standardize (exact-lookup tier; items chosen so the
+    difflib fuzzy tier provably returns Unknown) + J3
+    taxonomy_from_context ordered ladder, via the real code."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(TAX_ITEMS, F.pmod(k, F.lit(6))).alias("item"),
+        _pick(TAX_SECTIONS, F.pmod(F.floor(k / 7), F.lit(4))).alias("section"),
+        _pick(TAX_DESCS, F.pmod(F.floor(k / 11), F.lit(5))).alias("description"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                cat, sub, conf = er.taxonomy_from_context(
+                    r.item, r.section, r.description)
+                rows.append({"doc_id": r.doc_id, "line_key": r.k,
+                             "category": cat, "subcategory": sub,
+                             "confidence": conf})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, category string, "
+             "subcategory string, confidence double")
+
+
+def _sql_taxonomy() -> str:
+    # exact-lookup tier transcribed from rules.TAXONOMY with the same
+    # precedence as _build_lookup (later entries overwrite earlier, but
+    # the chosen TAX_ITEMS are unambiguous keys)
+    lookup: dict[str, tuple[str, str | None, float]] = {}
+    for category, config in rules.TAXONOMY.items():
+        lookup[category.lower()] = (category, None, 1.0)
+        for sub in config["subcategories"]:
+            lookup[sub.lower().replace("_", " ")] = (category, sub, 0.95)
+        for alias in config["aliases"]:
+            lookup[alias.lower()] = (category, None, 0.9)
+    std_arms = []
+    for it in TAX_ITEMS:
+        cat, sub, conf = lookup.get(it, ("Unknown", None, 0.0))
+        sub_sql = f"'{sub}'" if sub else "NULL"
+        std_arms.append(
+            f"WHEN item = '{it}' THEN "
+            f"struct_pack(c := '{cat}', s := {sub_sql}, f := {conf}::DOUBLE)")
+    roof = _like_any("ctx", rules.ROOF_INDICATORS)
+    # category-major arm order (name, then aliases, then subcategories
+    # within each category) — the python loop returns on the first hit in
+    # exactly this order
+    tax_arms = []
+    for cat_name, config in rules.TAXONOMY.items():
+        tax_arms.append(
+            f"WHEN ctx LIKE '%{cat_name.lower()}%' THEN "
+            f"struct_pack(c := '{cat_name}', s := NULL::VARCHAR, "
+            f"f := 0.75::DOUBLE)")
+        for alias in config["aliases"]:
+            tax_arms.append(
+                f"WHEN ctx LIKE '%{alias}%' THEN "
+                f"struct_pack(c := '{cat_name}', s := NULL::VARCHAR, "
+                f"f := 0.8::DOUBLE)")
+        for sub in config["subcategories"]:
+            sp = sub.replace("_", " ")
+            tax_arms.append(
+                f"WHEN ctx LIKE '%{sp}%' THEN "
+                f"struct_pack(c := '{cat_name}', s := '{sub}', "
+                f"f := 0.85::DOUBLE)")
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_sql_list(TAX_ITEMS)}[CAST(1 + o_orderkey % 6 AS INT)] AS item,
+    {_pick_sql(TAX_SECTIONS, 7, 4)} AS section,
+    {_pick_sql(TAX_DESCS, 11, 5)} AS description
+  FROM orders),
+base AS (
+  SELECT *,
+    lower(concat_ws(' ', nullif(item, ''), nullif(section, ''),
+                    nullif(description, ''))) AS ctx,
+    CASE {' '.join(std_arms)} END AS std
+  FROM inputs),
+ladder AS (
+  SELECT *,
+    CASE
+      WHEN {roof} THEN
+        struct_pack(c := 'Roofing', s := NULL::VARCHAR, f := 0.9::DOUBLE)
+      WHEN std.f < 0.75 AND (CASE {' '.join(tax_arms)} END) IS NOT NULL
+        THEN (CASE {' '.join(tax_arms)} END)
+      WHEN section <> '' AND std.f < 0.7 AND lower(section) LIKE '%roof%'
+        THEN struct_pack(c := 'Roofing', s := NULL::VARCHAR,
+                         f := 0.85::DOUBLE)
+      WHEN section <> '' AND std.f < 0.7
+           AND lower(section) LIKE '%structural%'
+        THEN struct_pack(c := 'Structural', s := NULL::VARCHAR,
+                         f := 0.75::DOUBLE)
+      WHEN section <> '' AND std.f < 0.7 AND lower(section) LIKE '%plumbing%'
+        THEN struct_pack(c := 'Plumbing', s := NULL::VARCHAR,
+                         f := 0.75::DOUBLE)
+      WHEN section <> '' AND std.f < 0.7
+           AND lower(section) LIKE '%electrical%'
+        THEN struct_pack(c := 'Electrical', s := NULL::VARCHAR,
+                         f := 0.75::DOUBLE)
+      WHEN section <> '' AND std.f < 0.7
+           AND (lower(section) LIKE '%hvac%'
+                OR lower(section) LIKE '%heating%'
+                OR lower(section) LIKE '%cooling%'
+                OR lower(section) LIKE '%air conditioning%')
+        THEN struct_pack(c := 'HVAC', s := NULL::VARCHAR, f := 0.75::DOUBLE)
+      WHEN std.f < 0.5 AND description <> ''
+           AND {_like_any('lower(description)',
+                          ['roof', 'shingle', 'flashing', 'gutter',
+                           'downspout', 'roofing'])}
+        THEN struct_pack(c := 'Roofing', s := NULL::VARCHAR,
+                         f := 0.8::DOUBLE)
+      WHEN std.f < 0.5 AND description <> ''
+           AND {_like_any('lower(description)',
+                          ['hvac', 'furnace', 'air conditioning', 'heat',
+                           'cooling'])}
+        THEN struct_pack(c := 'HVAC', s := NULL::VARCHAR, f := 0.75::DOUBLE)
+      WHEN std.f < 0.5 AND description <> ''
+           AND {_like_any('lower(description)',
+                          ['plumbing', 'water', 'pipe', 'leak', 'drain',
+                           'toilet', 'faucet'])}
+        THEN struct_pack(c := 'Plumbing', s := NULL::VARCHAR,
+                         f := 0.75::DOUBLE)
+      WHEN std.f < 0.5 AND description <> ''
+           AND {_like_any('lower(description)',
+                          ['electrical', 'wiring', 'outlet', 'circuit',
+                           'breaker', 'panel'])}
+        THEN struct_pack(c := 'Electrical', s := NULL::VARCHAR,
+                         f := 0.75::DOUBLE)
+      ELSE std END AS res
+  FROM base)
+SELECT doc_id, k AS line_key, res.c AS category, res.s AS subcategory,
+       res.f AS confidence
+FROM ladder
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — cost-table -> issue linking (src/data_structurer.py:160-178)
+# ---------------------------------------------------------------------------
+
+def q_issue_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the real operators: segment issues + extract tables from the
+    shared derived corpus, then link_costs (first issue per table in
+    issue order, later tables overwrite earlier)."""
+    from .operators.segmentation import segment_issues
+    from .operators.tables import extract_tables, link_costs
+    from .plans.extraction import build_blocks, classify_spans, explode_spans
+    from .operators.sections import track_sections
+    from .queries import derived_lines
+
+    lines = derived_lines(spark, sf_dir)
+    docs = (lines.groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda x: F.struct(
+                    F.lit("text").alias("kind"), x["text"].alias("text"),
+                    F.lit("").alias("media_ref"), x["offset"].alias("offset")),
+            ).alias("spans")))
+    spans = track_sections(classify_spans(explode_spans(docs)))
+    issues = segment_issues(
+        build_blocks(spans).withColumn("doc_id",
+                                       F.col("doc_id").cast("string")))
+    tables = extract_tables(spans).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
+    linked = link_costs(issues, tables)
+    return linked.select(
+        "doc_id", "issue_order",
+        F.col("estimated_cost.min").alias("cost_min"),
+        F.col("estimated_cost.max").alias("cost_max"),
+        F.col("estimated_cost.average").alias("cost_avg"))
+
+
+def _sql_issue_link() -> str:
+    from .queries import SQL_SEGMENTATION, _sql_tables
+
+    iss_sql = SQL_SEGMENTATION.replace(
+        "CAST(count(DISTINCT page_num) AS INT) AS n_pages,",
+        "list(DISTINCT page_num) AS pages,")
+    return f"""
+WITH iss AS ({iss_sql}),
+tabs AS ({_sql_tables()}),
+cost_tabs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, first_off AS t_order,
+         section AS t_section, page_num AS t_page,
+         cost_min, cost_max, cost_avg
+  FROM tabs
+  WHERE table_type = 'cost_estimate' AND cost_min IS NOT NULL),
+cand AS (
+  SELECT i.doc_id, i.issue_order, t.t_order,
+         t.cost_min, t.cost_max, t.cost_avg,
+    row_number() OVER (PARTITION BY i.doc_id, t.t_order
+                       ORDER BY i.issue_order) AS r1
+  FROM iss i JOIN cost_tabs t
+    ON i.doc_id = t.doc_id AND i.section = t.t_section
+   AND list_contains(i.pages, t.t_page)),
+first_per_table AS (SELECT * FROM cand WHERE r1 = 1),
+last_per_issue AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, issue_order
+                               ORDER BY t_order DESC) AS r2
+  FROM first_per_table)
+SELECT i.doc_id, i.issue_order, l.cost_min, l.cost_max, l.cost_avg
+FROM iss i
+LEFT JOIN (SELECT * FROM last_per_issue WHERE r2 = 1) l
+  ON i.doc_id = l.doc_id AND i.issue_order = l.issue_order
+"""
+
+
 QUERIES_ENRICH2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attributes": q_attributes,
     "metadata_enrich": q_metadata_enrich,
@@ -810,6 +1142,9 @@ QUERIES_ENRICH2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cleaning": q_cleaning,
     "dedup_doc": q_dedup_doc,
     "quality_routing": q_quality_routing,
+    "strategy": q_strategy,
+    "taxonomy": q_taxonomy,
+    "issue_link": q_issue_link,
 }
 
 ORACLES_ENRICH2: dict[str, str] = {
@@ -819,4 +1154,7 @@ ORACLES_ENRICH2: dict[str, str] = {
     "cleaning": _sql_cleaning(),
     "dedup_doc": SQL_DEDUP_DOC,
     "quality_routing": _sql_quality_routing(),
+    "strategy": _sql_strategy(),
+    "taxonomy": _sql_taxonomy(),
+    "issue_link": _sql_issue_link(),
 }
