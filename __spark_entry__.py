@@ -44,9 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_enrich import QUERIES_ENRICH
     from pdf_extraction_spark.queries_validate import QUERIES_VALIDATE
     from pdf_extraction_spark.queries_enrich2 import QUERIES_ENRICH2
+    from pdf_extraction_spark.queries_phase2 import QUERIES_PHASE2
 
     return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
-            **QUERIES_ENRICH2}
+            **QUERIES_ENRICH2, **QUERIES_PHASE2}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -54,6 +55,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_enrich import ORACLES_ENRICH
     from pdf_extraction_spark.queries_validate import ORACLES_VALIDATE
     from pdf_extraction_spark.queries_enrich2 import ORACLES_ENRICH2
+    from pdf_extraction_spark.queries_phase2 import ORACLES_PHASE2
 
     return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
-            **ORACLES_ENRICH2}
+            **ORACLES_ENRICH2, **ORACLES_PHASE2}
