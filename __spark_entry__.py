@@ -45,9 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_validate import QUERIES_VALIDATE
     from pdf_extraction_spark.queries_enrich2 import QUERIES_ENRICH2
     from pdf_extraction_spark.queries_phase2 import QUERIES_PHASE2
+    from pdf_extraction_spark.queries_misc import QUERIES_MISC
 
     return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
-            **QUERIES_ENRICH2, **QUERIES_PHASE2}
+            **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -56,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_validate import ORACLES_VALIDATE
     from pdf_extraction_spark.queries_enrich2 import ORACLES_ENRICH2
     from pdf_extraction_spark.queries_phase2 import ORACLES_PHASE2
+    from pdf_extraction_spark.queries_misc import ORACLES_MISC
 
     return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
-            **ORACLES_ENRICH2, **ORACLES_PHASE2}
+            **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC}

@@ -1252,15 +1252,7 @@ def enrich_document(issues: list[dict]) -> dict:
             "confidence_overall": conf["overall"],
             "manual_review": bool(conf["manual_review_needed"]),
         })
-    est_summary = {
-        "estimated_issues": len(estimates),
-        "total_estimated_low": int(sum(e["estimated_low"] for e in estimates)),
-        "total_estimated_high": int(sum(e["estimated_high"] for e in estimates)),
-        "average_confidence": int(
-            sum(e["confidence_score"] for e in estimates) / len(estimates))
-        if estimates else 0,
-        "needs_review": sum(1 for e in estimates if e["needs_review"]),
-    }
+    est_summary = estimate_summary(estimates)
 
     # J7 relationship analysis (relationship_rules.py), document-local
     from . import relationship_rules as rel
@@ -1282,6 +1274,21 @@ def enrich_document(issues: list[dict]) -> dict:
             "estimates": estimates, "estimate_summary": est_summary,
             "phase2": phase2, "relationships": relationships,
             "n_excluded": n_excluded}
+
+
+def estimate_summary(estimates: list[dict]) -> dict:
+    """A5 (rule_based_cost_estimator.py:341-366)."""
+    return {
+        "estimated_issues": len(estimates),
+        "total_estimated_low": int(sum(e["estimated_low"]
+                                       for e in estimates)),
+        "total_estimated_high": int(sum(e["estimated_high"]
+                                        for e in estimates)),
+        "average_confidence": int(
+            sum(e["confidence_score"] for e in estimates) / len(estimates))
+        if estimates else 0,
+        "needs_review": sum(1 for e in estimates if e["needs_review"]),
+    }
 
 
 def summarize_issues(issues: list[dict]) -> dict:

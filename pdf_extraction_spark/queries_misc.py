@@ -1,0 +1,396 @@
+"""Gate queries for the remaining round-1 golden-only operators:
+A2 enrichment summary + A5 estimate summary (aggregations), S8
+content-hash checkpoint cache, J8 calibration feedback loop, and the J7
+causal-chain tier. Same contract as the other query modules."""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import enrich_rules as er
+from .queries import _pick, _sql_list
+from .queries_enrich2 import N_DOCS, _like_any, _pick_sql
+
+# ---------------------------------------------------------------------------
+# A2 + A5 — enrichment summary + estimate summary
+# ---------------------------------------------------------------------------
+
+SUM_SEVS = ["critical", "high", "medium", "low", "unknown"]
+SUM_ACTS = ["immediate_repair", "replacement", "monitoring", "maintenance"]
+SUM_CATS = ["HVAC", "Plumbing", "Electrical", "Unknown"]
+SUM_STRATS = ["lookup_table", "ml_model", "llm_reasoning"]
+SUM_TRADES = ["hvac", "plumbing", "electrical", "general"]
+SUM_CX = ["simple", "moderate", "complex"]
+
+
+def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 summarize_issues + A5 estimate_summary via the real
+    enrich_rules code, one row per document. Count maps are emitted as
+    sorted 'key:count' strings so the gate compare stays hashable.
+    Urgency/complexity inputs are integers, which keeps the per-doc
+    averages off every round() boundary (see the oracle's derivation)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    b = (1 + F.pmod(F.floor(k / 23), F.lit(50))).cast("long")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(SUM_SEVS, F.pmod(k, F.lit(5))).alias("sev"),
+        _pick(SUM_ACTS, F.pmod(F.floor(k / 3), F.lit(4))).alias("act"),
+        _pick(SUM_CATS, F.pmod(F.floor(k / 7), F.lit(4))).alias("cat"),
+        _pick(SUM_STRATS, F.pmod(F.floor(k / 11), F.lit(3))).alias("strat"),
+        _pick(SUM_TRADES, F.pmod(F.floor(k / 13), F.lit(4))).alias("trade"),
+        _pick(SUM_CX, F.pmod(F.floor(k / 17), F.lit(3))).alias("cx"),
+        (F.pmod(k, F.lit(4)) == 0).alias("safety"),
+        (F.pmod(F.floor(k / 5), F.lit(3)) == 0).alias("grouped"),
+        (5 + F.pmod(F.floor(k / 19), F.lit(5))).cast("double").alias("urg"),
+        (4 + F.pmod(F.floor(k / 29), F.lit(6))).cast("double").alias("cxf"),
+        (4 * b).cast("long").alias("est_low"),
+        (8 * b).cast("long").alias("est_high"),
+        (40 + 10 * F.pmod(F.floor(k / 31), F.lit(6))).cast("long")
+        .alias("conf"),
+        (F.pmod(F.floor(k / 37), F.lit(4)) == 0).alias("review"))
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k")
+        issues = [{
+            "standard_severity": r.sev, "standard_action": r.act,
+            "standard_category": r.cat, "cost_strategy": r.strat,
+            "classification": {"trade": r.trade, "complexity": r.cx},
+            "safety_flag": bool(r.safety), "is_grouped": bool(r.grouped),
+            "urgency_score": float(r.urg), "complexity_factor": float(r.cxf),
+        } for r in pdf.itertuples(index=False)]
+        estimates = [{
+            "estimated_low": int(r.est_low), "estimated_high": int(r.est_high),
+            "confidence_score": int(r.conf), "needs_review": bool(r.review),
+        } for r in pdf.itertuples(index=False)]
+        s = er.summarize_issues(issues)
+        e = er.estimate_summary(estimates)
+
+        def dct(d: dict) -> str:
+            return "|".join(f"{key}:{d[key]}" for key in sorted(d))
+
+        return pd.DataFrame([{
+            "doc_id": pdf["doc_id"].iloc[0],
+            "total_issues": s["total_issues"],
+            "by_severity": dct(s["by_severity"]),
+            "by_action": dct(s["by_action"]),
+            "by_category": dct(s["by_category"]),
+            "by_trade": dct(s["by_trade"]),
+            "by_complexity": dct(s["by_complexity"]),
+            "by_strategy": dct(s["by_strategy"]),
+            "safety_issues": s["safety_issues"],
+            "grouped_issues": s["grouped_issues"],
+            "avg_urgency": float(s["avg_urgency"]),
+            "avg_complexity": float(s["avg_complexity"]),
+            "est_issues": e["estimated_issues"],
+            "est_low_total": e["total_estimated_low"],
+            "est_high_total": e["total_estimated_high"],
+            "est_avg_conf": e["average_confidence"],
+            "est_needs_review": e["needs_review"],
+        }])
+
+    return df.groupBy("doc_id").applyInPandas(
+        per_doc, "doc_id bigint, total_issues long, by_severity string, "
+                 "by_action string, by_category string, by_trade string, "
+                 "by_complexity string, by_strategy string, "
+                 "safety_issues long, grouped_issues long, "
+                 "avg_urgency double, avg_complexity double, "
+                 "est_issues long, est_low_total long, est_high_total long, "
+                 "est_avg_conf long, est_needs_review long")
+
+
+def _dim_sql(col: str, values: list[str]) -> str:
+    """sorted 'value:count' join for one count map."""
+    parts = ", ".join(
+        f"CASE WHEN count(*) FILTER (WHERE {col} = '{v}') > 0 "
+        f"THEN '{v}:' || count(*) FILTER (WHERE {col} = '{v}') END"
+        for v in sorted(values))
+    return f"concat_ws('|', {parts})"
+
+
+def _sql_summaries() -> str:
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    CAST(1 + (o_orderkey // 23) % 50 AS BIGINT) AS b,
+    {_sql_list(SUM_SEVS)}[CAST(1 + o_orderkey % 5 AS INT)] AS sev,
+    {_pick_sql(SUM_ACTS, 3, 4)} AS act,
+    {_pick_sql(SUM_CATS, 7, 4)} AS cat,
+    {_pick_sql(SUM_STRATS, 11, 3)} AS strat,
+    {_pick_sql(SUM_TRADES, 13, 4)} AS trade,
+    {_pick_sql(SUM_CX, 17, 3)} AS cx,
+    o_orderkey % 4 = 0 AS safety,
+    (o_orderkey // 5) % 3 = 0 AS grouped,
+    CAST(5 + (o_orderkey // 19) % 5 AS DOUBLE) AS urg,
+    CAST(4 + (o_orderkey // 29) % 6 AS DOUBLE) AS cxf,
+    (o_orderkey // 37) % 4 = 0 AS review,
+    CAST(40 + 10 * ((o_orderkey // 31) % 6) AS BIGINT) AS conf
+  FROM orders)
+SELECT doc_id,
+  count(*) AS total_issues,
+  {_dim_sql('sev', SUM_SEVS)} AS by_severity,
+  {_dim_sql('act', SUM_ACTS)} AS by_action,
+  {_dim_sql('cat', SUM_CATS)} AS by_category,
+  {_dim_sql('trade', SUM_TRADES)} AS by_trade,
+  {_dim_sql('cx', SUM_CX)} AS by_complexity,
+  {_dim_sql('strat', SUM_STRATS)} AS by_strategy,
+  count(*) FILTER (WHERE safety) AS safety_issues,
+  count(*) FILTER (WHERE grouped) AS grouped_issues,
+  -- integer urgency/complexity: the sums are exact, so avg = S/n is the
+  -- same double both engines and k/n never equals a .xx5 tie for the
+  -- driver's corpus sizes (n*(2m+1) = 200k has no solution for n=30,300)
+  round_even(sum(urg) / count(*), 2) AS avg_urgency,
+  round_even(sum(cxf) / count(*), 2) AS avg_complexity,
+  count(*) AS est_issues,
+  sum(4 * b) AS est_low_total,
+  sum(8 * b) AS est_high_total,
+  CAST(floor(sum(conf) * 1.0 / count(*)) AS BIGINT) AS est_avg_conf,
+  count(*) FILTER (WHERE review) AS est_needs_review
+FROM inputs GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8 — content-hash checkpoint cache (sources/checkpoint.py:31-64,
+# reference src/pipeline.py:74-80,137-171)
+# ---------------------------------------------------------------------------
+
+def q_checkpoint_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the md5 content hash + left_anti incremental decision, via the
+    real content_hash_col and the same anti-join run_incremental uses.
+    Docs with k%3==0 are 'already processed' (matching hash -> skipped),
+    k%3==1 are stale (hash changed -> reprocessed), k%3==2 are new."""
+    from .sources.checkpoint import content_hash_col
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    line1 = F.concat(F.lit("line one of doc "), k.cast("string"))
+    line2 = F.concat(F.lit("second line "), F.pmod(k, F.lit(7)).cast("string"))
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), line1.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media_ref").alias("kind"), F.lit("").alias("text"),
+                 F.concat(F.lit("img://"), k.cast("string"))
+                 .alias("media_ref"), F.lit(1).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), line2.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(2).alias("offset")))
+    docs = o.select(k.cast("string").alias("doc_id"), spans.alias("spans"),
+                    F.pmod(k, F.lit(3)).alias("m"))
+    keyed = docs.withColumn("content_hash", content_hash_col())
+    seen = keyed.where(F.col("m") == 0) \
+        .select("doc_id", "content_hash") \
+        .union(keyed.where(F.col("m") == 1)
+               .select("doc_id", F.md5(F.lit("stale")).alias("content_hash")))
+    todo = keyed.join(seen, ["doc_id", "content_hash"], "left_anti")
+    return todo.select("doc_id", "content_hash")
+
+
+SQL_CHECKPOINT = f"""
+WITH docs AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+    CAST(o_orderkey % 3 AS INT) AS m,
+    md5(
+      'text' || chr(30) || 'line one of doc ' || CAST(o_orderkey AS VARCHAR)
+        || chr(30) || '' || chr(30) || '0'
+      || chr(31)
+      || 'media_ref' || chr(30) || '' || chr(30) || 'img://'
+        || CAST(o_orderkey AS VARCHAR) || chr(30) || '1'
+      || chr(31)
+      || 'text' || chr(30) || 'second line '
+        || CAST(o_orderkey % 7 AS VARCHAR) || chr(30) || '' || chr(30) || '2'
+    ) AS content_hash
+  FROM orders)
+SELECT doc_id, content_hash FROM docs WHERE m <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J8 — calibration feedback loop (calibration_rules.py; reference
+# src/learning/feedback_loop.py:86-341, calibration_database.py:242-290)
+# ---------------------------------------------------------------------------
+
+CAL_CATS = ["hvac", "plumbing", "electrical", "roofing", "interior"]
+# dyadic per-category variances: exact fp sums in any order, and factors
+# landing clearly inside/outside every should_apply gate
+CAL_VAR = {"hvac": 12.5, "plumbing": -18.75, "electrical": 0.0,
+           "roofing": 50.0, "interior": -43.75}
+# applied: hvac 1.125, plumbing 0.8125; electrical 1.0 (negligible),
+# roofing capped 1.5 (>1.35), interior capped 0.7 (<0.75) -> not applied
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 via the real calibration_rules code: build the store from a
+    derived history (orders with k%30==0), compute per-category factors,
+    apply to the full estimates table with apply_calibration_df."""
+    from .calibration_rules import (CalibrationRecord, CalibrationStore,
+                                    apply_calibration_df)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    b = (1 + F.pmod(F.floor(k / 23), F.lit(50))).cast("double")
+    hist_rows = o.where(F.pmod(k, F.lit(30)) == 0).select(
+        _pick(CAL_CATS, F.pmod(F.floor(k / 30), F.lit(5))).alias("category"),
+        (100 * b).alias("low"), (300 * b).alias("high")).collect()
+    store = CalibrationStore()
+    for r in hist_rows:
+        mid = (r["low"] + r["high"]) / 2
+        v = CAL_VAR[r["category"]] / 100
+        store.add(CalibrationRecord(
+            category=r["category"], complexity="moderate",
+            strategy="lookup_table", estimated_low=r["low"],
+            estimated_high=r["high"], actual_cost=mid * (1 + v)))
+    estimates = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(CAL_CATS, F.pmod(k, F.lit(5))).alias("category"),
+        (4 * b).alias("estimated_low"), (8 * b).alias("estimated_high"))
+    out = apply_calibration_df(estimates, store)
+    return out.select("doc_id", F.col("k").alias("line_key"), "category",
+                      "calibration_factor", "calibrated_low",
+                      "calibrated_high")
+
+
+def _sql_calibration() -> str:
+    return f"""
+WITH hist AS (
+  SELECT {_sql_list(CAL_CATS)}[CAST(1 + (o_orderkey // 30) % 5 AS INT)]
+      AS category,
+    CAST(100 * (1 + (o_orderkey // 23) % 50) AS DOUBLE) AS low,
+    CAST(300 * (1 + (o_orderkey // 23) % 50) AS DOUBLE) AS high
+  FROM orders WHERE o_orderkey % 30 = 0),
+recs AS (
+  SELECT category, (low + high) / 2 AS mid,
+    (low + high) / 2 * (1 + (CASE category
+      WHEN 'hvac' THEN 12.5 WHEN 'plumbing' THEN -18.75
+      WHEN 'electrical' THEN 0.0 WHEN 'roofing' THEN 50.0
+      WHEN 'interior' THEN -43.75 END) / 100) AS actual
+  FROM hist),
+stats AS (
+  SELECT category, count(*) AS cnt,
+    avg((actual - mid) / mid * 100) AS avg_var,
+    coalesce(stddev_samp((actual - mid) / mid * 100), 0) AS std_var
+  FROM recs GROUP BY category),
+factors AS (
+  SELECT category, cnt, avg_var, std_var,
+    greatest(0.7::DOUBLE, least(1.5::DOUBLE, 1.0::DOUBLE + avg_var / 100))
+      AS factor,
+    sqrt(least(1.0::DOUBLE, cnt / 20.0)
+         * CASE WHEN std_var > 0
+                THEN greatest(0.5::DOUBLE, 1.0::DOUBLE - std_var / 100)
+                ELSE 1.0::DOUBLE END) AS confidence
+  FROM stats WHERE cnt >= 5),
+applied AS (
+  SELECT category, factor FROM factors
+  WHERE confidence >= 0.6 AND factor >= 0.75 AND factor <= 1.35
+    AND NOT (factor >= 0.98 AND factor <= 1.02)),
+est AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_sql_list(CAL_CATS)}[CAST(1 + o_orderkey % 5 AS INT)] AS category,
+    CAST(4 * (1 + (o_orderkey // 23) % 50) AS DOUBLE) AS estimated_low,
+    CAST(8 * (1 + (o_orderkey // 23) % 50) AS DOUBLE) AS estimated_high
+  FROM orders)
+SELECT e.doc_id, e.k AS line_key, e.category,
+  coalesce(a.factor, 1.0) AS calibration_factor,
+  round_even(e.estimated_low * coalesce(a.factor, 1.0), 2)
+    AS calibrated_low,
+  round_even(e.estimated_high * coalesce(a.factor, 1.0), 2)
+    AS calibrated_high
+FROM est e LEFT JOIN applied a ON a.category = e.category
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 (causal-chain tier) — relationship_analyzer.py:237-320
+# ---------------------------------------------------------------------------
+
+CHAIN_DESCS = [
+    "general observation with no pattern",
+    "roof leak observed at ridge",                # cause: roof_leak
+    "ceiling stains spreading near fixture",      # effect: ceiling_stains
+    "hvac failure suspected at unit",             # cause: hvac_failure
+    "poor airflow in the ducts",                  # effect: poor_airflow
+    "foundation cracks at the slab edge",         # cause: foundation_cracks
+    "wall cracks visible above the door",         # effect: wall_cracks
+    "drainage problems with yard flooding",       # cause + effect
+]
+CHAIN_SEVS = ["low", "high", "critical"]
+
+
+def q_causal_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 causal chains via the real relationship_rules code over issues
+    whose descriptions each match at most one cause pattern and a known
+    effect set (locations empty, so the location tier is off and the SQL
+    oracle is exact)."""
+    from . import relationship_rules as rel
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(CHAIN_DESCS, F.pmod(k, F.lit(8))).alias("issue"),
+        _pick(CHAIN_SEVS, F.pmod(F.floor(k / 3), F.lit(3))).alias("severity"))
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k")
+        issues = [{"id": f"i{r.k}", "issue": r.issue,
+                   "severity": r.severity, "location": ""}
+                  for r in pdf.itertuples(index=False)]
+        chains = rel.find_causal_chains(issues)
+        return pd.DataFrame(
+            [{"doc_id": pdf["doc_id"].iloc[0],
+              "root_cause_id": c["root_cause_id"],
+              "chain_length": c["chain_length"],
+              "priority": c["priority"]} for c in chains],
+            columns=["doc_id", "root_cause_id", "chain_length", "priority"])
+
+    return df.groupBy("doc_id").applyInPandas(
+        per_doc, "doc_id bigint, root_cause_id string, chain_length long, "
+                 "priority string")
+
+
+SQL_CAUSAL_CHAINS = f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    CAST(o_orderkey % 8 AS INT) AS m,
+    {_pick_sql(CHAIN_SEVS, 3, 3)} AS severity
+  FROM orders),
+cnt AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE m = 2) AS c2,
+    count(*) FILTER (WHERE m = 4) AS c4,
+    count(*) FILTER (WHERE m = 6) AS c6,
+    count(*) FILTER (WHERE m = 7) AS c7
+  FROM inputs GROUP BY doc_id),
+-- per cause variant, the effect-match counts derived from the pattern
+-- tables: roof_leak->v2(ceiling_stains); hvac_failure->v4(poor_airflow);
+-- foundation_cracks->v6(wall_cracks)+v7(drainage_problems);
+-- drainage_problems->v7(yard_flooding) minus the row itself
+chains AS (
+  SELECT i.doc_id, 'i' || CAST(i.k AS VARCHAR) AS root_cause_id,
+    CASE i.m WHEN 1 THEN c.c2 WHEN 3 THEN c.c4
+             WHEN 5 THEN c.c6 + c.c7 WHEN 7 THEN c.c7 - 1 END AS n_caused,
+    CASE WHEN i.severity IN ('critical', 'high') THEN 'high'
+         ELSE 'medium' END AS priority
+  FROM inputs i JOIN cnt c USING (doc_id)
+  WHERE i.m IN (1, 3, 5, 7))
+SELECT doc_id, root_cause_id, n_caused + 1 AS chain_length, priority
+FROM chains WHERE n_caused > 0
+"""
+
+
+QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "summaries": q_summaries,
+    "checkpoint_cache": q_checkpoint_cache,
+    "calibration": q_calibration,
+    "causal_chains": q_causal_chains,
+}
+
+ORACLES_MISC: dict[str, str] = {
+    "summaries": _sql_summaries(),
+    "checkpoint_cache": SQL_CHECKPOINT,
+    "calibration": _sql_calibration(),
+    "causal_chains": SQL_CAUSAL_CHAINS,
+}
