@@ -235,21 +235,36 @@ def clean_issue(issue: dict) -> dict:
 ACCEPT, EXCLUDE, FLAG = "accept", "exclude", "flag_for_review"
 
 
+# every ASCII char whose unicode category is P* or S* (precomputed so the
+# per-char category scan below only runs for non-ASCII text)
+_ASCII_PS = frozenset(
+    c for c in map(chr, range(128))
+    if unicodedata.category(c)[0] in ("P", "S"))
+_ASCII_PS_RE = re.compile(
+    "[" + re.escape("".join(sorted(_ASCII_PS))) + "]")
+
+
 def _check_unicode_corruption(description: str, title: str) -> dict:
     """F4 (data_quality_validator.py:318-374)."""
     text = f"{title} {description}"
     for char in ("þ", "Þ", "\u0308", "\ufffd", "\x00"):
         if char in text:
             return {"corrupted": True, "severity": "severe", "penalty": 0.3}
-    ascii_count = sum(1 for c in text if ord(c) < 128)
-    ascii_ratio = ascii_count / len(text) if text else 1.0
-    if ascii_ratio < rules.MIN_ASCII_RATIO:
-        return {"corrupted": True, "severity": "moderate", "penalty": 0.3}
-    special = sum(1 for c in text
-                  if unicodedata.category(c)[0] in ("P", "S"))
+    is_ascii = text.isascii()
+    if not is_ascii:
+        ascii_count = sum(1 for c in text if ord(c) < 128)
+        ascii_ratio = ascii_count / len(text) if text else 1.0
+        if ascii_ratio < rules.MIN_ASCII_RATIO:
+            return {"corrupted": True, "severity": "moderate",
+                    "penalty": 0.3}
+    if is_ascii:
+        special = len(_ASCII_PS_RE.findall(text))
+    else:
+        special = sum(1 for c in text
+                      if unicodedata.category(c)[0] in ("P", "S"))
     if text and special / len(text) > rules.MAX_SPECIAL_CHAR_RATIO:
         return {"corrupted": False, "severity": "minor", "penalty": 0.2}
-    if re.search(r"[\u0300-\u036f]{3,}", text):
+    if not is_ascii and re.search(r"[\u0300-\u036f]{3,}", text):
         return {"corrupted": True, "severity": "moderate", "penalty": 0.2}
     return {"corrupted": False, "severity": "none", "penalty": 0}
 

@@ -61,16 +61,29 @@ def issue_id(issue: dict) -> str:
                            f"{issue.get('issue', '')[:20]}")
 
 
-def matches_pattern(issue: dict, pattern: str) -> bool:
-    """relationship_analyzer.py:415-436: multi-word patterns need >= 2
-    word hits across the searchable fields."""
-    words = pattern.lower().replace("_", " ").split()
-    text = " ".join([issue.get("item", ""), issue.get("category", ""),
+def _searchable_text(issue: dict) -> str:
+    return " ".join([issue.get("item", ""), issue.get("category", ""),
                      issue.get("issue", ""),
                      issue.get("description", "")]).lower()
+
+
+_PATTERN_WORDS: dict[str, list[str]] = {}
+
+
+def _matches_text(text: str, pattern: str) -> bool:
+    words = _PATTERN_WORDS.get(pattern)
+    if words is None:
+        words = pattern.lower().replace("_", " ").split()
+        _PATTERN_WORDS[pattern] = words
     if len(words) > 1:
         return sum(1 for w in words if w in text) >= 2
     return words[0] in text
+
+
+def matches_pattern(issue: dict, pattern: str) -> bool:
+    """relationship_analyzer.py:415-436: multi-word patterns need >= 2
+    word hits across the searchable fields."""
+    return _matches_text(_searchable_text(issue), pattern)
 
 
 def _plausibly_related(a: dict, b: dict) -> bool:
@@ -105,12 +118,13 @@ class _Ctx:
 
     def __init__(self, issues: list[dict]):
         self.ids = [issue_id(i) for i in issues]
+        texts = [_searchable_text(i) for i in issues]
         self.cause_masks = [
-            [p for p in CAUSAL_RELATIONSHIPS if matches_pattern(i, p)]
-            for i in issues]
+            [p for p in CAUSAL_RELATIONSHIPS if _matches_text(t, p)]
+            for t in texts]
         self.effect_sets = [
-            {e for e in _ALL_EFFECTS if matches_pattern(i, e)}
-            for i in issues]
+            {e for e in _ALL_EFFECTS if _matches_text(t, e)}
+            for t in texts]
         self.locs = [i.get("location", "").lower() for i in issues]
         self.water = [any(k in str(i.get("issue", "")).lower()
                           for k in _WATER_KEYWORDS) for i in issues]

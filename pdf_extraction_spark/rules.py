@@ -40,11 +40,18 @@ UNICODE_REPLACEMENTS: list[tuple[str, str]] = [
 
 def normalize_unicode_text(text: str) -> str:
     """Reference semantics of ``normalize_unicode_text`` (text_extractor.pyc:11-64):
-    replacement map -> NFKD -> drop combining marks (category M*)."""
+    replacement map -> NFKD -> drop combining marks (category M*).
+
+    ASCII fast path: NFKD is the identity on ASCII and ASCII has no
+    category-M characters, so post-replacement ASCII text returns as-is
+    (exact, and the overwhelmingly common case)."""
     if not text:
         return text
     for old, new in UNICODE_REPLACEMENTS:
-        text = text.replace(old, new)
+        if old in text:
+            text = text.replace(old, new)
+    if text.isascii():
+        return text
     text = unicodedata.normalize("NFKD", text)
     return "".join(c for c in text if not unicodedata.category(c).startswith("M"))
 
