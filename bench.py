@@ -74,6 +74,7 @@ def main() -> None:
         "sf": sf,
         "extract_docs": n_docs,
         "extract_docs_per_sec": docs_per_sec,
+        "enrich_docs_per_sec": round(n_docs / timings["enrich_corpus"], 2),
     }))
 
 

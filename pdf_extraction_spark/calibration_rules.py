@@ -41,13 +41,51 @@ class CalibrationRecord:
 
 
 class CalibrationStore:
-    """In-memory twin of CalibrationDatabase (at scale: a broadcast table)."""
+    """Twin of CalibrationDatabase (calibration_database.py:20-120,
+    SQLite in the reference). In-memory for per-run use; `save`/`load`
+    persist the history as a parquet table so calibration accumulates
+    across runs — the durable feedback loop (at scale: an Iceberg table
+    appended per run and broadcast at read time)."""
+
+    _FIELDS = ("category", "complexity", "strategy", "estimated_low",
+               "estimated_high", "actual_cost")
 
     def __init__(self) -> None:
         self.records: list[CalibrationRecord] = []
 
     def add(self, record: CalibrationRecord) -> None:
         self.records.append(record)
+
+    def save(self, spark, path: str, mode: str = "append") -> int:
+        """Persist the in-memory records (one row each). Returns the
+        number of rows written."""
+        if not self.records:
+            return 0
+        rows = [
+            (r.category, r.complexity, r.strategy,
+             float(r.estimated_low), float(r.estimated_high),
+             None if r.actual_cost is None else float(r.actual_cost))
+            for r in self.records]
+        df = spark.createDataFrame(
+            rows, "category string, complexity string, strategy string, "
+                  "estimated_low double, estimated_high double, "
+                  "actual_cost double")
+        df.write.mode(mode).parquet(path)
+        return len(rows)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CalibrationStore":
+        """Rebuild a store from the persisted history (all runs)."""
+        spark.catalog.refreshByPath(path)
+        store = cls()
+        for r in spark.read.parquet(path).collect():
+            store.add(CalibrationRecord(
+                category=r["category"], complexity=r["complexity"],
+                strategy=r["strategy"],
+                estimated_low=r["estimated_low"],
+                estimated_high=r["estimated_high"],
+                actual_cost=r["actual_cost"]))
+        return store
 
     def variance_stats(self, category: str | None = None,
                        complexity: str | None = None,

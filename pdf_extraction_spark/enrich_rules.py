@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from collections import Counter
 from difflib import SequenceMatcher
 from typing import Any
 
@@ -183,7 +184,8 @@ class DuplicateTracker:
     cannot reach the threshold, and quick_ratio gates the full ratio."""
 
     def __init__(self) -> None:
-        self.seen: list[tuple[str, int, SequenceMatcher]] = []
+        self.seen: list[tuple[str, int, Counter,
+                               SequenceMatcher]] = []
         self.seen_set: set[str] = set()
 
     def is_duplicate(self, text: str,
@@ -194,20 +196,26 @@ class DuplicateTracker:
         if normalized in self.seen_set:
             return True
         ln = len(normalized)
+        cn = Counter(normalized)
         # Reference order (text_cleaner.py:294): SequenceMatcher(None,
         # new, seen) — seq2 (where autojunk applies for >200-char strings)
         # is the SEEN text. One prepared matcher per seen entry keeps the
-        # b2j cache while preserving that argument order.
-        for seen, ls, sm in self.seen:
+        # b2j cache while preserving that argument order. The char-counter
+        # bound below IS difflib's quick_ratio (2*multiset-overlap/total),
+        # computed from cached counters instead of per-pair rebuilds.
+        for seen, ls, cs, sm in self.seen:
             mn, mx = (ls, ln) if ls < ln else (ln, ls)
             if 2 * mn < threshold * (mn + mx):
                 continue
+            overlap = sum(min(c, cn[ch]) for ch, c in cs.items())
+            if 2 * overlap < threshold * (ln + ls):
+                continue
             sm.set_seq1(normalized)
-            if sm.quick_ratio() >= threshold and sm.ratio() >= threshold:
+            if sm.ratio() >= threshold:
                 return True
         sm = SequenceMatcher()
         sm.set_seq2(normalized)
-        self.seen.append((normalized, ln, sm))
+        self.seen.append((normalized, ln, cn, sm))
         self.seen_set.add(normalized)
         return False
 

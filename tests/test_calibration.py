@@ -86,3 +86,24 @@ def test_apply_calibration_df(spark):
     # plumbing variance 0 -> factor 1.0 gated off -> unchanged
     assert out["plumbing"]["calibration_factor"] == 1.0
     assert out["hvac"]["calibrated_high"] == 200.0
+
+
+def test_durable_store_roundtrip(spark, tmp_path):
+    """Calibration history persists across runs: save -> append -> load
+    rebuilds the union, and factors reflect the accumulated history."""
+    path = str(tmp_path / "calibration")
+    run1 = _store(6, 20.0)
+    assert run1.save(spark, path) == 6
+    run2 = _store(6, 10.0)
+    assert run2.save(spark, path) == 6
+
+    loaded = cal.CalibrationStore.load(spark, path)
+    assert len(loaded.records) == 12
+    f = cal.best_calibration_factor(loaded, "roofing", "medium",
+                                    "rule_based")
+    assert f is not None and f["sample_count"] == 12
+    assert abs(f["factor"] - 1.15) < 1e-9  # mean of 20% and 10%
+    assert cal.should_apply(f)
+
+    # empty store is a no-op write
+    assert cal.CalibrationStore().save(spark, path) == 0
