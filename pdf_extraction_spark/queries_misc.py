@@ -381,11 +381,171 @@ FROM chains WHERE n_caused > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# J6 — Houston component cost database (cost_database.py:64-172,462-501)
+# ---------------------------------------------------------------------------
+
+J6_COMPONENTS = ["hvac air handler unit", "the ac condenser",
+                 "water heater replacement", "slab leak under kitchen",
+                 "gfci outlet", "roof leak at ridge",
+                 "foundation crack east wall", "drywall repair hallway",
+                 "mystery gadget xyz"]
+J6_SPECS = ["", "50 gallon gas unit", "200 amp service", "3 ton system"]
+J6_AGES = [None, 20, 40]
+J6_ACCESS = ["normal", "difficult"]
+J6_QUALITY = ["low", "medium", "high"]
+
+
+def q_cost_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cost_db_estimate via the real estimation_rules code: fuzzy
+    component lookup, spec-variant selection, context adjustments."""
+    from . import estimation_rules as est
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(J6_COMPONENTS, F.pmod(k, F.lit(9))).alias("component"),
+        _pick(J6_SPECS, F.pmod(F.floor(k / 7), F.lit(4))).alias("spec"),
+        F.element_at(F.array(*[F.lit(a).cast("int") for a in J6_AGES]),
+                     (F.pmod(F.floor(k / 11), F.lit(3)) + 1).cast("int"))
+        .alias("age"),
+        _pick(J6_ACCESS, F.pmod(F.floor(k / 13), F.lit(2))).alias("access"),
+        _pick(J6_QUALITY, F.pmod(F.floor(k / 17), F.lit(3))).alias("quality"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ctx = {"property_age": None if pd.isna(r.age) else int(r.age),
+                       "access_difficulty": r.access,
+                       "information_quality": r.quality}
+                e = est.cost_db_estimate(r.component, r.spec or None, ctx)
+                rows.append({
+                    "doc_id": r.doc_id, "line_key": r.k,
+                    "estimated_low": None if e is None
+                    else float(e["estimated_low"]),
+                    "estimated_high": None if e is None
+                    else float(e["estimated_high"]),
+                    "confidence": None if e is None
+                    else float(e["confidence"]),
+                    "contractor_type": None if e is None
+                    else e["contractor_type"],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, estimated_low double, "
+             "estimated_high double, confidence double, "
+             "contractor_type string")
+
+
+def _sql_cost_db() -> str:
+    """Build-time transcription: normalization + word-overlap/alias match
+    + spec-variant selection resolved per pick pair from the rule tables
+    (all static), leaving only the context arithmetic in SQL."""
+    from . import estimation_rules as est
+
+    def normalize(component: str) -> str:
+        n = component.lower().strip()
+        for word in ("the", "a", "an", "replacement", "repair",
+                     "installation"):
+            n = n.replace(f" {word} ", " ")
+            if n.startswith(f"{word} "):
+                n = n[len(word) + 1:]
+            n = n.replace(f"{word} ", "")
+        return " ".join(n.split())
+
+    def match_key(component: str) -> str | None:
+        q = normalize(component)
+        qw = set(q.split())
+        for key in est.COMPONENTS:
+            kw = set(key.replace("_", " ").split())
+            if len(qw & kw) >= 2:
+                return key
+            for alias, variations in est._COMPONENT_ALIASES.items():
+                if alias in q and any(v in key for v in variations):
+                    return key
+        return None
+
+    arms = []
+    for ci, comp in enumerate(J6_COMPONENTS):
+        key = match_key(comp)
+        if key is None:
+            continue
+        data = est.COMPONENTS[key]
+        rate = float(data["labor_rate"])
+        h_min, h_max = (float(data["labor_hours"]["min"]),
+                        float(data["labor_hours"]["max"]))
+        permits = float(data["permits"])
+        addl = float(sum(data["additional_costs"].values()))
+        conf = float(data["confidence"])
+        ctype = data["contractor_type"]
+        materials = data["materials"]
+        variant = isinstance(materials, dict) \
+            and any(isinstance(v, dict) for v in materials.values())
+        for si, spec in enumerate(J6_SPECS):
+            mat = materials
+            if variant:
+                mat = None
+                if spec:
+                    for mkey, mval in materials.items():
+                        if isinstance(mval, dict) and any(
+                                t in spec.lower() for t in mkey.split("_")):
+                            mat = mval
+                            break
+            if mat is None or "min" not in mat:
+                continue  # variant table without a matching spec -> NULL
+            arms.append(
+                f"WHEN ci = {ci} AND si = {si} THEN struct_pack("
+                f"hmin := {h_min}::DOUBLE, hmax := {h_max}::DOUBLE, "
+                f"rate := {rate}::DOUBLE, mmin := {float(mat['min'])}::DOUBLE, "
+                f"mmax := {float(mat['max'])}::DOUBLE, "
+                f"fixed := {permits + addl}::DOUBLE, "
+                f"conf := {conf}::DOUBLE, ctype := '{ctype}')")
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    CAST(o_orderkey % 9 AS INT) AS ci,
+    CAST((o_orderkey // 7) % 4 AS INT) AS si,
+    [NULL, 20, 40][CAST(1 + (o_orderkey // 11) % 3 AS INT)] AS age,
+    {_sql_list(J6_ACCESS)}[CAST(1 + (o_orderkey // 13) % 2 AS INT)]
+      AS access,
+    {_sql_list(J6_QUALITY)}[CAST(1 + (o_orderkey // 17) % 3 AS INT)]
+      AS quality
+  FROM orders),
+matched AS (
+  SELECT *, CASE {' '.join(arms)} END AS m FROM inputs),
+adj AS (
+  SELECT *,
+    m.hmin * CASE WHEN age IS NOT NULL AND age > 30 THEN 1.1::DOUBLE
+                  ELSE 1.0::DOUBLE END
+           * CASE WHEN access = 'difficult' THEN 1.2::DOUBLE
+                  ELSE 1.0::DOUBLE END AS hmin_a,
+    m.hmax * CASE WHEN age IS NOT NULL AND age > 30 THEN 1.2::DOUBLE
+                  ELSE 1.0::DOUBLE END
+           * CASE WHEN access = 'difficult' THEN 1.4::DOUBLE
+                  ELSE 1.0::DOUBLE END AS hmax_a,
+    CASE quality WHEN 'low' THEN m.conf * 0.8::DOUBLE
+                 WHEN 'high' THEN least(0.95::DOUBLE,
+                                        m.conf * 1.1::DOUBLE)
+                 ELSE m.conf END AS conf_a
+  FROM matched)
+SELECT doc_id, k AS line_key,
+  round_even(hmin_a * m.rate + m.mmin + m.fixed, 2) AS estimated_low,
+  round_even(hmax_a * m.rate + m.mmax + m.fixed, 2) AS estimated_high,
+  conf_a AS confidence,
+  m.ctype AS contractor_type
+FROM adj
+"""
+
+
 QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summaries": q_summaries,
     "checkpoint_cache": q_checkpoint_cache,
     "calibration": q_calibration,
     "causal_chains": q_causal_chains,
+    "cost_db": q_cost_db,
 }
 
 ORACLES_MISC: dict[str, str] = {
@@ -393,4 +553,5 @@ ORACLES_MISC: dict[str, str] = {
     "checkpoint_cache": SQL_CHECKPOINT,
     "calibration": _sql_calibration(),
     "causal_chains": SQL_CAUSAL_CHAINS,
+    "cost_db": _sql_cost_db(),
 }
