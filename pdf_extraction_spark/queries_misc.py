@@ -526,10 +526,11 @@ adj AS (
                   ELSE 1.0::DOUBLE END
            * CASE WHEN access = 'difficult' THEN 1.4::DOUBLE
                   ELSE 1.0::DOUBLE END AS hmax_a,
-    CASE quality WHEN 'low' THEN m.conf * 0.8::DOUBLE
-                 WHEN 'high' THEN least(0.95::DOUBLE,
-                                        m.conf * 1.1::DOUBLE)
-                 ELSE m.conf END AS conf_a
+    CASE WHEN m IS NULL THEN NULL
+         WHEN quality = 'low' THEN m.conf * 0.8::DOUBLE
+         WHEN quality = 'high' THEN least(0.95::DOUBLE,
+                                          m.conf * 1.1::DOUBLE)
+         ELSE m.conf END AS conf_a
   FROM matched)
 SELECT doc_id, k AS line_key,
   round_even(hmin_a * m.rate + m.mmin + m.fixed, 2) AS estimated_low,
