@@ -280,3 +280,59 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (pairs.withColumn("hamming", hamming.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Connected-components keeper assignment (full transitive dedup)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id_a, id_b) near-dup edges -> (id, component) where component is
+    the minimum id in each connected component — the full transitive
+    keeper assignment (vs minhash_dedup's single-hop min-partner).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbours' labels (one join + one groupBy per round),
+    converging in O(component diameter) rounds — near-dup clusters are
+    shallow, so this is a handful of narrow shuffles at any scale. Rounds
+    localCheckpoint to cut lineage; iteration stops at the first round
+    with zero label changes.
+    """
+    edges = (pairs.select("id_a", "id_b")
+             .union(pairs.select(F.col("id_b").alias("id_a"),
+                                 F.col("id_a").alias("id_b")))
+             .distinct().persist())
+    labels = (edges.select(F.col("id_a").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges
+                 .join(labels.select(F.col("id").alias("id_b"),
+                                     F.col("comp").alias("nc")), "id_b")
+                 .groupBy("id_a").agg(F.min("nc").alias("min_neigh")))
+        new_labels = (labels
+                      .join(neigh, labels["id"] == neigh["id_a"], "left")
+                      .select(labels["id"],
+                              F.least(F.col("comp"),
+                                      F.coalesce("min_neigh", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_components(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Full transitive dedup verdict: every doc mapped to its component
+    keeper (docs in no pair keep themselves)."""
+    comp = connected_components(pairs)
+    return (docs.join(comp, docs[id_col] == comp["id"], "left")
+            .select(docs["*"],
+                    F.coalesce("comp", docs[id_col]).alias("keeper_doc_id"))
+            .withColumn("is_near_duplicate",
+                        F.col("keeper_doc_id") != F.col(id_col)))

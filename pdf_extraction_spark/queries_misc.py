@@ -541,12 +541,55 @@ FROM adj
 """
 
 
+# ---------------------------------------------------------------------------
+# Connected-components dedup (transitive keeper over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transitive dedup: jaccard near-dup pairs (threshold 0.5) ->
+    min-label-propagation connected components -> per-doc keeper, via the
+    real operators. The oracle recomputes reachability with a recursive
+    CTE over the identical edge set."""
+    from .operators.dedup import dedup_components, jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    pairs = jaccard_pairs(d, min_shared=2).where(F.col("jaccard") >= 0.5)
+    out = dedup_components(d, pairs)
+    return out.select("doc_id", "keeper_doc_id", "is_near_duplicate")
+
+
+def _sql_dedup_components() -> str:
+    from .queries import SQL_JACCARD_PAIRS
+
+    return f"""
+WITH pairs AS ({SQL_JACCARD_PAIRS.replace('FROM pairs WHERE n_shared >= 2',
+                                          'FROM pairs WHERE n_shared >= 2')}),
+edges AS (
+  SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5
+  UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.id_a, r.seen FROM edges e JOIN r ON r.id = e.id_b)
+  SELECT id, min(seen) AS comp FROM r GROUP BY id)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+  coalesce(reach.comp, CAST(d.doc_id AS VARCHAR)) AS keeper_doc_id,
+  coalesce(reach.comp, CAST(d.doc_id AS VARCHAR)) <> CAST(d.doc_id AS VARCHAR)
+    AS is_near_duplicate
+FROM documents d LEFT JOIN reach ON reach.id = CAST(d.doc_id AS VARCHAR)
+"""
+
+
 QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summaries": q_summaries,
     "checkpoint_cache": q_checkpoint_cache,
     "calibration": q_calibration,
     "causal_chains": q_causal_chains,
     "cost_db": q_cost_db,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES_MISC: dict[str, str] = {
@@ -555,4 +598,5 @@ ORACLES_MISC: dict[str, str] = {
     "calibration": _sql_calibration(),
     "causal_chains": SQL_CAUSAL_CHAINS,
     "cost_db": _sql_cost_db(),
+    "dedup_components": _sql_dedup_components(),
 }

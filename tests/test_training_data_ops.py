@@ -219,3 +219,51 @@ def test_simhash_matches_bruteforce_reference(docs):
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     for r in docs.collect():
         assert got[r["doc_id"]] == ref_simhash(r["text"]), r["doc_id"]
+
+
+def test_connected_components_transitive(spark):
+    """A-B, B-C, C-D chain plus an isolated pair: the keeper must be the
+    transitive minimum, which single-hop min-partner cannot produce."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string")
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in ["a", "b", "c", "d", "x", "y", "z"]],
+        "doc_id string")
+    verdicts = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+                for r in dedup.dedup_components(docs, pairs).collect()}
+    assert verdicts["d"] == ("a", True)
+    assert verdicts["z"] == ("z", False)   # not in any pair
+
+    # matches union-find on a random graph
+    import random
+    rng = random.Random(7)
+    ids = [f"n{i:03d}" for i in range(60)]
+    edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {i: i for i in ids}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for i in ids:
+        want.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for r, members in want.items()
+              for i in members}
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(
+        spark.createDataFrame(edges, "id_a string, id_b string")).collect()}
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {i: c for i, c in expect.items() if i in touched}
