@@ -63,3 +63,54 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
         q.stop()
 
     assert got == batch
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState content-hash gate: first sight -> 'new',
+    content change -> 'changed', exact repeat -> suppressed — across
+    micro-batches with per-doc state."""
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.streaming.stateful import (
+        dedup_decisions_stream)
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ckpt")
+    docs = corpus.generate_docs(spark, 10, partitions=1).persist()
+    docs.write.parquet(src)
+
+    q = (dedup_decisions_stream(spark, src)
+         .writeStream.format("memory").queryName("dedup_stream")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        first = spark.sql("select * from dedup_stream").collect()
+        assert len(first) == 10
+        assert all(r["decision"] == "new" for r in first)
+
+        # batch 2: 5 docs unchanged (exact repeat), 5 docs with an extra
+        # span appended (content change)
+        changed = docs.where(F.pmod(F.col("doc_id").substr(-1, 1)
+                                    .cast("int"), F.lit(2)) == 0)
+        unchanged = docs.where(F.pmod(F.col("doc_id").substr(-1, 1)
+                                      .cast("int"), F.lit(2)) == 1)
+        bumped = changed.withColumn(
+            "spans", F.concat("spans", F.array(F.struct(
+                F.lit("text").alias("kind"),
+                F.lit("appended line").alias("text"),
+                F.lit("").alias("media_ref"),
+                (F.size("spans")).alias("offset")))))
+        bumped.unionByName(unchanged).write.mode("append").parquet(src)
+
+        q.processAllAvailable()
+        rows = spark.sql("select * from dedup_stream").collect()
+        decisions = {}
+        for r in rows:
+            decisions.setdefault(r["doc_id"], []).append(r["decision"])
+        n_changed = sum(1 for v in decisions.values() if "changed" in v)
+        assert n_changed == 5, decisions
+        # unchanged repeats emitted nothing beyond their initial 'new'
+        assert sum(len(v) for v in decisions.values()) == 15
+    finally:
+        q.stop()
+    docs.unpersist()
