@@ -583,6 +583,109 @@ FROM documents d LEFT JOIN reach ON reach.id = CAST(d.doc_id AS VARCHAR)
 """
 
 
+# ---------------------------------------------------------------------------
+# all-pairs top-k (bucketed self-join similarity) + media frame sampling
+# ---------------------------------------------------------------------------
+
+APT_PLANES = 8
+APT_DIM = 64
+
+
+def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-k neighbours inside LSH buckets (the
+    operators/similarity.py all_pairs_topk shape), scored at milli
+    precision and ranked with a deterministic tie-break so both engines
+    cut identical top-k sets."""
+    from pyspark.sql import Window
+    from .operators.similarity import cosine_col, with_lsh_buckets
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed = with_lsh_buckets(e, APT_DIM, APT_PLANES)
+    left = bucketed.select("bucket", F.col("vec_id").alias("id_a"),
+                           F.col("embedding").alias("e_a"))
+    right = bucketed.select("bucket", F.col("vec_id").alias("id_b"),
+                            F.col("embedding").alias("e_b"))
+    pairs = (left.join(right, "bucket")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.floor(cosine_col(F.col("e_a"), F.col("e_b")) * 1000)
+                     .cast("long").alias("sim_milli")))
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim_milli"), "id_b")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("id_a", "id_b", "sim_milli",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def _sql_all_pairs_topk() -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(APT_DIM, APT_PLANES)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, pl.planes[{i + 1}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(APT_PLANES))
+    return f"""
+WITH pl AS (SELECT [{plane_lits}] AS planes),
+be AS (
+  SELECT vec_id, embedding, {bucket_expr} AS bucket
+  FROM embeddings, pl),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000)
+         AS BIGINT) AS sim_milli
+  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY sim_milli DESC, id_b) AS rank
+  FROM pairs)
+SELECT id_a, id_b, sim_milli, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators/multimodal.py sample_frames):
+    one row per sampled frame of each synthetic video, payload projected
+    to its md5 hex (= md5 of 'ref:idx' by construction — exactly
+    recomputable in SQL)."""
+    from .operators.multimodal import sample_frames, synthesize_media
+
+    refs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("img://doc_"), F.col("doc_id").cast("string"),
+                 F.lit("/0")).alias("media_ref"))
+    media = synthesize_media(spark, refs)
+    frames = sample_frames(media, every_ms=80, fake=True)
+    return frames.select(
+        "media_ref", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.lower(F.hex("frame")).alias("frame_md5"))
+
+
+SQL_MEDIA_FRAMES = """
+WITH refs AS (
+  SELECT 'img://doc_' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref
+  FROM documents),
+m AS (
+  SELECT media_ref, md5(media_ref) AS h FROM refs),
+vids AS (
+  SELECT media_ref,
+    (('0x' || substr(h, 9, 2))::INT % 32 + 1) * 40 AS duration_ms
+  FROM m
+  WHERE ('0x' || substr(h, 11, 2))::INT % 3 = 1),
+frames AS (
+  SELECT media_ref, CAST(idx AS BIGINT) AS frame_idx,
+         CAST(idx * 80 AS BIGINT) AS ts_ms
+  FROM vids CROSS JOIN unnest(range(0, CAST((duration_ms + 79) // 80
+                                            AS BIGINT))) AS t(idx))
+SELECT media_ref, frame_idx, ts_ms,
+  md5(media_ref || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summaries": q_summaries,
     "checkpoint_cache": q_checkpoint_cache,
@@ -590,6 +693,8 @@ QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "causal_chains": q_causal_chains,
     "cost_db": q_cost_db,
     "dedup_components": q_dedup_components,
+    "all_pairs_topk": q_all_pairs_topk,
+    "media_frames": q_media_frames,
 }
 
 ORACLES_MISC: dict[str, str] = {
@@ -599,4 +704,6 @@ ORACLES_MISC: dict[str, str] = {
     "causal_chains": SQL_CAUSAL_CHAINS,
     "cost_db": _sql_cost_db(),
     "dedup_components": _sql_dedup_components(),
+    "all_pairs_topk": _sql_all_pairs_topk(),
+    "media_frames": SQL_MEDIA_FRAMES,
 }
