@@ -686,6 +686,81 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# A1 — extraction summary (per-doc status/priority/table counts)
+# ---------------------------------------------------------------------------
+
+def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the real exploded extraction plan (plans/extraction.py
+    assemble): per-doc issue counts by status and priority plus table
+    count — the oracle aggregates the shared segmentation and table
+    transcriptions."""
+    from .plans.extraction import assemble
+    from .queries import derived_lines
+
+    lines = derived_lines(spark, sf_dir)
+    docs = (lines.groupBy(F.col("doc_id").cast("string").alias("doc_id"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda x: F.struct(
+                    F.lit("text").alias("kind"), x["text"].alias("text"),
+                    F.lit("").alias("media_ref"), x["offset"].alias("offset")),
+            ).alias("spans")))
+    out = assemble(docs)
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("summary.total_issues").cast("long").alias("total_issues"),
+        F.col("summary.deficient").cast("long").alias("deficient"),
+        F.col("summary.inspected").cast("long").alias("inspected"),
+        F.col("summary.not_inspected").cast("long").alias("not_inspected"),
+        F.col("summary.not_present").cast("long").alias("not_present"),
+        F.col("summary.high").cast("long").alias("high"),
+        F.col("summary.medium").cast("long").alias("medium"),
+        F.col("summary.low").cast("long").alias("low"),
+        F.col("summary.info").cast("long").alias("info"),
+        F.col("summary.total_tables").cast("long").alias("total_tables"))
+
+
+def _sql_extract_summary() -> str:
+    from .queries import SQL_SEGMENTATION, _sql_tables
+
+    return f"""
+WITH iss AS ({SQL_SEGMENTATION}),
+tabs AS ({_sql_tables()}),
+icounts AS (
+  SELECT doc_id,
+    count(*) AS total_issues,
+    count(*) FILTER (WHERE status = 'D') AS deficient,
+    count(*) FILTER (WHERE status = 'I') AS inspected,
+    count(*) FILTER (WHERE status = 'NI') AS not_inspected,
+    count(*) FILTER (WHERE status = 'NP') AS not_present,
+    count(*) FILTER (WHERE priority = 'high') AS high,
+    count(*) FILTER (WHERE priority = 'medium') AS medium,
+    count(*) FILTER (WHERE priority = 'low') AS low,
+    count(*) FILTER (WHERE priority = 'info') AS info
+  FROM iss GROUP BY doc_id),
+tcounts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, count(*) AS total_tables
+  FROM tabs GROUP BY doc_id),
+docs AS (
+  SELECT DISTINCT CAST(o_orderkey % 100 AS VARCHAR) AS doc_id FROM orders)
+SELECT d.doc_id,
+  coalesce(i.total_issues, 0) AS total_issues,
+  coalesce(i.deficient, 0) AS deficient,
+  coalesce(i.inspected, 0) AS inspected,
+  coalesce(i.not_inspected, 0) AS not_inspected,
+  coalesce(i.not_present, 0) AS not_present,
+  coalesce(i.high, 0) AS high,
+  coalesce(i.medium, 0) AS medium,
+  coalesce(i.low, 0) AS low,
+  coalesce(i.info, 0) AS info,
+  coalesce(t.total_tables, 0) AS total_tables
+FROM docs d
+LEFT JOIN icounts i ON i.doc_id = d.doc_id
+LEFT JOIN tcounts t ON t.doc_id = d.doc_id
+"""
+
+
 QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summaries": q_summaries,
     "checkpoint_cache": q_checkpoint_cache,
@@ -695,6 +770,7 @@ QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "all_pairs_topk": q_all_pairs_topk,
     "media_frames": q_media_frames,
+    "extract_summary": q_extract_summary,
 }
 
 ORACLES_MISC: dict[str, str] = {
@@ -706,4 +782,5 @@ ORACLES_MISC: dict[str, str] = {
     "dedup_components": _sql_dedup_components(),
     "all_pairs_topk": _sql_all_pairs_topk(),
     "media_frames": SQL_MEDIA_FRAMES,
+    "extract_summary": _sql_extract_summary(),
 }
