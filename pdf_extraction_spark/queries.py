@@ -820,7 +820,14 @@ SELECT doc_id, 1 AS total_pages, 'inspection' AS report_type,
   CAST(replace(nullif(regexp_extract(txt,
     '(?i)(\\d{{1,2}},?\\d{{3}})\\s*(?:square\\s*feet|sq\\.?\\s*ft\\.?|sf)', 1),
     ''), ',', '') AS INT) AS square_footage,
-  CAST(1900 + CAST(doc_id AS INT) % 120 AS INT) AS year_built,
+  -- year extraction is leftmost-first over the whole metadata text
+  -- (YEAR_PATTERNS[1] has an optional prefix, so it grabs the FIRST
+  -- 4-digit run); a 4-digit report number hijacks the match and fails
+  -- the 1800-2025 range check -> NULL (faithful operator behavior)
+  CASE WHEN TRY_CAST(regexp_extract(txt, '(\d{{4}})', 1) AS INT)
+            BETWEEN 1800 AND 2025
+       THEN TRY_CAST(regexp_extract(txt, '(\d{{4}})', 1) AS INT) END
+    AS year_built,
   CAST(1 + CAST(doc_id AS INT) % 3 AS INT) AS stories,
   trim(nullif(regexp_extract(txt,
     '(?i)(?:property\\s*type|home\\s*type|style)[:\\s]*([\\w\\s]+?)(?:\\n|,|;)', 1),

@@ -46,8 +46,8 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pick(SUM_CX, F.pmod(F.floor(k / 17), F.lit(3))).alias("cx"),
         (F.pmod(k, F.lit(4)) == 0).alias("safety"),
         (F.pmod(F.floor(k / 5), F.lit(3)) == 0).alias("grouped"),
-        (5 + F.pmod(F.floor(k / 19), F.lit(5))).cast("double").alias("urg"),
-        (4 + F.pmod(F.floor(k / 29), F.lit(6))).cast("double").alias("cxf"),
+        (4 + 2 * F.pmod(F.floor(k / 19), F.lit(4))).cast("double").alias("urg"),
+        (4 + 2 * F.pmod(F.floor(k / 29), F.lit(4))).cast("double").alias("cxf"),
         (4 * b).cast("long").alias("est_low"),
         (8 * b).cast("long").alias("est_high"),
         (40 + 10 * F.pmod(F.floor(k / 31), F.lit(6))).cast("long")
@@ -125,8 +125,8 @@ WITH inputs AS (
     {_pick_sql(SUM_CX, 17, 3)} AS cx,
     o_orderkey % 4 = 0 AS safety,
     (o_orderkey // 5) % 3 = 0 AS grouped,
-    CAST(5 + (o_orderkey // 19) % 5 AS DOUBLE) AS urg,
-    CAST(4 + (o_orderkey // 29) % 6 AS DOUBLE) AS cxf,
+    CAST(4 + 2 * ((o_orderkey // 19) % 4) AS DOUBLE) AS urg,
+    CAST(4 + 2 * ((o_orderkey // 29) % 4) AS DOUBLE) AS cxf,
     (o_orderkey // 37) % 4 = 0 AS review,
     CAST(40 + 10 * ((o_orderkey // 31) % 6) AS BIGINT) AS conf
   FROM orders)
@@ -140,9 +140,9 @@ SELECT doc_id,
   {_dim_sql('strat', SUM_STRATS)} AS by_strategy,
   count(*) FILTER (WHERE safety) AS safety_issues,
   count(*) FILTER (WHERE grouped) AS grouped_issues,
-  -- integer urgency/complexity: the sums are exact, so avg = S/n is the
-  -- same double both engines and k/n never equals a .xx5 tie for the
-  -- driver's corpus sizes (n*(2m+1) = 200k has no solution for n=30,300)
+  -- EVEN-integer urgency/complexity: the sums are exact and even, so
+  -- avg = S/n is the same double both engines and the .xx5 rounding tie
+  -- 200S = n(2m+1) has no even-S solution for n in {30, 300, 3000}
   round_even(sum(urg) / count(*), 2) AS avg_urgency,
   round_even(sum(cxf) / count(*), 2) AS avg_complexity,
   count(*) AS est_issues,
