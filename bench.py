@@ -1,11 +1,28 @@
-"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+"""Per-round benchmark: production-path kernels at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
+Round-3 redesign (VERDICT r2 items 2-3): time the PRODUCTION paths, not
+the oracle-comparability verification queries.  The round-2 bench spent
+112s of its 176s wall rebuilding a derived corpus via
+groupBy+collect_list+explode for q_sections/q_segmentation — those
+queries exist so DuckDB can check values, not to measure the engine, and
+their walls were dominated by hypervisor steal (4.8s -> 71.5s on
+unchanged code).  The fused extraction kernel already executes W1
+sections + W2 segmentation + tables per document, so the exploded twins
+add no coverage.
+
+Every timing is best-of-N (extraction N=3, enrichment N=2, operator
+kernels N=3) with per-run walls recorded in "spread", so a steal-hit run
+is visible instead of silently polluting the headline.
+
 Headline workload:
-  - extract_corpus: full extraction plan (explode → T1 → classify → W1 →
-    W2 grouped-map → tables/J1 → per-doc reassembly) over the canonical
-    synthetic span corpus (pdf_extraction_spark.corpus), sized by SF.
-  - the operator queries from pdf_extraction_spark.queries on the SF dir.
+  - extract_corpus: fused zero-shuffle extraction (mapInArrow: T1
+    normalize -> classify -> W1 sections -> W2 segmentation -> tables/J1
+    -> per-doc reassembly) over the canonical synthetic span corpus.
+  - enrich_corpus: full 6-phase enrichment (mapInPandas) of the
+    extracted output.
+  - dedup/similarity/textstats kernels straight on the SF-dir
+    documents/embeddings parquet (the operators as a user calls them).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default all), BENCH_N_DOCS overrides corpus size.
@@ -22,9 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.operators import dedup as dd
+    from pdf_extraction_spark.operators import similarity as sim
+    from pdf_extraction_spark.operators import textstats as ts
+    from pdf_extraction_spark.plans.enrichment import enrich_extracted
     from pdf_extraction_spark.plans.fused import assemble_fused
-    from pdf_extraction_spark.queries import QUERIES
     from pdf_extraction_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,49 +57,75 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(name: str, fn, n: int = 3) -> None:
+        walls = []
+        for _ in range(n):
+            t0 = time.monotonic()
+            fn()
+            walls.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(walls)
+        spread[name] = walls
+
+    # ------------------------------------------------------------------
+    # extraction + enrichment over the canonical synthetic span corpus
+    # ------------------------------------------------------------------
     docs = corpus.generate_docs(spark, n_docs, giant_every=997).persist()
-    docs.count()  # materialize the synthetic corpus outside the timed region
+    docs.count()  # materialize outside the timed region
 
-    # warm-up pass (python worker startup), then two timed headline runs
-    # (best-of-2: the host shows hypervisor steal; see BENCH/BASELINE.md)
-    assemble_fused(docs).write.format("noop").mode("overwrite").save()
-    extract_walls = []
-    for _ in range(2):
-        t0 = time.time()
-        n_out = assemble_fused(docs).count()
-        extract_walls.append(round(time.time() - t0, 3))
-        assert n_out == n_docs, (n_out, n_docs)
-    timings["extract_corpus"] = min(extract_walls)
+    noop(assemble_fused(docs))  # warm-up: python worker startup
+    timed("extract_corpus", lambda: noop(assemble_fused(docs)), n=3)
 
-    from pdf_extraction_spark.plans.enrichment import enrich_extracted
     extracted = assemble_fused(docs).persist()
     extracted.count()
-    t0 = time.time()
-    enrich_extracted(extracted).write.format("noop").mode("overwrite").save()
-    timings["enrich_corpus"] = round(time.time() - t0, 3)
+    timed("enrich_corpus", lambda: noop(enrich_extracted(extracted)), n=2)
     extracted.unpersist()
+    docs.unpersist()
 
-    bench_queries = ["segmentation", "sections", "status_detect",
-                     "dedup_exact", "ngram_shingles", "token_stats",
-                     "cosine_topk", "fingerprint"]
-    for name in bench_queries:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[f"q_{name}"] = round(time.time() - t0, 3)
+    # ------------------------------------------------------------------
+    # operator kernels straight on the SF-dir tables
+    # ------------------------------------------------------------------
+    dtab = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text").persist()
+    n_dtab = dtab.count()
+    etab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    etab.count()
+    dim = len(etab.select("embedding").head()[0])
+    qvec = [float(x) for x in etab.select("embedding").head()[0]]
+
+    timed("k_dedup_exact", lambda: noop(dd.exact_dedup(dtab)))
+    timed("k_minhash_dedup", lambda: noop(dd.minhash_dedup(dtab)))
+    timed("k_jaccard_pairs", lambda: noop(dd.jaccard_pairs(dtab)))
+    sigs = dd.simhash(dtab)
+    timed("k_simhash_pairs", lambda: noop(dd.simhash_pairs(sigs,
+                                                           max_hamming=3)))
+    timed("k_textstats", lambda: noop(
+        dtab.select("doc_id",
+                    *ts.quality_columns(F.col("text")),
+                    *ts.lang_id_columns(F.col("text")),
+                    ts.fingerprint_col(F.col("text")).alias("fp"))))
+    timed("k_cosine_topk", lambda: noop(sim.cosine_topk(etab, qvec, k=10)))
+    timed("k_ann_topk", lambda: noop(sim.ann_topk(etab, qvec, dim, k=10)))
+    timed("k_all_pairs_topk", lambda: noop(sim.all_pairs_topk(etab, dim,
+                                                              k=5)))
+    dtab.unpersist()
+    etab.unpersist()
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_docs / timings["extract_corpus"], 2)
     print(json.dumps({
-        "metric": "end-to-end extraction + operator suite wall time",
+        "metric": "end-to-end extraction + operator kernel wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "extract_docs": n_docs,
-        "extract_docs_per_sec": docs_per_sec,
-        "extract_walls": extract_walls,
+        "kernel_docs": n_dtab,
+        "extract_docs_per_sec": round(n_docs / timings["extract_corpus"], 2),
         "enrich_docs_per_sec": round(n_docs / timings["enrich_corpus"], 2),
     }))
 

@@ -176,12 +176,21 @@ def clean_item_name(item: str) -> str:
     return item
 
 
+_DUP_NORM_CACHE: dict[str, tuple[str, Counter]] = {}
+_PAIR_RATIO_CACHE: dict[tuple[str, str], float] = {}
+_MATCHER_CACHE: dict[str, SequenceMatcher] = {}
+_DUP_CACHE_MAX = 500_000
+
+
 class DuplicateTracker:
     """T5 (text_cleaner.py:275-301): per-document sequential near-dup check.
 
     Exact accelerations: an identical string short-circuits (ratio 1.0),
     the length-ratio bound (== difflib real_quick_ratio) skips pairs that
-    cannot reach the threshold, and quick_ratio gates the full ratio."""
+    cannot reach the threshold, and quick_ratio gates the full ratio.
+    The tracker state is per-document, but normalization and pair ratios
+    are pure string functions cached process-wide — boilerplate
+    descriptions recur across documents, so repeat docs skip difflib."""
 
     def __init__(self) -> None:
         self.seen: list[tuple[str, int, Counter,
@@ -192,11 +201,16 @@ class DuplicateTracker:
                      threshold: float = rules.DUPLICATE_SIMILARITY_THRESHOLD) -> bool:
         if not text:
             return False
-        normalized = clean_text(text.lower())
+        cached = _DUP_NORM_CACHE.get(text)
+        if cached is None:
+            normalized = clean_text(text.lower())
+            cached = (normalized, Counter(normalized))
+            if len(_DUP_NORM_CACHE) < _DUP_CACHE_MAX:
+                _DUP_NORM_CACHE[text] = cached
+        normalized, cn = cached
         if normalized in self.seen_set:
             return True
         ln = len(normalized)
-        cn = Counter(normalized)
         # Reference order (text_cleaner.py:294): SequenceMatcher(None,
         # new, seen) — seq2 (where autojunk applies for >200-char strings)
         # is the SEEN text. One prepared matcher per seen entry keeps the
@@ -210,11 +224,24 @@ class DuplicateTracker:
             overlap = sum(min(c, cn[ch]) for ch, c in cs.items())
             if 2 * overlap < threshold * (ln + ls):
                 continue
-            sm.set_seq1(normalized)
-            if sm.ratio() >= threshold:
+            pair = (normalized, seen)
+            r = _PAIR_RATIO_CACHE.get(pair)
+            if r is None:
+                sm.set_seq1(normalized)
+                r = sm.ratio()
+                if len(_PAIR_RATIO_CACHE) < _DUP_CACHE_MAX:
+                    _PAIR_RATIO_CACHE[pair] = r
+            if r >= threshold:
                 return True
-        sm = SequenceMatcher()
-        sm.set_seq2(normalized)
+        sm = _MATCHER_CACHE.get(normalized)
+        if sm is None:
+            # set_seq2's b2j index is the expensive half of a matcher;
+            # it is pure per string, so share it process-wide (workers
+            # are single-threaded, and set_seq1 does not touch b2j)
+            sm = SequenceMatcher()
+            sm.set_seq2(normalized)
+            if len(_MATCHER_CACHE) < _DUP_CACHE_MAX:
+                _MATCHER_CACHE[normalized] = sm
         self.seen.append((normalized, ln, cn, sm))
         self.seen_set.add(normalized)
         return False
@@ -368,9 +395,31 @@ def _semantic_meaning(text: str) -> float:
     return min(1.0, max(0.0, score))
 
 
+_QUALITY_MEMO: dict[tuple, tuple[str, float, str]] = {}
+_QUALITY_MEMO_MAX = 200_000
+
+
 def quality_validate(issue: dict) -> tuple[str, float, str]:
     """F9 routing (data_quality_validator.py:137-316): returns
-    (action, quality_score, reason)."""
+    (action, quality_score, reason). Memoized on exactly the fields the
+    validator reads (issue id only matters via the HEADER substring test,
+    data_quality_validator.py:379) — boilerplate issues recur across
+    documents, so the hit rate at corpus scale is high."""
+    key = (issue.get("description"), issue.get("title"),
+           issue.get("status"), issue.get("section"),
+           "HEADER" in str(issue.get("id", "unknown")).upper())
+    try:
+        hit = _QUALITY_MEMO.get(key)
+    except TypeError:          # unhashable field value: compute directly
+        return _quality_validate_impl(issue)
+    if hit is None:
+        hit = _quality_validate_impl(issue)
+        if len(_QUALITY_MEMO) < _QUALITY_MEMO_MAX:
+            _QUALITY_MEMO[key] = hit
+    return hit
+
+
+def _quality_validate_impl(issue: dict) -> tuple[str, float, str]:
     description = issue.get("description", "").strip()
     title = issue.get("title", "").strip()
     status = issue.get("status", "")
@@ -1142,6 +1191,149 @@ def estimate_cost(issue: dict) -> dict:
 # Full pipeline per document (src/data_enrichment_pipeline.py:55-107)
 # ---------------------------------------------------------------------------
 
+# Every RAW issue field read anywhere in phases 2-4, C17 assign_strategy,
+# C18 estimate_cost, or the phase-2 estimation block. The string fields
+# feed the rules as values; the three flag fields are only ever tested for
+# truthiness (urgency_score, complexity_factor), so they memo-key as bools.
+# Everything else those phases read is DERIVED from these inside the block
+# (standard_*, extracted_attributes, classification, complexity_factor...),
+# and the issue id only labels outputs (patched per issue by the caller).
+_PURE_STR_FIELDS = ("description", "title", "item", "section", "subsection",
+                    "status", "severity", "priority", "suggested_action",
+                    "location", "accessibility_complexity")
+_PURE_FLAG_FIELDS = ("safety_flag", "safety_related",
+                     "requires_specialized_labor")
+
+_ISSUE_MEMO: dict[tuple, tuple[dict, dict, dict]] = {}
+_ISSUE_MEMO_MAX = 200_000
+
+
+def _enrich_issue_content(issue: dict) -> tuple[dict, dict, dict]:
+    """Phases 2-4 + C17 + C18 + phase-2 estimation for ONE issue — a pure
+    function of the _PURE_STR_FIELDS/_PURE_FLAG_FIELDS content, memoized
+    process-wide: boilerplate issues recur heavily across documents
+    (round-2 profile: ~650 unique descriptions per 10k issues), so at
+    corpus scale most issues are dict hits instead of the full
+    difflib/regex rule ladder.
+
+    Returns (fields_to_set, estimate_sans_issue_id, phase2_sans_issue_id).
+    The returned sub-dicts are shared between cache hits — callers must
+    treat them as immutable (the pipeline only reads them downstream).
+    """
+    from . import estimation_rules as est2
+
+    key = tuple(issue.get(f) for f in _PURE_STR_FIELDS) + tuple(
+        bool(issue.get(f)) for f in _PURE_FLAG_FIELDS)
+    try:
+        hit = _ISSUE_MEMO.get(key)
+    except TypeError:
+        hit, key = None, None     # unhashable field value: compute, no memo
+    if hit is not None:
+        return hit
+
+    v = {f: issue[f] for f in _PURE_STR_FIELDS + _PURE_FLAG_FIELDS
+         if f in issue}
+    out: dict = {}
+
+    def setv(k: str, val) -> None:
+        v[k] = val
+        out[k] = val
+
+    # Phase 2 normalization (order preserved from the reference pipeline)
+    sev_text = v.get("severity", "") or v.get("priority", "")
+    sev, sev_conf = normalize_severity(
+        sev_text, v.get("status", ""), v.get("description", ""))
+    setv("standard_severity", sev)
+    setv("severity_confidence", sev_conf)
+    act, act_conf = normalize_action(
+        v.get("suggested_action", ""), v.get("description", ""),
+        v.get("standard_severity", "") or v.get("severity", ""))
+    setv("standard_action", act)
+    setv("action_confidence", act_conf)
+    setv("action_priority", rules.ACTION_PRIORITY.get(act, 0))
+
+    # Phase 3 enrichment
+    item = (v.get("item", "") or v.get("title", "")
+            or v.get("subsection", "") or v.get("section", ""))
+    cat, sub, conf = taxonomy_from_context(
+        item, v.get("section", ""), v.get("description", ""))
+    setv("standard_category", cat)
+    setv("standard_subcategory", sub)
+    setv("category_confidence", conf)
+    attrs = extract_attributes(v.get("description", ""), v.get("title", ""))
+    setv("extracted_attributes", attrs)
+    if attrs.get("safety_related"):
+        setv("safety_flag", True)
+    if "accessibility" in attrs:
+        setv("accessibility_complexity", attrs["accessibility"])
+    # metadata enricher order (metadata_enricher.py:24-65): complexity
+    # reads requires_specialized_labor BEFORE it is stored (quirk kept)
+    setv("urgency_score", urgency_score(v))
+    setv("complexity_factor", complexity_factor(v))
+    setv("requires_specialized_labor", requires_specialized_labor(v))
+    area = estimate_affected_area(v)
+    if area:
+        setv("estimated_affected_area", area)
+
+    # Phase 4 classification
+    trade, trade_conf = classify_trade(v)
+    work, work_conf = classify_work_type(v)
+    complexity, cx_conf = classify_complexity(v)
+    setv("classification", {
+        "trade": trade, "trade_confidence": trade_conf,
+        "work_type": work, "work_type_confidence": work_conf,
+        "complexity": complexity, "complexity_confidence": cx_conf,
+    })
+
+    # Phase 6 cost strategy (reads no grouping state, so it folds into
+    # the content-pure block even though the pipeline runs it after J4)
+    strategy, s_conf, matched = assign_strategy(v)
+    setv("cost_strategy", strategy)
+    setv("strategy_confidence", s_conf)
+    setv("matched_standard_item", matched)
+
+    # C18 estimate (issue_id patched by the caller)
+    e18 = estimate_cost(v)
+
+    # Phase-2 estimation: C19 selector + C21 Houston adjust + C20
+    # confidence (estimation_rules.py)
+    sel_input = {
+        "title": v.get("title", ""),
+        "description": v.get("description", ""),
+        "category": v.get("standard_category", ""),
+        "severity": v.get("standard_severity", ""),
+    }
+    sel = est2.select_strategy_phase2(sel_input)
+    adj = est2.houston_adjust(sel["cost_estimate"], sel_input) \
+        if sel.get("cost_estimate") else None
+    locations = v.get("extracted_attributes", {}).get("locations", [])
+    conf2 = est2.confidence_score(
+        {"estimated_low": e18["estimated_low"],
+         "estimated_high": e18["estimated_high"],
+         "reasoning": e18["reasoning"]},
+        {"issue": v.get("description", ""),
+         "description": v.get("description", ""),
+         "location": locations[0] if locations else "",
+         "category": v.get("standard_category", ""),
+         "item": v.get("title", ""),
+         "severity": v.get("standard_severity", "")})
+    p2 = {
+        "strategy": sel["strategy"],
+        "strategy_confidence": sel["confidence"],
+        "adjusted_low": adj["cost"]["total"]["min"] if adj else None,
+        "adjusted_high": adj["cost"]["total"]["max"] if adj else None,
+        "permit_type": adj["permit_type"] if adj else None,
+        "trade": adj["trade"] if adj else None,
+        "confidence_overall": conf2["overall"],
+        "manual_review": bool(conf2["manual_review_needed"]),
+    }
+
+    result = (out, e18, p2)
+    if key is not None and len(_ISSUE_MEMO) < _ISSUE_MEMO_MAX:
+        _ISSUE_MEMO[key] = result
+    return result
+
+
 def enrich_document(issues: list[dict]) -> dict:
     """Run phases 1-6 + A2 summary + C18 estimates for one document's
     issues. Returns {'issues': [...], 'groups': [...], 'summary': {...},
@@ -1170,111 +1362,28 @@ def enrich_document(issues: list[dict]) -> dict:
             issue["review_reason"] = reason
         kept.append(issue)
 
-    # Phase 2 normalization
-    for issue in kept:
-        sev_text = issue.get("severity", "") or issue.get("priority", "")
-        sev, sev_conf = normalize_severity(
-            sev_text, issue.get("status", ""), issue.get("description", ""))
-        issue["standard_severity"] = sev
-        issue["severity_confidence"] = sev_conf
-        act, act_conf = normalize_action(
-            issue.get("suggested_action", ""), issue.get("description", ""),
-            issue.get("standard_severity", "") or issue.get("severity", ""))
-        issue["standard_action"] = act
-        issue["action_confidence"] = act_conf
-        issue["action_priority"] = rules.ACTION_PRIORITY.get(act, 0)
-
-    # Phase 3 enrichment
-    for issue in kept:
-        item = (issue.get("item", "") or issue.get("title", "")
-                or issue.get("subsection", "") or issue.get("section", ""))
-        cat, sub, conf = taxonomy_from_context(
-            item, issue.get("section", ""), issue.get("description", ""))
-        issue["standard_category"] = cat
-        issue["standard_subcategory"] = sub
-        issue["category_confidence"] = conf
-
-        attrs = extract_attributes(issue.get("description", ""),
-                                   issue.get("title", ""))
-        issue["extracted_attributes"] = attrs
-        if attrs.get("safety_related"):
-            issue["safety_flag"] = True
-        if "accessibility" in attrs:
-            issue["accessibility_complexity"] = attrs["accessibility"]
-
-        # metadata enricher order (metadata_enricher.py:24-65): urgency,
-        # complexity, specialized, affected area — note complexity reads
-        # requires_specialized_labor BEFORE it is stored (quirk preserved)
-        issue["urgency_score"] = urgency_score(issue)
-        issue["complexity_factor"] = complexity_factor(issue)
-        issue["requires_specialized_labor"] = requires_specialized_labor(issue)
-        area = estimate_affected_area(issue)
-        if area:
-            issue["estimated_affected_area"] = area
-
-    # Phase 4 classification
-    for issue in kept:
-        trade, trade_conf = classify_trade(issue)
-        work, work_conf = classify_work_type(issue)
-        complexity, cx_conf = classify_complexity(issue)
-        issue["classification"] = {
-            "trade": trade, "trade_confidence": trade_conf,
-            "work_type": work, "work_type_confidence": work_conf,
-            "complexity": complexity, "complexity_confidence": cx_conf,
-        }
+    # Phases 2-4 + C17/C18 + phase-2 estimation: content-pure per issue,
+    # via the process-wide memo (_enrich_issue_content). Phase order is
+    # preserved inside the block; grouping (phase 5) stays per-document.
+    memoed = [_enrich_issue_content(i) for i in kept]
+    for issue, (fields, _e18, _p2) in zip(kept, memoed):
+        issue.update(fields)
 
     # Phase 5 grouping (per-document scope)
     kept, groups = group_issues(kept)
-
-    # Phase 6 cost strategy
-    for issue in kept:
-        strategy, conf, matched = assign_strategy(issue)
-        issue["cost_strategy"] = strategy
-        issue["strategy_confidence"] = conf
-        issue["matched_standard_item"] = matched
 
     # A2 summary (data_enrichment_pipeline.py:257-321)
     summary = summarize_issues(kept)
 
     # C18 estimates + A5 summary (rule_based_cost_estimator.py:341-366)
-    estimates = [estimate_cost(i) for i in kept]
-
-    # Phase-2 estimation layer: C19 selector + C21 Houston adjust + C20
-    # confidence (estimation_rules.py), run deterministically per issue
-    from . import estimation_rules as est2
-    phase2 = []
-    for issue, e18 in zip(kept, estimates):
-        sel_input = {
-            "title": issue.get("title", ""),
-            "description": issue.get("description", ""),
-            "category": issue.get("standard_category", ""),
-            "severity": issue.get("standard_severity", ""),
-        }
-        sel = est2.select_strategy_phase2(sel_input)
-        adj = est2.houston_adjust(sel["cost_estimate"], sel_input) \
-            if sel.get("cost_estimate") else None
-        locations = issue.get("extracted_attributes", {}).get("locations", [])
-        conf = est2.confidence_score(
-            {"estimated_low": e18["estimated_low"],
-             "estimated_high": e18["estimated_high"],
-             "reasoning": e18["reasoning"]},
-            {"issue": issue.get("description", ""),
-             "description": issue.get("description", ""),
-             "location": locations[0] if locations else "",
-             "category": issue.get("standard_category", ""),
-             "item": issue.get("title", ""),
-             "severity": issue.get("standard_severity", "")})
-        phase2.append({
-            "issue_id": issue.get("id", "unknown"),
-            "strategy": sel["strategy"],
-            "strategy_confidence": sel["confidence"],
-            "adjusted_low": adj["cost"]["total"]["min"] if adj else None,
-            "adjusted_high": adj["cost"]["total"]["max"] if adj else None,
-            "permit_type": adj["permit_type"] if adj else None,
-            "trade": adj["trade"] if adj else None,
-            "confidence_overall": conf["overall"],
-            "manual_review": bool(conf["manual_review_needed"]),
-        })
+    # + phase-2 rows: cached content templates with per-issue ids patched
+    estimates = [
+        {**e18, "issue_id": issue.get("issue_id",
+                                      issue.get("id", "unknown"))}
+        for issue, (_f, e18, _p2) in zip(kept, memoed)]
+    phase2 = [
+        {"issue_id": issue.get("id", "unknown"), **p2}
+        for issue, (_f, _e18, p2) in zip(kept, memoed)]
     est_summary = estimate_summary(estimates)
 
     # J7 relationship analysis (relationship_rules.py), document-local

@@ -84,11 +84,25 @@ def contains_any_col(col_lower: Column, words: list[str]) -> Column:
 
 # --- C4: priority (src/data_structurer.py:110-144) -------------------------
 
-def priority_col(content_lower: Column, status: Column) -> Column:
-    """Column form of C4 (the span model carries no font attrs, so the
-    bold/underline branches are constant-False — same as the S4 fallback)."""
+def priority_col(content_lower: Column, status: Column,
+                 bold: Column | None = None,
+                 underlined: Column | None = None) -> Column:
+    """Column form of C4/C2 (src/data_structurer.py:110-144). ``bold``/
+    ``underlined`` are the optional font attributes: when the input span
+    schema carries them, bold wins high and underlined wins medium ahead
+    of the keyword tiers; when absent (the default fontless span model /
+    S4 fallback) both branches are constant-False."""
+    expr = F.when(F.lit(False), F.lit(""))
+    if bold is not None:
+        expr = F.when(F.coalesce(bold, F.lit(False)), F.lit("high"))
+    expr = expr.when(
+        _contains_any(content_lower, rules.HIGH_PRIORITY_KEYWORDS),
+        F.lit("high"))
+    if underlined is not None:
+        expr = expr.when(F.coalesce(underlined, F.lit(False)),
+                         F.lit("medium"))
     return (
-        F.when(_contains_any(content_lower, rules.HIGH_PRIORITY_KEYWORDS), F.lit("high"))
+        expr
         .when(_contains_any(content_lower, rules.MEDIUM_PRIORITY_KEYWORDS), F.lit("medium"))
         .when(status.isin(*rules.LOW_PRIORITY_STATUSES), F.lit("low"))
         .otherwise(F.lit("info")))

@@ -28,11 +28,19 @@ ISSUE_SCHEMA = (
 )
 
 
-def _priority(content_lower: str, status: str | None) -> str:
-    """C4 (src/data_structurer.py:110-144); span model carries no font info,
-    so the bold/underline branches are constant-False (cf. S4 fallback)."""
+def _priority(content_lower: str, status: str | None,
+              bold: bool = False, underlined: bool = False) -> str:
+    """C4/C2 (src/data_structurer.py:110-144): bold -> high and
+    underlined -> medium ahead of the keyword tiers. The default span
+    model carries no font attrs, so both flags default False (the S4
+    fontless fallback); corpora whose span schema has optional
+    bold/underlined fields get the reference's formatting semantics."""
+    if bold:
+        return "high"
     if any(kw in content_lower for kw in rules.HIGH_PRIORITY_KEYWORDS):
         return "high"
+    if underlined:
+        return "medium"
     if any(kw in content_lower for kw in rules.MEDIUM_PRIORITY_KEYWORDS):
         return "medium"
     if status in rules.LOW_PRIORITY_STATUSES:
@@ -55,6 +63,11 @@ def segment_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     subsections = pdf["subsection"].tolist()
     pages = pdf["page_num"].tolist()
     offsets = pdf["offset"].tolist()
+    n = len(contents)
+    bolds = (pdf["bold"].fillna(False).tolist()
+             if "bold" in pdf.columns else [False] * n)
+    unders = (pdf["underlined"].fillna(False).tolist()
+              if "underlined" in pdf.columns else [False] * n)
 
     for i in range(len(contents)):
         status = statuses[i] if isinstance(statuses[i], str) else None
@@ -80,7 +93,8 @@ def segment_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 "section": sections[i],
                 "subsection": subsections[i],
                 "status": status or "I",
-                "priority": _priority(lowers[i], status),
+                "priority": _priority(lowers[i], status,
+                                      bool(bolds[i]), bool(unders[i])),
                 "title": rules.extract_title(contents[i]),
                 "description": contents[i],
                 "page_numbers": [int(pages[i])],

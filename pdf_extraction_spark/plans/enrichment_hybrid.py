@@ -298,7 +298,14 @@ def group_rows(flat: DataFrame) -> DataFrame:
 def doc_summaries(flat: DataFrame) -> DataFrame:
     """A2 + A5 scalars as one groupBy(doc_id) aggregation over the
     enriched flat rows (the per-value count maps are one further
-    groupBy(doc_id, value) away — flat rows keep them first-class)."""
+    groupBy(doc_id, value) away — flat rows keep them first-class).
+
+    ``is_grouped`` is produced by stage C, so on
+    enrich_extracted_hybrid(..., with_grouping=False) output it is
+    absent — treated here as all-False (grouped_issues = 0) rather than
+    failing analysis (round-2 ADVICE)."""
+    if "is_grouped" not in flat.columns:
+        flat = flat.withColumn("is_grouped", F.lit(False))
     agg = flat.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("total_issues"),
         F.sum(F.when(F.col("safety_flag"), 1).otherwise(0))

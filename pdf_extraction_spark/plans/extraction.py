@@ -26,6 +26,18 @@ TABLE_ROW_MARKER = " | "
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
+    """Schema-tolerant span explode: the contract columns plus the
+    OPTIONAL font attributes (bold/underlined, C2) when the input span
+    struct carries them — constant-False otherwise (the fontless S4
+    fallback, reference text_extractor.pyc:178-227)."""
+    span_fields = set(docs.schema["spans"].dataType.elementType.fieldNames())
+
+    def opt_flag(name: str) -> Column:
+        if name in span_fields:
+            return F.coalesce(F.col(f"s.{name}").cast("boolean"),
+                              F.lit(False)).alias(name)
+        return F.lit(False).alias(name)
+
     return docs.select(
         "doc_id",
         F.explode("spans").alias("s"),
@@ -35,6 +47,8 @@ def explode_spans(docs: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
+        opt_flag("bold"),
+        opt_flag("underlined"),
     )
 
 
@@ -69,7 +83,8 @@ def build_blocks(spans: DataFrame) -> DataFrame:
     blocks = with_defaults(blocks)
     return blocks.select("doc_id", "offset", "page_num", "section",
                          "subsection", "status",
-                         F.col("norm").alias("content"))
+                         F.col("norm").alias("content"),
+                         "bold", "underlined")
 
 
 def _ne(col: Column) -> Column:

@@ -162,7 +162,11 @@ tiered AS (
   -- equal to base -> conf 0.95; different with conf>0.8 -> override at 0.95
   SELECT doc_id, k, description,
     CASE WHEN ptext IN ('high','medium','low') THEN ptext ELSE sev0 END AS sev1,
-    CASE WHEN ptext IN ('high','medium','low') THEN 0.95 ELSE 0.7 END AS conf1
+    -- ::DOUBLE literals: bare 0.7 + 0.1 is DECIMAL arithmetic in DuckDB
+    -- (exact 0.8) while python computes IEEE 0.7999999999999999 — the
+    -- exact-hash comparator sees the difference even though atol doesn't
+    CASE WHEN ptext IN ('high','medium','low') THEN 0.95::DOUBLE
+         ELSE 0.7::DOUBLE END AS conf1
   FROM base)
 SELECT doc_id, k AS line_key,
   CASE WHEN {crit} AND sev1 IN ('low','medium') THEN 'high'
@@ -170,10 +174,13 @@ SELECT doc_id, k AS line_key,
             AND lower(description) LIKE '%safety%' THEN 'critical'
        WHEN {high} AND sev1 = 'low' THEN 'medium'
        ELSE sev1 END AS std_severity,
-  CASE WHEN {crit} AND sev1 IN ('low','medium') THEN least(0.9, conf1 + 0.1)
+  CASE WHEN {crit} AND sev1 IN ('low','medium')
+         THEN least(0.9::DOUBLE, conf1 + 0.1::DOUBLE)
        WHEN {crit} AND sev1 = 'high'
-            AND lower(description) LIKE '%safety%' THEN least(0.95, conf1 + 0.1)
-       WHEN {high} AND sev1 = 'low' THEN least(0.85, conf1 + 0.1)
+            AND lower(description) LIKE '%safety%'
+         THEN least(0.95::DOUBLE, conf1 + 0.1::DOUBLE)
+       WHEN {high} AND sev1 = 'low'
+         THEN least(0.85::DOUBLE, conf1 + 0.1::DOUBLE)
        ELSE conf1 END AS confidence
 FROM tiered
 """

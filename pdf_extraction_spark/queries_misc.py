@@ -84,8 +84,12 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "by_strategy": dct(s["by_strategy"]),
             "safety_issues": s["safety_issues"],
             "grouped_issues": s["grouped_issues"],
-            "avg_urgency": float(s["avg_urgency"]),
-            "avg_complexity": float(s["avg_complexity"]),
+            # integer-scaled: the round-2 driver hashed raw doubles and
+            # found a last-bit divergence the local atol comparator missed;
+            # v*100 of a 2-decimal double rounds to an unambiguous BIGINT
+            "avg_urgency_x100": int(round(float(s["avg_urgency"]) * 100)),
+            "avg_complexity_x100":
+                int(round(float(s["avg_complexity"]) * 100)),
             "est_issues": e["estimated_issues"],
             "est_low_total": e["total_estimated_low"],
             "est_high_total": e["total_estimated_high"],
@@ -98,7 +102,7 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "by_action string, by_category string, by_trade string, "
                  "by_complexity string, by_strategy string, "
                  "safety_issues long, grouped_issues long, "
-                 "avg_urgency double, avg_complexity double, "
+                 "avg_urgency_x100 long, avg_complexity_x100 long, "
                  "est_issues long, est_low_total long, est_high_total long, "
                  "est_avg_conf long, est_needs_review long")
 
@@ -142,9 +146,12 @@ SELECT doc_id,
   count(*) FILTER (WHERE grouped) AS grouped_issues,
   -- EVEN-integer urgency/complexity: the sums are exact and even, so
   -- avg = S/n is the same double both engines and the .xx5 rounding tie
-  -- 200S = n(2m+1) has no even-S solution for n in {30, 300, 3000}
-  round_even(sum(urg) / count(*), 2) AS avg_urgency,
-  round_even(sum(cxf) / count(*), 2) AS avg_complexity,
+  -- 200S = n(2m+1) has no even-S solution for n in {30, 300, 3000};
+  -- x100 BIGINT so the driver's exact value hash can't see float repr
+  CAST(round_even(round_even(sum(urg) / count(*), 2) * 100, 0) AS BIGINT)
+    AS avg_urgency_x100,
+  CAST(round_even(round_even(sum(cxf) / count(*), 2) * 100, 0) AS BIGINT)
+    AS avg_complexity_x100,
   count(*) AS est_issues,
   sum(4 * b) AS est_low_total,
   sum(8 * b) AS est_high_total,
@@ -563,8 +570,7 @@ def _sql_dedup_components() -> str:
     from .queries import SQL_JACCARD_PAIRS
 
     return f"""
-WITH pairs AS ({SQL_JACCARD_PAIRS.replace('FROM pairs WHERE n_shared >= 2',
-                                          'FROM pairs WHERE n_shared >= 2')}),
+WITH pairs AS ({SQL_JACCARD_PAIRS}),
 edges AS (
   SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5
   UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),

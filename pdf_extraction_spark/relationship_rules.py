@@ -112,25 +112,42 @@ _ALL_EFFECTS = sorted({e for effs in CAUSAL_RELATIONSHIPS.values()
                        for e in effs})
 
 
+_CTX_TEXT_CACHE: dict[tuple[str, str],
+                      tuple[list, set, bool, bool]] = {}
+_CTX_CACHE_MAX = 200_000
+
+
+def _ctx_entry(text: str, issue_txt: str) -> tuple[list, set, bool, bool]:
+    """Per-issue pattern matches are pure in (searchable text, raw issue
+    text); cached process-wide because boilerplate issues recur across
+    documents. The cached list/set are shared read-only by _caused_indices
+    (intersections only, never mutated)."""
+    key = (text, issue_txt)
+    hit = _CTX_TEXT_CACHE.get(key)
+    if hit is None:
+        hit = ([p for p in CAUSAL_RELATIONSHIPS if _matches_text(text, p)],
+               {e for e in _ALL_EFFECTS if _matches_text(text, e)},
+               any(k in issue_txt for k in _WATER_KEYWORDS),
+               any(k in issue_txt for k in _STRUCTURAL_KEYWORDS))
+        if len(_CTX_TEXT_CACHE) < _CTX_CACHE_MAX:
+            _CTX_TEXT_CACHE[key] = hit
+    return hit
+
+
 class _Ctx:
     """Precomputed per-issue pattern matches: turns the O(n² · patterns)
     chain scan into O(n²) set intersections with identical output."""
 
     def __init__(self, issues: list[dict]):
         self.ids = [issue_id(i) for i in issues]
-        texts = [_searchable_text(i) for i in issues]
-        self.cause_masks = [
-            [p for p in CAUSAL_RELATIONSHIPS if _matches_text(t, p)]
-            for t in texts]
-        self.effect_sets = [
-            {e for e in _ALL_EFFECTS if _matches_text(t, e)}
-            for t in texts]
+        entries = [_ctx_entry(_searchable_text(i),
+                              str(i.get("issue", "")).lower())
+                   for i in issues]
+        self.cause_masks = [e[0] for e in entries]
+        self.effect_sets = [e[1] for e in entries]
         self.locs = [i.get("location", "").lower() for i in issues]
-        self.water = [any(k in str(i.get("issue", "")).lower()
-                          for k in _WATER_KEYWORDS) for i in issues]
-        self.structural = [any(k in str(i.get("issue", "")).lower()
-                               for k in _STRUCTURAL_KEYWORDS)
-                           for i in issues]
+        self.water = [e[2] for e in entries]
+        self.structural = [e[3] for e in entries]
 
 
 def _caused_indices(ci: int, issues: list[dict], ctx: _Ctx) -> list[int]:

@@ -267,3 +267,66 @@ def test_connected_components_transitive(spark):
         spark.createDataFrame(edges, "id_a string, id_b string")).collect()}
     touched = {a for a, _ in edges} | {b for _, b in edges}
     assert got == {i: c for i, c in expect.items() if i in touched}
+
+
+def test_simhash_pairs_max_hamming_zero(spark):
+    """max_hamming=0 puts the whole signature in one 64-bit chunk whose
+    mask used to overflow a signed long literal (round-2 ADVICE); it must
+    instead band exact-signature duplicates."""
+    crafted = spark.createDataFrame(
+        [("s0", 12345), ("s1", 12345), ("s2", 12345 ^ 1), ("s3", -7)],
+        "doc_id string, simhash long")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(crafted, max_hamming=0).collect()}
+    assert pairs == {("s0", "s1"): 0}
+
+
+def test_bucketed_pairs_hot_bucket_guard(spark):
+    """A 10k-row single LSH bucket must produce O(n) star pairs around the
+    min id instead of an O(n^2) single-task self-join (round-2 verdict
+    item 6)."""
+    n = 10_000
+    banded = spark.range(n).select(
+        F.format_string("d%05d", F.col("id")).alias("id"),
+        F.lit(0).alias("band"), F.lit("hot").alias("h"))
+    pairs = dedup._bucketed_pairs(banded, ["band", "h"], max_bucket=100)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == "d00000" for r in rows)
+
+    # cold buckets (<= max_bucket) keep exact all-pairs semantics
+    small = spark.createDataFrame(
+        [("a", 0, "x"), ("b", 0, "x"), ("c", 0, "x")],
+        "id string, band int, h string")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup._bucketed_pairs(small, ["band", "h"], 100).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_minhash_dedup_with_bucket_guard(spark):
+    """End-to-end: identical docs collapse every band into one hot bucket;
+    with max_bucket set the verdict is unchanged (all dups, min keeper)
+    while candidate generation stays linear."""
+    rows = [(f"d{i:03d}", "same boilerplate text repeated across the corpus "
+             "with enough tokens to shingle") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cand = dedup.minhash_candidates(df, max_bucket=50)
+    assert cand.count() == 199  # star, not 200*199/2
+    verdict = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+               for r in dedup.minhash_dedup(df, max_bucket=50).collect()}
+    assert verdict["d000"] == ("d000", False)
+    assert all(v == ("d000", True)
+               for k, v in verdict.items() if k != "d000")
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path longer than max_iter rounds must raise, not silently return
+    split components (round-2 ADVICE)."""
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    # and converges fine when given enough rounds
+    comp = {r["id"]: r["comp"]
+            for r in dedup.connected_components(pairs, max_iter=15).collect()}
+    assert set(comp.values()) == {"n00"}

@@ -4,18 +4,29 @@ Runs each __spark_entry__.queries() entry on Spark and its oracle_sql() on
 DuckDB (views pre-registered over the same parquet), then compares
 row-count + column set + order-insensitive values. Usage:
 
-    python tools/check_correctness.py [sf_dir] [only_query ...]
+    python tools/check_correctness.py [--exact] [sf_dir] [only_query ...]
+
+--exact compares float columns bit-for-bit (the driver hashes exact
+values; the default atol=1e-9 comparator is looser than the real gate).
+Per-query spark/oracle wall seconds are always printed so slow oracles
+are visible (the round-2 driver run dropped the tail of the query dict,
+most plausibly on a time cap).
 """
 
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
+
+EXACT = "--exact" in sys.argv
+if EXACT:
+    sys.argv.remove("--exact")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -44,8 +55,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = pd.to_numeric(sv, errors="coerce")
             ov = pd.to_numeric(ov, errors="coerce")
-            bad = ~(np.isclose(sv.fillna(np.nan), ov.fillna(np.nan),
-                               rtol=0, atol=1e-9, equal_nan=True))
+            if EXACT:
+                # driver-style: exact bit equality (NaN==NaN, -0.0 != 0.0)
+                sb = np.asarray(sv, dtype=np.float64).view(np.int64)
+                ob = np.asarray(ov, dtype=np.float64).view(np.int64)
+                nan = np.isnan(np.asarray(sv)) & np.isnan(np.asarray(ov))
+                bad = (sb != ob) & ~nan
+            else:
+                bad = ~(np.isclose(sv.fillna(np.nan), ov.fillna(np.nan),
+                                   rtol=0, atol=1e-9, equal_nan=True))
         else:
             bad = ~(sv.astype(object).fillna("\x00N") == ov.astype(object).fillna("\x00N"))
         n_bad = int(np.asarray(bad).sum())
@@ -71,33 +89,43 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    t_total0 = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error: {e}")
             failed.append(name)
             continue
+        t_spark = time.monotonic() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(sdf)} rows")
+            print(f"[rows-only] {name}: {len(sdf)} rows  "
+                  f"(spark {t_spark:.1f}s)")
             continue
+        t0 = time.monotonic()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: oracle error: {e}")
             failed.append(name)
             continue
+        t_oracle = time.monotonic() - t0
         problems = compare(name, sdf, odf)
         if problems:
-            print(f"[FAIL] {name}:")
+            print(f"[FAIL] {name}:  (spark {t_spark:.1f}s oracle "
+                  f"{t_oracle:.1f}s)")
             for p in problems:
                 print(f"    {p}")
             failed.append(name)
         else:
-            print(f"[OK]   {name}: {len(sdf)} rows match")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+            print(f"[OK]   {name}: {len(sdf)} rows match  "
+                  f"(spark {t_spark:.1f}s oracle {t_oracle:.1f}s)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass  "
+          f"(total {time.monotonic() - t_total0:.0f}s, "
+          f"{'exact' if EXACT else 'atol=1e-9'} float compare)")
     return 1 if failed else 0
 
 
