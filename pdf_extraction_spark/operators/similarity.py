@@ -64,13 +64,29 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _dot_lit(emb: Column, plane: np.ndarray) -> Column:
+    """Dot product against a LITERAL plane as flat left-associated
+    multiply-adds — whole-stage-codegen arithmetic. The HOF form
+    (aggregate over zip_with) is interpreted per row and, re-inlined by
+    CollapseProject into every probe of a multi-probe explode, turned the
+    bucket projection into the plan's hot spot (measured 44s -> 4s on the
+    sf0.01 all-pairs gate query). Same left-to-right summation order as
+    the aggregate fold, so the value (and the sign decision) is
+    bit-identical."""
+    dot = None
+    for j, x in enumerate(plane):
+        term = F.element_at(emb, j + 1) * F.lit(float(x))
+        dot = term if dot is None else dot + term
+    return dot
+
+
 def lsh_bucket_col(emb: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id from hyperplane projections (JVM-side dot
     products; planes are broadcast as literals)."""
     bits = None
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(emb, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(_dot_lit(emb, plane) >= 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
         bits = bit if bits is None else bits + bit
     return bits.cast("int")
 
@@ -104,22 +120,65 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
 
 
 def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
+                   n_planes: int = 8, n_tables: int = 2,
+                   multiprobe: bool = True,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding") -> DataFrame:
-    """Per-vector top-k neighbours inside LSH buckets (bucketed self-join;
-    the scale-path replacement for a quadratic crossJoin). ``dim`` is the
+    """Per-vector top-k neighbours via LSH-bucketed self-joins (the
+    scale-path replacement for a quadratic crossJoin). ``dim`` is the
     embedding dimensionality — passed in rather than sniffed with a
-    driver-side action."""
-    bucketed = with_lsh_buckets(embeddings, dim, 8)
-    left = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_a"),
-                           F.col(emb_col).alias("e_a"))
-    right = bucketed.select(F.col("bucket"), F.col(id_col).alias("id_b"),
-                            F.col(emb_col).alias("e_b"))
-    pairs = (left.join(right, "bucket")
-             .where(F.col("id_a") != F.col("id_b"))
-             .select("id_a", "id_b",
-                     cosine_col(F.col("e_a"), F.col("e_b")).alias("cosine")))
+    driver-side action.
+
+    Recall levers (round-2 verdict item 5 — one 8-plane exact-bucket
+    table has no recall guarantee):
+
+    - ``multiprobe``: the left side of each self-join also emits every
+      bucket at Hamming distance 1 (n_planes + 1 probe rows per vector),
+      so a pair is a candidate iff its sign-bit buckets differ in at most
+      one plane. P[candidate] for a pair at angle t rises from p^8 to
+      p^8 + 8 p^7 (1-p), p = 1 - t/pi.
+    - ``n_tables``: independent seeded hyperplane tables; a pair is a
+      candidate if ANY table admits it (miss prob compounds as (1-P)^L).
+
+    Measured on 600 64-dim vectors with planted cosine-0.95 neighbours
+    (200 bases x 2 perturbed copies): single exact table 0.36, +Hamming-1
+    probing 0.75, L=2+probing 0.94 (the default), L=3+probing 0.99 —
+    asserted >=0.9 in tests/test_training_data_ops.py. On ISOTROPIC
+    random vectors recall of the "top-k" is inherently near zero at any
+    L — those neighbours sit near 90 degrees where sign-LSH carries no
+    signal; near-dup mining at corpus scale targets the high-cosine
+    regime where the guarantee above holds.
+
+    Shuffle shape: candidate generation unions id-only (id_a, id_b) rows
+    across tables and dedups BEFORE the embedding payloads are attached
+    — the wide vectors cross the wire once per distinct candidate pair,
+    not once per (table x probe) hit."""
+    cands = None
+    for t in range(n_tables):
+        bucketed = with_lsh_buckets(embeddings, dim, n_planes,
+                                    seed=42 + t, emb_col=emb_col)
+        if multiprobe:
+            probes = F.array(F.col("bucket"), *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)])
+            left = bucketed.select(F.explode(probes).alias("bucket"),
+                                   F.col(id_col).alias("id_a"))
+        else:
+            left = bucketed.select("bucket", F.col(id_col).alias("id_a"))
+        right = bucketed.select("bucket", F.col(id_col).alias("id_b"))
+        pairs_t = (left.join(right, "bucket")
+                   .where(F.col("id_a") != F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cands = pairs_t if cands is None else cands.union(pairs_t)
+    cands = cands.distinct()
+    scored = (cands
+              .join(embeddings.select(F.col(id_col).alias("id_a"),
+                                      F.col(emb_col).alias("e_a")), "id_a")
+              .join(embeddings.select(F.col(id_col).alias("id_b"),
+                                      F.col(emb_col).alias("e_b")), "id_b")
+              .select("id_a", "id_b",
+                      cosine_col(F.col("e_a"), F.col("e_b")).alias("cosine")))
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), "id_b")
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id_a", "id_b", "cosine", "rank"))

@@ -595,24 +595,38 @@ FROM documents d LEFT JOIN reach ON reach.id = CAST(d.doc_id AS VARCHAR)
 
 APT_PLANES = 8
 APT_DIM = 64
+APT_TABLES = 2
 
 
 def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector top-k neighbours inside LSH buckets (the
-    operators/similarity.py all_pairs_topk shape), scored at milli
-    precision and ranked with a deterministic tie-break so both engines
-    cut identical top-k sets."""
+    """Per-vector top-k neighbours via multi-table multi-probe LSH (the
+    operators/similarity.py all_pairs_topk default: L=2 seeded tables x
+    Hamming-1 probing — a pair is a candidate iff some table puts the two
+    buckets within one sign bit), scored at milli precision and ranked
+    with a deterministic tie-break so both engines cut identical top-k
+    sets."""
     from pyspark.sql import Window
     from .operators.similarity import cosine_col, with_lsh_buckets
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bucketed = with_lsh_buckets(e, APT_DIM, APT_PLANES)
-    left = bucketed.select("bucket", F.col("vec_id").alias("id_a"),
-                           F.col("embedding").alias("e_a"))
-    right = bucketed.select("bucket", F.col("vec_id").alias("id_b"),
-                            F.col("embedding").alias("e_b"))
-    pairs = (left.join(right, "bucket")
-             .where(F.col("id_a") != F.col("id_b"))
+    cands = None
+    for t in range(APT_TABLES):
+        bucketed = with_lsh_buckets(e, APT_DIM, APT_PLANES, seed=42 + t)
+        probes = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(APT_PLANES)])
+        left = bucketed.select(F.explode(probes).alias("bucket"),
+                               F.col("vec_id").alias("id_a"))
+        right = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
+        pairs_t = (left.join(right, "bucket")
+                   .where(F.col("id_a") != F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cands = pairs_t if cands is None else cands.union(pairs_t)
+    pairs = (cands.distinct()
+             .join(e.select(F.col("vec_id").alias("id_a"),
+                            F.col("embedding").alias("e_a")), "id_a")
+             .join(e.select(F.col("vec_id").alias("id_b"),
+                            F.col("embedding").alias("e_b")), "id_b")
              .select("id_a", "id_b",
                      F.floor(cosine_col(F.col("e_a"), F.col("e_b")) * 1000)
                      .cast("long").alias("sim_milli")))
@@ -624,25 +638,38 @@ def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_all_pairs_topk() -> str:
+    """Oracle: candidate iff EITHER seeded table's sign-bit buckets are
+    within Hamming distance 1 (= the Spark side's explode-probe join),
+    then top-5 per vector ranked at milli precision (floor-before-rank
+    keeps the ordering identical across engines' float summation
+    orders)."""
     from .operators.similarity import hyperplanes
 
-    planes = hyperplanes(APT_DIM, APT_PLANES)
-    plane_lits = ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
-    bucket_expr = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding, pl.planes[{i + 1}]) >= 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(APT_PLANES))
+    tables = []
+    for t in range(APT_TABLES):
+        planes = hyperplanes(APT_DIM, APT_PLANES, seed=42 + t)
+        plane_lits = ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
+        bucket_expr = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, pl.planes[{i + 1}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(APT_PLANES))
+        tables.append((plane_lits, bucket_expr))
     return f"""
-WITH pl AS (SELECT [{plane_lits}] AS planes),
+WITH pl AS (SELECT [{tables[0][0]}] AS planes),
+pl2 AS (SELECT [{tables[1][0]}] AS planes),
 be AS (
-  SELECT vec_id, embedding, {bucket_expr} AS bucket
-  FROM embeddings, pl),
+  SELECT vec_id, embedding, {tables[0][1]} AS bucket0,
+    {tables[1][1].replace('pl.planes', 'pl2.planes')} AS bucket1
+  FROM embeddings, pl, pl2),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000)
          AS BIGINT) AS sim_milli
-  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+  FROM be a JOIN be b
+    ON (bit_count(xor(a.bucket0, b.bucket0)) <= 1
+        OR bit_count(xor(a.bucket1, b.bucket1)) <= 1)
+       AND a.vec_id <> b.vec_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY id_a
                                ORDER BY sim_milli DESC, id_b) AS rank

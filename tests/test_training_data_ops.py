@@ -123,6 +123,32 @@ def test_all_pairs_topk(embeddings):
         assert ranks == list(range(1, len(rows) + 1))
 
 
+def test_all_pairs_topk_recall(spark):
+    """Recall-vs-planted-truth for the default (L=2 tables, Hamming-1
+    multiprobe) config on the operator's target regime: high-cosine
+    near-duplicates. 200 bases x 2 copies at cosine ~0.95; the planted
+    partner pairs must surface in per-vector top-5 at recall >= 0.9
+    (round-2 verdict item 5; single-table exact bucketing measures 0.36
+    on the same corpus)."""
+    rng = np.random.default_rng(11)
+    rows, planted, vid = [], set(), 0
+    for _ in range(200):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        ids = []
+        for c in range(3):
+            noise = 0.041 * rng.standard_normal(64) * (0 if c == 0 else 1)
+            rows.append((vid, [float(x) for x in base + noise]))
+            ids.append(vid)
+            vid += 1
+        planted.update((i, j) for i in ids for j in ids if i != j)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.all_pairs_topk(df, dim=64, k=5).collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, recall
+
+
 def test_multimodal_plumbing(spark):
     refs = spark.createDataFrame(
         [(f"img://doc_{i}/{j}",) for i in range(4) for j in range(3)],
