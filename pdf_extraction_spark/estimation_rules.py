@@ -722,3 +722,138 @@ def confidence_score(estimate: dict, issue: dict,
         "inspection_needed": overall < CONFIDENCE_THRESHOLDS["fair"],
         "manual_review_needed": overall < CONFIDENCE_THRESHOLDS["good"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Hybrid estimator routing (hybrid_cost_estimator.py:86-341) — the
+# deterministic fallback-chain skeleton: C19 picks the strategy; lookup /
+# formula answer from their own tables; hybrid / llm_reasoning (the
+# branches that would call an LLM) fall back to the severity heuristic;
+# C21 Houston adjustment is applied to whichever estimator answered.
+# The chain metadata (which estimator answered, fallback depth) is
+# first-class output — round-2 verdict item 7.
+# ---------------------------------------------------------------------------
+
+# hybrid_cost_estimator.py:247-283 (_create_minimal_estimate)
+FALLBACK_COSTS = {"critical": (500, 2000), "high": (500, 2000),
+                  "medium": (200, 800)}
+FALLBACK_COSTS_DEFAULT = (100, 400)
+
+# hybrid_cost_estimator.py:300-318 (_determine_contractor_type; dict order
+# is the match order)
+CONTRACTOR_KEYWORDS = {
+    "Electrician": ["electric", "wiring", "panel", "circuit", "outlet"],
+    "Plumber": ["plumb", "pipe", "water", "drain", "leak", "faucet"],
+    "HVAC Technician": ["hvac", "air conditioning", "heating", "furnace",
+                        "ac"],
+    "Roofer": ["roof", "shingle", "flashing", "gutter"],
+    "Foundation Specialist": ["foundation", "pier", "slab", "settling"],
+    "Structural Engineer": ["structural", "beam", "load bearing", "support"],
+}
+
+
+def determine_contractor_type(issue: dict) -> str:
+    """hybrid_cost_estimator.py:300-318."""
+    text = (f"{issue.get('title', '')} {issue.get('description', '')} "
+            f"{issue.get('category', '')}").lower()
+    for contractor, keywords in CONTRACTOR_KEYWORDS.items():
+        if any(k in text for k in keywords):
+            return contractor
+    return "General Contractor"
+
+
+def determine_urgency(severity: str) -> str:
+    """hybrid_cost_estimator.py:320-333."""
+    low = severity.lower() if isinstance(severity, str) else "medium"
+    if low == "critical":
+        return "immediate"
+    if low == "high":
+        return "urgent"
+    if low == "medium":
+        return "normal"
+    return "low"
+
+
+def _minimal_estimate(issue: dict) -> dict:
+    """hybrid_cost_estimator.py:247-283: severity-banded fallback, 60/40
+    labor/materials split, no permits, confidence 0.4."""
+    severity = issue.get("severity", "Medium")
+    low = severity.lower() if isinstance(severity, str) else "medium"
+    lo, hi = FALLBACK_COSTS.get(low, FALLBACK_COSTS_DEFAULT)
+    return {
+        "cost": {
+            "labor": {"min": lo * 0.6, "max": hi * 0.6},
+            "materials": {"min": lo * 0.4, "max": hi * 0.4},
+            "permits": {"min": 0, "max": 0},
+            "total": {"min": lo, "max": hi},
+        },
+        "contractor_type": "General",
+        "urgency": determine_urgency(low),
+        "confidence_score": 0.4,
+        "source": "fallback_heuristic",
+    }
+
+
+def hybrid_estimate(issue: dict, apply_houston: bool = True) -> dict:
+    """Deterministic hybrid-estimator chain
+    (hybrid_cost_estimator.py:86-180 with ai_estimator_func=None — the
+    only configuration with no LLM in the loop):
+
+    1. C19 select_strategy_phase2 picks lookup/formula/hybrid/llm.
+    2. lookup_table / formula_based answer from their own estimate;
+       hybrid and llm_reasoning (the LLM branches) fall back to the
+       severity heuristic (hybrid_cost_estimator.py:225-245 warning
+       path), as does a selected strategy with no estimate attached.
+    3. C21 houston_adjust runs on whichever estimator answered.
+
+    Returns flat chain metadata + final costs:
+    estimator_used is the estimator that actually produced the numbers,
+    fallback_depth is 0 when the selected strategy answered itself and
+    1 when the chain fell through to the severity heuristic."""
+    sel = select_strategy_phase2(issue)
+    strategy = sel["strategy"]
+    ce = sel.get("cost_estimate")
+
+    if strategy == "lookup_table" and ce:
+        base = dict(ce)
+        # hybrid_cost_estimator.py:182-199: fixed decorations
+        contractor = "General"
+        urgency = determine_urgency(issue.get("severity", "Low"))
+        estimator_used, fallback_depth = "lookup_table", 0
+        est_conf = None
+    elif strategy == "formula_based" and ce:
+        base = dict(ce)
+        # hybrid_cost_estimator.py:201-218
+        contractor = determine_contractor_type(issue)
+        urgency = determine_urgency(issue.get("severity", "Medium"))
+        estimator_used, fallback_depth = "formula_based", 0
+        est_conf = None
+    else:
+        base = _minimal_estimate(issue)
+        contractor = base["contractor_type"]
+        urgency = base["urgency"]
+        estimator_used, fallback_depth = "fallback_heuristic", 1
+        est_conf = base["confidence_score"]
+
+    if apply_houston:
+        adj = houston_adjust(base, issue)
+        cost = adj["cost"]
+        houston = {"houston_adjusted": True, "trade": adj["trade"],
+                   "permit_type": adj["permit_type"]}
+    else:
+        cost = base["cost"]
+        houston = {"houston_adjusted": False, "trade": None,
+                   "permit_type": None}
+
+    return {
+        "strategy": strategy,
+        "strategy_confidence": sel["confidence"],
+        "estimator_used": estimator_used,
+        "fallback_depth": fallback_depth,
+        "estimate_confidence": est_conf,
+        "contractor_type": contractor,
+        "urgency": urgency,
+        "total_min": float(cost["total"]["min"]),
+        "total_max": float(cost["total"]["max"]),
+        **houston,
+    }

@@ -222,7 +222,10 @@ def q_phase2_houston(spark: SparkSession, sf_dir: str) -> DataFrame:
              "total_max double")
 
 
-def _sql_phase2_houston() -> str:
+def _houston_sql_parts() -> dict[str, str]:
+    """Shared SQL fragments transcribing houston_adjust (C21) over
+    columns named text / cat / m0 (m0 = materials max after the trade
+    multiplier). Used by the phase2_houston and hybrid_routing oracles."""
     trade_case = " ".join(
         "WHEN " + " OR ".join(
             f"text LIKE '%{w}%' OR cat LIKE '%{w}%'" for w in kws)
@@ -261,7 +264,7 @@ def _sql_phase2_houston() -> str:
                 f"CASE WHEN {hit} THEN {flat}::DOUBLE ELSE 0.0::DOUBLE END")
     mm_steps = ""
     prev = "m0"
-    for i, (hit, f_) in enumerate(clim_factor_steps):
+    for hit, f_ in clim_factor_steps:
         mm_steps += (f" + CASE WHEN {hit} THEN round_even({prev} * "
                      f"({f_}::DOUBLE - 1), 2) ELSE 0.0::DOUBLE END")
         # reference adds round_even(current_max * (f-1)) where current_max
@@ -270,6 +273,18 @@ def _sql_phase2_houston() -> str:
                f"({f_}::DOUBLE - 1), 2) ELSE 0.0::DOUBLE END)"
     climate_flat = (" + ".join(clim_flat_terms)
                     if clim_flat_terms else "0.0::DOUBLE")
+    return {"trade_case": trade_case, "permit_case": permit_case,
+            "lm_case": lm_case, "mm_case": mm_case,
+            "pc_min": pc_min, "pc_max": pc_max,
+            "mm_steps": mm_steps, "climate_flat": climate_flat}
+
+
+def _sql_phase2_houston() -> str:
+    p = _houston_sql_parts()
+    trade_case, permit_case = p["trade_case"], p["permit_case"]
+    lm_case, mm_case = p["lm_case"], p["mm_case"]
+    pc_min, pc_max = p["pc_min"], p["pc_max"]
+    mm_steps, climate_flat = p["mm_steps"], p["climate_flat"]
     return f"""
 WITH inputs AS (
   SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
@@ -533,14 +548,225 @@ FROM overall
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid estimator routing (hybrid_cost_estimator.py:86-341)
+# ---------------------------------------------------------------------------
+
+# P2_DESCS[0] "...in hall" trips the 'all' complex-indicator substring
+# (a preserved reference quirk) and never reaches the lookup table; the
+# hybrid gate swaps in a clean lookup hit so estimator_used covers all
+# three values
+HY_DESCS = ["replace the gfci outlet in den"] + P2_DESCS[1:]
+
+
+def q_hybrid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hybrid-estimator fallback chain via the real
+    estimation_rules.hybrid_estimate: C19 strategy select -> route to the
+    strategy's own estimator (lookup/formula) or the severity fallback
+    heuristic (the no-LLM path of the hybrid/llm branches) -> C21 Houston
+    adjustment; chain metadata (estimator_used, fallback_depth) is
+    first-class output. The HY corpus exercises every branch: lookup,
+    formula sqft, formula linear-ft, hybrid-fallback,
+    complex/uncertain/default llm-fallback."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(HY_DESCS, F.pmod(k, F.lit(8))).alias("description"),
+        _pick(P2_CATS, F.pmod(F.floor(k / 7), F.lit(3))).alias("category"),
+        _pick(P2_SEVS, F.pmod(F.floor(k / 11), F.lit(4))).alias("severity"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h = est.hybrid_estimate(
+                    {"title": "", "description": r.description,
+                     "category": r.category, "severity": r.severity})
+                rows.append({
+                    "doc_id": r.doc_id, "line_key": r.k,
+                    "strategy": h["strategy"],
+                    "strategy_confidence": h["strategy_confidence"],
+                    "estimator_used": h["estimator_used"],
+                    "fallback_depth": h["fallback_depth"],
+                    "contractor_type": h["contractor_type"],
+                    "urgency": h["urgency"],
+                    "trade": h["trade"],
+                    "permit_type": h["permit_type"],
+                    "total_min": h["total_min"],
+                    "total_max": h["total_max"],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, strategy string, "
+             "strategy_confidence double, estimator_used string, "
+             "fallback_depth bigint, contractor_type string, "
+             "urgency string, trade string, permit_type string, "
+             "total_min double, total_max double")
+
+
+def _sql_hybrid_routing() -> str:
+    # --- C19 tiers with component-bearing arms (labor/materials/permits
+    # needed separately because Houston multiplies them independently) ---
+    lookup_arms = []
+    for name, cd in est.SIMPLE_REPAIRS.items():
+        lookup_arms.append(
+            f"WHEN text LIKE '%{name}%' THEN struct_pack("
+            f"ll := {cd['labor'][0]}::DOUBLE, lh := {cd['labor'][1]}::DOUBLE, "
+            f"ml := {cd['materials'][0]}::DOUBLE, "
+            f"mh := {cd['materials'][1]}::DOUBLE)")
+    complex_ind = _like_any("text", est.COMPLEX_INDICATORS)
+    complex_kw = _like_any("text", est.COMPLEX_KEYWORDS)
+    complex_cat = "(" + " OR ".join(
+        f"cat LIKE '%{c}%'" for c in est.COMPLEX_CATEGORIES) + ")"
+    simple_kw = _like_any("text", est.SIMPLE_KEYWORDS)
+    uncertain = _like_any("text", est.UNCERTAINTY_PHRASES)
+    hybrid_ind = _like_any("text", est.HYBRID_INDICATORS)
+    formula_arms = []
+    for cat, fm in est.FORMULA_CATEGORIES.items():
+        nm = cat.replace("_", " ")
+        if "labor_per_sqft" in fm:
+            l_lo, l_hi = fm["labor_per_sqft"]
+            m_lo, m_hi = fm["material_per_sqft"]
+            var, guard = "sqft", "sqft IS NOT NULL"
+        else:
+            l_lo, l_hi = fm["labor_per_linear_ft"]
+            m_lo, m_hi = fm["material_per_linear_ft"]
+            var, guard = "lf", "sqft IS NULL AND lf IS NOT NULL"
+        formula_arms.append(
+            f"WHEN text LIKE '%{nm}%' AND {guard} THEN struct_pack("
+            f"ll := round_even({var} * {l_lo}::DOUBLE, 2), "
+            f"lh := round_even({var} * {l_hi}::DOUBLE, 2), "
+            f"ml := round_even({var} * {m_lo}::DOUBLE, 2), "
+            f"mh := round_even({var} * {m_hi}::DOUBLE, 2))")
+    # severity-banded fallback heuristic (hybrid_cost_estimator.py:247-283)
+    sev_base = ("(CASE WHEN severity IN ('critical', 'high') THEN 500 "
+                "WHEN severity = 'medium' THEN 200 ELSE 100 END)")
+    sev_top = ("(CASE WHEN severity IN ('critical', 'high') THEN 2000 "
+               "WHEN severity = 'medium' THEN 800 ELSE 400 END)")
+    # contractor keyword ladder over title+description+category
+    # (hybrid_cost_estimator.py:300-318)
+    contractor_case = " ".join(
+        "WHEN " + " OR ".join(
+            f"ctext LIKE '%{w}%'" for w in kws) + f" THEN '{c}'"
+        for c, kws in est.CONTRACTOR_KEYWORDS.items())
+    p = _houston_sql_parts()
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_sql_list(HY_DESCS)}[CAST(1 + o_orderkey % 8 AS INT)] AS description,
+    {_pick_sql(P2_CATS, 7, 3)} AS cat,
+    {_pick_sql(P2_SEVS, 11, 4)} AS severity
+  FROM orders),
+txt AS (
+  SELECT *, ' ' || lower(description) AS text,
+    lower(' ' || description || ' ' || cat) AS ctext,
+    CAST(nullif(regexp_extract(lower(description),
+      '(\\d+)\\s*(?:square\\s*feet|sq\\.?\\s*ft\\.?|sf)', 1), '')
+      AS DOUBLE) AS sqft,
+    CAST(nullif(regexp_extract(lower(description),
+      '(\\d+)\\s*(?:linear\\s*feet|lf|feet|ft)', 1), '') AS DOUBLE) AS lf
+  FROM inputs),
+tiers AS (
+  SELECT *,
+    CASE WHEN NOT {complex_ind}
+         THEN CASE {' '.join(lookup_arms)} END END AS lk,
+    ({complex_kw} OR {complex_cat}
+     OR (severity IN ('critical', 'high') AND NOT {simple_kw})
+     OR {uncertain}) AS is_complex,
+    CASE {' '.join(formula_arms)} END AS fm,
+    (NOT {simple_kw} AND NOT {complex_kw} AND {hybrid_ind}) AS is_hybrid
+  FROM txt),
+routed AS (
+  SELECT *,
+    CASE WHEN lk IS NOT NULL THEN 'lookup_table'
+         WHEN is_complex THEN 'llm_reasoning'
+         WHEN fm IS NOT NULL THEN 'formula_based'
+         WHEN is_hybrid THEN 'hybrid'
+         ELSE 'llm_reasoning' END AS strategy,
+    CASE WHEN lk IS NOT NULL THEN 0.95::DOUBLE
+         WHEN is_complex THEN 0.7::DOUBLE
+         WHEN fm IS NOT NULL THEN 0.85::DOUBLE
+         WHEN is_hybrid THEN 0.75::DOUBLE
+         ELSE 0.6::DOUBLE END AS strategy_confidence
+  FROM tiers),
+based AS (
+  SELECT *,
+    CASE strategy WHEN 'lookup_table' THEN 'lookup_table'
+         WHEN 'formula_based' THEN 'formula_based'
+         ELSE 'fallback_heuristic' END AS estimator_used,
+    CASE strategy WHEN 'lookup_table' THEN 0
+         WHEN 'formula_based' THEN 0 ELSE 1 END AS fallback_depth,
+    CASE strategy WHEN 'lookup_table' THEN lk.ll
+         WHEN 'formula_based' THEN fm.ll
+         ELSE {sev_base} * 0.6::DOUBLE END AS bll,
+    CASE strategy WHEN 'lookup_table' THEN lk.lh
+         WHEN 'formula_based' THEN fm.lh
+         ELSE {sev_top} * 0.6::DOUBLE END AS blh,
+    CASE strategy WHEN 'lookup_table' THEN lk.ml
+         WHEN 'formula_based' THEN fm.ml
+         ELSE {sev_base} * 0.4::DOUBLE END AS bml,
+    CASE strategy WHEN 'lookup_table' THEN lk.mh
+         WHEN 'formula_based' THEN fm.mh
+         ELSE {sev_top} * 0.4::DOUBLE END AS bmh,
+    CASE strategy WHEN 'lookup_table' THEN 'General'
+         WHEN 'formula_based' THEN CASE {contractor_case}
+                                   ELSE 'General Contractor' END
+         ELSE 'General' END AS contractor_type,
+    CASE severity WHEN 'critical' THEN 'immediate'
+         WHEN 'high' THEN 'urgent'
+         WHEN 'medium' THEN 'normal' ELSE 'low' END AS urgency
+  FROM routed),
+traded AS (
+  SELECT *,
+    CASE {p['trade_case']} ELSE 'general' END AS trade,
+    CASE {p['permit_case']} ELSE 'none' END AS permit_type
+  FROM based),
+mult AS (
+  SELECT *,
+    CASE trade {p['lm_case']} ELSE 1.10::DOUBLE END AS lm,
+    CASE trade {p['mm_case']} ELSE 1.00::DOUBLE END AS mm
+  FROM traded),
+adjusted AS (
+  SELECT *,
+    round_even(bll * lm, 2) AS labor_min_a,
+    round_even(blh * lm, 2) AS labor_max_a,
+    round_even(bml * mm, 2) AS mat_min_a,
+    round_even(bmh * mm, 2) AS m0,
+    -- every chain estimator carries zero base permits, so the Houston
+    -- replacement fires exactly when a permit type matched
+    CASE WHEN permit_type <> 'none'
+         THEN (CASE permit_type {p['pc_min']} END)
+         ELSE 0.0::DOUBLE END AS permit_min_a,
+    CASE WHEN permit_type <> 'none'
+         THEN (CASE permit_type {p['pc_max']} END)
+         ELSE 0.0::DOUBLE END AS permit_max_a
+  FROM mult),
+climate AS (
+  SELECT *,
+    m0{p['mm_steps']} AS mat_max_a,
+    {p['climate_flat']} AS clim
+  FROM adjusted)
+SELECT doc_id, k AS line_key, strategy, strategy_confidence,
+  estimator_used, CAST(fallback_depth AS BIGINT) AS fallback_depth,
+  contractor_type, urgency, trade, permit_type,
+  round_even(labor_min_a + mat_min_a + permit_min_a + clim, 0) AS total_min,
+  round_even(labor_max_a + mat_max_a + permit_max_a + clim, 0) AS total_max
+FROM climate
+"""
+
+
 QUERIES_PHASE2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phase2_select": q_phase2_select,
     "phase2_houston": q_phase2_houston,
     "phase2_confidence": q_phase2_confidence,
+    "hybrid_routing": q_hybrid_routing,
 }
 
 ORACLES_PHASE2: dict[str, str] = {
     "phase2_select": _sql_phase2_select(),
     "phase2_houston": _sql_phase2_houston(),
     "phase2_confidence": _sql_phase2_confidence(),
+    "hybrid_routing": _sql_hybrid_routing(),
 }

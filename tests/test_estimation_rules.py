@@ -185,3 +185,61 @@ def test_j7_relationships():
     assert rel.infer_contractor_type(
         {"category": "Roofing", "item": "shingles",
          "issue": "worn shingles"}) == "roofer"
+
+
+def test_hybrid_estimate_chain():
+    """hybrid_cost_estimator.py:86-341 deterministic fallback chain:
+    the selected strategy answers itself (depth 0) for lookup/formula;
+    the LLM branches (hybrid/llm_reasoning) fall through to the severity
+    heuristic (depth 1); Houston adjustment applies to every branch."""
+    # lookup: gfci outlet, no complex indicator
+    h = est.hybrid_estimate({
+        "title": "", "description": "replace the gfci outlet in den",
+        "category": "electrical", "severity": "low"})
+    assert (h["strategy"], h["estimator_used"], h["fallback_depth"]) == \
+        ("lookup_table", "lookup_table", 0)
+    assert h["contractor_type"] == "General" and h["urgency"] == "low"
+    # outlet -> electrical permit replaces the zero base permit; trade is
+    # hvac because 'replACe' contains the 'ac' keyword (reference quirk,
+    # houston_cost_multipliers.py trade table order)
+    assert h["permit_type"] == "electrical" and h["trade"] == "hvac"
+    # labor (80,150)*1.15 + materials (30,60)*1.10 + permit (150,300)
+    assert h["total_min"] == round(
+        round(80 * 1.15, 2) + round(30 * 1.10, 2) + 150, 0)
+    assert h["total_max"] == round(
+        round(150 * 1.15, 2) + round(60 * 1.10, 2) + 300, 0)
+
+    # formula: painting with sqft -> formula answers, contractor ladder
+    h = est.hybrid_estimate({
+        "title": "", "description": "painting needed across 200 sq ft of wall",
+        "category": "", "severity": "medium"})
+    assert (h["strategy"], h["estimator_used"], h["fallback_depth"]) == \
+        ("formula_based", "formula_based", 0)
+    # 'ACross' hits the 'ac' contractor keyword (reference quirk,
+    # hybrid_cost_estimator.py:300-318 substring match)
+    assert h["contractor_type"] == "HVAC Technician"
+    assert h["urgency"] == "normal"
+
+    # llm branch with no AI estimator -> severity fallback heuristic
+    h = est.hybrid_estimate({
+        "title": "", "description": "foundation settling with pier movement",
+        "category": "", "severity": "critical"})
+    assert (h["strategy"], h["estimator_used"], h["fallback_depth"]) == \
+        ("llm_reasoning", "fallback_heuristic", 1)
+    assert h["estimate_confidence"] == 0.4
+    assert h["urgency"] == "immediate"
+    assert h["trade"] == "foundation"
+
+    # hybrid branch -> same fallback path
+    h = est.hybrid_estimate({
+        "title": "", "description": "routine service visit to maintain the unit",
+        "category": "", "severity": "low"})
+    assert (h["strategy"], h["fallback_depth"]) == ("hybrid", 1)
+    assert h["estimator_used"] == "fallback_heuristic"
+
+    # houston off: raw chain costs, no trade metadata
+    h = est.hybrid_estimate({
+        "title": "", "description": "replace the gfci outlet in den",
+        "category": "", "severity": "low"}, apply_houston=False)
+    assert not h["houston_adjusted"] and h["trade"] is None
+    assert h["total_min"] == 80 + 30 + 0
