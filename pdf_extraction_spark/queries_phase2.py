@@ -757,11 +757,189 @@ FROM climate
 """
 
 
+# ---------------------------------------------------------------------------
+# F2-extension — estimate output validator (output_validator.py:34-460)
+# ---------------------------------------------------------------------------
+
+OV_ITEMS = ["fixture", ""]
+OV_DESCS = ["replace the worn fixture at entry",
+            "surface wear noted at the wall"]
+OV_SEVS = ["Low", "Critical", "Medium", "odd"]
+OV_ACTIONS = ["monitor area", "immediate replacement needed", "repair"]
+OV_REASONS = [
+    "brief note",
+    "labor and materials estimated from standard regional cost tables "
+    "for this repair",
+    "as discussed the full scope covers removal of the worn assembly and "
+    "replacement with a code compliant unit including surface preparation "
+    "fastening sealing and cleanup with materials priced from regional "
+    "supplier lists and labor hours drawn from standard production rate "
+    "manuals for this trade the access path is open and no structural "
+    "modification is expected the final invoice may differ where concealed "
+    "conditions are discovered during removal and any such discovery will "
+    "be documented with photographs and a revised line item quotation "
+    "before additional work proceeds on site",
+    "the repair scope is unclear and depends on access conditions behind "
+    "the finished wall surface so the range covers both the simple "
+    "fastener fix and the partial reframing case with materials at "
+    "regional list prices",
+]
+OV_LOWS = [1000, 200, 100, 433, 500, 0, -5, 120]
+OV_HIGHS = [3000, 250, 900, 577, 400, 60000, 50, 480]
+OV_CONFS = [95, 82, 45, 150]
+
+
+def q_output_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-output validation (output_rules.validate_estimate — the
+    deterministic slice of the reference's prompting-layer screen): per
+    record the error/warning counts, strict validity, manual-review flag
+    and quality score. The pools cover every check: missing field, enum
+    violation, range violations, low>=high, narrow/wide/round-thousand
+    ranges, all five consistency rules, generic-phrase and precision
+    hallucination heuristics, and each review trigger."""
+    from . import output_rules as ov
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    df = o.select(
+        F.pmod(k, F.lit(N_DOCS)).alias("doc_id"), k.alias("k"),
+        _pick(OV_ITEMS, F.pmod(k, F.lit(2))).alias("item"),
+        _pick(OV_DESCS, F.pmod(F.floor(k / 2), F.lit(2))).alias("description"),
+        _pick(OV_SEVS, F.pmod(F.floor(k / 3), F.lit(4))).alias("severity"),
+        _pick(OV_ACTIONS, F.pmod(F.floor(k / 5), F.lit(3))).alias("action"),
+        _pick(OV_REASONS, F.pmod(F.floor(k / 7), F.lit(4))).alias("reasoning"),
+        _pick([str(x) for x in OV_LOWS],
+              F.pmod(F.floor(k / 11), F.lit(8))).cast("long").alias("low"),
+        _pick([str(x) for x in OV_HIGHS],
+              F.pmod(F.floor(k / 11), F.lit(8))).cast("long").alias("high"),
+        _pick([str(x) for x in OV_CONFS],
+              F.pmod(F.floor(k / 13), F.lit(4))).cast("long").alias("conf"),
+        (F.pmod(k, F.lit(2)) == 0).alias("has_assumptions"),
+        (F.pmod(k, F.lit(3)) == 0).alias("has_risks"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                estimate = {
+                    "item": r.item, "issue_description": r.description,
+                    "severity": r.severity, "suggested_action": r.action,
+                    "estimated_low": int(r.low),
+                    "estimated_high": int(r.high),
+                    "confidence_score": int(r.conf),
+                    "reasoning": r.reasoning,
+                }
+                if r.has_assumptions:
+                    estimate["assumptions"] = ["assumes open access"]
+                if r.has_risks:
+                    estimate["risk_factors"] = ["concealed damage"]
+                v = ov.validate_estimate(estimate)
+                rows.append({
+                    "doc_id": r.doc_id, "line_key": r.k,
+                    "n_errors": v["n_errors"],
+                    "n_warnings": v["n_warnings"],
+                    "valid": v["valid"],
+                    "needs_review": v["needs_review"],
+                    "quality_score": v["quality_score"],
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "doc_id bigint, line_key bigint, n_errors bigint, "
+             "n_warnings bigint, valid boolean, needs_review boolean, "
+             "quality_score bigint")
+
+
+def _sql_output_validate() -> str:
+    from . import output_rules as ov
+
+    sev_list = ", ".join(f"'{s}'" for s in ov.VALID_SEVERITIES)
+    uncertain = " OR ".join(f"low_r LIKE '%{k}%'"
+                            for k in ov.UNCERTAINTY_KEYWORDS)
+    generic = " + ".join(
+        f"CASE WHEN low_r LIKE '%{p}%' THEN 1 ELSE 0 END"
+        for p in ov.GENERIC_PHRASES)
+    return f"""
+WITH inputs AS (
+  SELECT o_orderkey % {N_DOCS} AS doc_id, o_orderkey AS k,
+    {_sql_list(OV_ITEMS)}[CAST(1 + o_orderkey % 2 AS INT)] AS item,
+    {_sql_list(OV_DESCS)}[CAST(1 + (o_orderkey // 2) % 2 AS INT)]
+      AS description,
+    {_sql_list(OV_SEVS)}[CAST(1 + (o_orderkey // 3) % 4 AS INT)]
+      AS severity,
+    {_sql_list(OV_ACTIONS)}[CAST(1 + (o_orderkey // 5) % 3 AS INT)]
+      AS action,
+    {_sql_list(OV_REASONS)}[CAST(1 + (o_orderkey // 7) % 4 AS INT)]
+      AS reasoning,
+    {_sql_list([str(x) for x in OV_LOWS])}
+      [CAST(1 + (o_orderkey // 11) % 8 AS INT)]::BIGINT AS low,
+    {_sql_list([str(x) for x in OV_HIGHS])}
+      [CAST(1 + (o_orderkey // 11) % 8 AS INT)]::BIGINT AS high,
+    {_sql_list([str(x) for x in OV_CONFS])}
+      [CAST(1 + (o_orderkey // 13) % 4 AS INT)]::BIGINT AS conf,
+    o_orderkey % 2 = 0 AS has_assumptions,
+    o_orderkey % 3 = 0 AS has_risks
+  FROM orders),
+txt AS (
+  SELECT *, lower(reasoning) AS low_r, lower(severity) AS low_s,
+    lower(action) AS low_a, lower(description) AS low_d
+  FROM inputs),
+checks AS (
+  SELECT *,
+    -- errors (one line for ALL missing fields together; only item can
+    -- be empty in this corpus)
+    (CASE WHEN item = '' THEN 1 ELSE 0 END)
+    + (CASE WHEN severity NOT IN ({sev_list}) THEN 1 ELSE 0 END)
+    + (CASE WHEN conf NOT BETWEEN 0 AND 100 THEN 1 ELSE 0 END)
+    + (CASE WHEN low < 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN high > 50000 THEN 1 ELSE 0 END)
+    + (CASE WHEN length(reasoning) < 50 THEN 1 ELSE 0 END)
+    + (CASE WHEN low >= high THEN 1 ELSE 0 END) AS ne,
+    -- warnings (python % on a negative low differs from SQL %, but both
+    -- are nonzero for every pool value, so the =0 outcomes agree)
+    (CASE WHEN high - low < 100 AND low > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN low > 0 AND high / low > 5 THEN 1 ELSE 0 END)
+    + (CASE WHEN low % 1000 = 0 AND high % 1000 = 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN low_s = 'critical' AND low_a LIKE '%monitor%'
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN low_s = 'low' AND high > 5000 THEN 1 ELSE 0 END)
+    + (CASE WHEN conf > 85 AND low > 0 AND high / low > 3
+            THEN 1 ELSE 0 END)
+    + (CASE WHEN low_a LIKE '%immediate%'
+             AND low_s IN ('low', 'informational') THEN 1 ELSE 0 END)
+    + (CASE WHEN ({uncertain}) AND conf > 80 THEN 1 ELSE 0 END)
+    + ({generic})
+    + (CASE WHEN low % 10 <> 0 AND high % 10 <> 0 AND low <> high
+             AND (low % 5 <> 0 OR high % 5 <> 0) THEN 1 ELSE 0 END)
+    + (CASE WHEN length(reasoning) > 500 AND conf < 70 THEN 1 ELSE 0 END)
+    + (CASE WHEN low_d LIKE '%replace%' AND low_r LIKE '%repair%'
+             AND low_r NOT LIKE '%replace%' THEN 1 ELSE 0 END) AS nw
+  FROM txt),
+scored AS (
+  SELECT *,
+    greatest(0, least(100,
+      100 - 20 * ne - 5 * nw
+      + (CASE WHEN has_assumptions THEN 5 ELSE 0 END)
+      + (CASE WHEN has_risks THEN 5 ELSE 0 END)
+      + (CASE WHEN length(reasoning) > 200 THEN 5 ELSE 0 END)
+      - (CASE WHEN conf < 50 THEN 10 ELSE 0 END))) AS q
+  FROM checks)
+SELECT doc_id, k AS line_key,
+  CAST(ne AS BIGINT) AS n_errors, CAST(nw AS BIGINT) AS n_warnings,
+  ne = 0 AS valid,
+  (ne > 0 OR q < 60 OR conf < 60 OR high > 50000 OR nw >= 3
+   OR (low > 0 AND high / low > 4)) AS needs_review,
+  CAST(q AS BIGINT) AS quality_score
+FROM scored
+"""
+
+
 QUERIES_PHASE2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phase2_select": q_phase2_select,
     "phase2_houston": q_phase2_houston,
     "phase2_confidence": q_phase2_confidence,
     "hybrid_routing": q_hybrid_routing,
+    "output_validate": q_output_validate,
 }
 
 ORACLES_PHASE2: dict[str, str] = {
@@ -769,4 +947,5 @@ ORACLES_PHASE2: dict[str, str] = {
     "phase2_houston": _sql_phase2_houston(),
     "phase2_confidence": _sql_phase2_confidence(),
     "hybrid_routing": _sql_hybrid_routing(),
+    "output_validate": _sql_output_validate(),
 }
