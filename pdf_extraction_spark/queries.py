@@ -262,6 +262,57 @@ FROM ordered
 """
 
 
+def q_font_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+C4 — formatting-aware priority (src/data_structurer.py:110-144,
+    text_extractor.pyc:178-227): a font-bearing span corpus flows through
+    the REAL schema-tolerant plan path (explode_spans picks the optional
+    bold/underlined span attrs up; absent attrs fall back to the fontless
+    S4 constant-False), then bold wins 'high' and underlined wins
+    'medium' ahead of the keyword tiers."""
+    from .plans.extraction import explode_spans
+
+    lines = derived_lines(spark, sf_dir)
+    k = F.col("k")
+    span = F.struct(
+        k.cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        (F.pmod(k, F.lit(7)) == 0).alias("bold"),
+        (F.pmod(k, F.lit(5)) == 0).alias("underlined"))
+    docs = (lines.select("doc_id", span.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("s")).alias("spans")))
+    ex = explode_spans(docs)
+    off = F.col("offset")
+    status = F.when(F.pmod(off, F.lit(4)) == 0, F.lit("I")) \
+        .when(F.pmod(off, F.lit(4)) == 1, F.lit("NI")) \
+        .when(F.pmod(off, F.lit(4)) == 2, F.lit("D"))
+    return ex.select(
+        "doc_id", off.cast("long").alias("line_key"),
+        "bold", "underlined",
+        priority_col(F.lower(F.col("text")), status,
+                     bold=F.col("bold"),
+                     underlined=F.col("underlined")).alias("priority"))
+
+
+SQL_FONT_PRIORITY = f"""
+WITH {SQL_LINES_CTE}
+SELECT doc_id, k AS line_key,
+  k % 7 = 0 AS bold, k % 5 = 0 AS underlined,
+  CASE
+    WHEN k % 7 = 0 THEN 'high'
+    WHEN {_sql_like_any('lower(text)', rules.HIGH_PRIORITY_KEYWORDS)} THEN 'high'
+    WHEN k % 5 = 0 THEN 'medium'
+    WHEN {_sql_like_any('lower(text)', rules.MEDIUM_PRIORITY_KEYWORDS)} THEN 'medium'
+    WHEN (CASE CAST(k % 4 AS INT) WHEN 0 THEN 'I' WHEN 1 THEN 'NI' WHEN 2 THEN 'D' END)
+         IN ('I','NI','NP') THEN 'low'
+    ELSE 'info'
+  END AS priority
+FROM ordered
+"""
+
+
 def q_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — title extraction (src/data_structurer.py:147-157), long+short cases."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1155,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segmentation": q_segmentation,
     "boilerplate": q_boilerplate,
     "priority": q_priority,
+    "font_priority": q_font_priority,
     "title": q_title,
     "price_parse": q_price_parse,
     "normalize_unicode": q_normalize_unicode,
@@ -1183,6 +1235,7 @@ ORACLES: dict[str, str] = {
     "segmentation": SQL_SEGMENTATION,
     "boilerplate": SQL_BOILERPLATE,
     "priority": SQL_PRIORITY,
+    "font_priority": SQL_FONT_PRIORITY,
     "title": SQL_TITLE,
     "price_parse": SQL_PRICE,
     "normalize_unicode": SQL_NORMALIZE,

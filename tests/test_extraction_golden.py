@@ -138,3 +138,73 @@ def test_salted_handles_unsorted_spans(spark):
         for key in ("spans", "issues", "tables", "raw_sections",
                     "metadata", "summary"):
             assert a[doc_id][key] == b[doc_id][key], f"{doc_id}.{key}"
+
+
+def test_font_attributes_drive_priority(spark):
+    """C2 (text_extractor.pyc:178-227, data_structurer.py:110-144): when
+    the span/block schema carries the optional bold/underlined attrs,
+    bold wins 'high' and underlined wins 'medium' ahead of the keyword
+    tiers; without the attrs the same content falls back to the fontless
+    S4 constant-False path."""
+    from pdf_extraction_spark.operators.segmentation import segment_issues
+
+    rows = [
+        ("d1", 0, 1, "Electrical", "Panel", "D",
+         "panel cover loose at garage area", True, False),
+        ("d1", 1, 1, "Electrical", "Panel", "D",
+         "switch plate dusty at hall wall", False, True),
+        ("d1", 2, 1, "Electrical", "Panel", "D",
+         "cover plate scuffed near door", False, False),
+        ("d1", 3, 1, "Electrical", "Panel", "D",
+         "immediate safety hazard at panel", False, False),
+    ]
+    schema = ("doc_id string, offset int, page_num int, section string, "
+              "subsection string, status string, content string")
+    font_blocks = spark.createDataFrame(
+        rows, schema + ", bold boolean, underlined boolean")
+    got = {r["description"]: r["priority"]
+           for r in segment_issues(font_blocks).collect()}
+    assert got["panel cover loose at garage area"] == "high"      # bold
+    assert got["switch plate dusty at hall wall"] == "medium"      # underlined
+    assert got["cover plate scuffed near door"] == "info"
+    assert got["immediate safety hazard at panel"] == "high"      # keyword
+
+    plain_blocks = spark.createDataFrame(
+        [r[:7] for r in rows], schema)
+    got = {r["description"]: r["priority"]
+           for r in segment_issues(plain_blocks).collect()}
+    assert got["panel cover loose at garage area"] == "info"      # no font
+    assert got["switch plate dusty at hall wall"] == "info"
+    assert got["immediate safety hazard at panel"] == "high"
+
+
+def test_font_attrs_flow_through_exploded_plan(spark):
+    """explode_spans is schema-tolerant: extra bold/underlined span
+    fields surface as block columns and reach the issues; the standard
+    fontless corpus is unchanged."""
+    from pyspark.sql import functions as F
+
+    docs = corpus.generate_docs(spark, 6, partitions=2)
+    with_font = docs.withColumn(
+        "spans", F.transform(
+            "spans", lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+                (s["offset"] % 7 == F.lit(3)).alias("bold"))))
+    base = {r["doc_id"]: r for r in assemble(docs).collect()}
+    font = {r["doc_id"]: r for r in assemble(with_font).collect()}
+    upgraded = downgraded = 0
+    for doc_id, fr in font.items():
+        br = base[doc_id]
+        assert len(fr["issues"]) == len(br["issues"])
+        for fi, bi in zip(fr["issues"], br["issues"]):
+            assert fi["description"] == bi["description"]
+            if fi["priority"] != bi["priority"]:
+                # bold can only raise to high
+                assert fi["priority"] == "high"
+                upgraded += 1
+            if bi["priority"] == "high":
+                assert fi["priority"] == "high"
+                downgraded += 1  # high stays high (never downgraded)
+    assert upgraded > 0  # the synthetic bold flag hit at least one issue
