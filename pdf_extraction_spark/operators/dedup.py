@@ -160,6 +160,10 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text",
     map-side-combined shuffle on the doc id, no recomputation possible.
     Docs too short to shingle vanish at the explode (same contract as the
     HOF form's null signature).
+
+    Kept as the pure-Catalyst reference twin; minhash_signatures_arrow
+    below is the default production path (measured faster — shingle
+    construction itself is still an interpreted transform here).
     """
     rng = np.random.default_rng(42)
     a = rng.integers(1, MERSENNE_P, size=k, dtype=np.int64)
@@ -176,6 +180,71 @@ def minhash_signatures_agg(docs: DataFrame, text_col: str = "text",
         "id", F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig"))
 
 
+def _doc_shingle_hashes(text: str, n: int) -> list[int]:
+    """Python twin of shingle_hashes: distinct word n-gram shingles of
+    lower(text) -> 60-bit ints from the first 15 md5 hex digits. hashlib
+    md5 is C-speed, so the per-shingle cost is ~1us vs the interpreted
+    Catalyst transform's per-element expression walk."""
+    import hashlib
+
+    toks = text.lower().split() if text else []
+    if len(toks) < n:
+        return []
+    seen: set[str] = set()
+    out: list[int] = []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i:i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
+    return out
+
+
+def minhash_signatures_arrow(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 64,
+                             n: int = 3) -> DataFrame:
+    """(id, sig) computed per doc in one mapInArrow pass — zero shuffle,
+    value-identical to minhash_signature/minhash_signatures_agg (same
+    seeded permutations over the same md5 shingle hashes; asserted by
+    tests/test_training_data_ops.py).
+
+    Why a python kernel wins here: the shingle construction is
+    tokenize + join + md5, which Catalyst can only express as interpreted
+    higher-order transforms (measured 13.9s for the 5 000-doc sf0.1
+    kernel bench vs ~2s for this path); hashlib md5 runs at C speed and
+    the 64 permutations are one (n_shingles x 64) numpy modmul. Products
+    stay below 2^61 (MERSENNE_P * _HASH_SPACE), so int64 never wraps.
+    """
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, MERSENNE_P, size=k, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=k, dtype=np.int64)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            sigs: list[list[int] | None] = []
+            keep_ids = []
+            for i, text in enumerate(texts):
+                hs = _doc_shingle_hashes(text or "", n)
+                if not hs:
+                    continue  # same contract: unshingleable docs drop out
+                x = np.asarray(hs, dtype=np.int64) % _HASH_SPACE
+                sig = (a[None, :] * x[:, None] + b[None, :]) \
+                    % MERSENNE_P
+                sigs.append(sig.min(axis=0).tolist())
+                keep_ids.append(ids[i].as_py())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keep_ids, type=ids.type),
+                 pa.array(sigs, type=pa.list_(pa.int64()))],
+                names=["id", "sig"])
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+    id_type = dict(src.dtypes)["id"]
+    return src.mapInArrow(run, schema=f"id {id_type}, sig array<long>")
+
+
 def minhash_candidates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 64,
                        bands: int = 16,
@@ -184,7 +253,7 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text",
     minhash jaccard estimate. Shuffles on (band, band_hash) only.
     ``max_bucket`` (e.g. 10_000 at corpus scale) star-joins degenerate
     buckets instead of all-pairs — see _bucketed_pairs."""
-    sigs = minhash_signatures_agg(docs, text_col, id_col, k)
+    sigs = minhash_signatures_arrow(docs, text_col, id_col, k)
     # Band with (id, band, h) ONLY: the k-long signature arrays never enter
     # the candidate shuffle or the distinct — at 10^9 docs that saves
     # ~bands x signature bytes of shuffle I/O. Signatures are re-attached
@@ -235,13 +304,48 @@ def topk_shingle_hashes(text: Column, k: int = 8, n: int = 3) -> Column:
         F.transform(shingles_col(text, n), lambda s: F.md5(s))), 1, k)
 
 
+def topk_shingle_hashes_arrow(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8,
+                              n: int = 3) -> DataFrame:
+    """(id, hs) twin of topk_shingle_hashes in one mapInArrow pass —
+    value-identical (K lexicographically-smallest md5 hex digests of the
+    distinct shingles; hashlib and Spark md5 both emit lowercase hex).
+    Same rationale as minhash_signatures_arrow: the interpreted shingle
+    transform + per-element md5 + array_sort dominated the sf0.1 kernel
+    bench at 37s for 5 000 docs; C-speed md5 + heapq take ~2s."""
+    import hashlib
+    import heapq
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            out: list[list[str]] = []
+            for text in texts:
+                toks = (text or "").lower().split()
+                if len(toks) < n:
+                    out.append([])
+                    continue
+                digests = {hashlib.md5(" ".join(toks[i:i + n]).encode())
+                           .hexdigest()
+                           for i in range(len(toks) - n + 1)}
+                out.append(heapq.nsmallest(k, digests))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.list_(pa.string()))],
+                names=["id", "hs"])
+
+    src = docs.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("t"))
+    id_type = dict(src.dtypes)["id"]
+    return src.mapInArrow(run, schema=f"id {id_type}, hs array<string>")
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 8,
                   min_shared: int = 2) -> DataFrame:
     """N-gram jaccard near-dup pairs over bounded top-K shingle sets:
     join on shared shingle hash, then exact jaccard of the two K-sets."""
-    sets_df = docs.select(F.col(id_col).alias("id"),
-                          topk_shingle_hashes(F.col(text_col), k).alias("hs"))
+    sets_df = topk_shingle_hashes_arrow(docs, text_col, id_col, k)
     exploded = sets_df.select("id", "hs", F.explode("hs").alias("h"))
     left = exploded.select(F.col("h"), F.col("id").alias("id_a"),
                            F.col("hs").alias("hs_a"))

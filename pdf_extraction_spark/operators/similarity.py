@@ -16,18 +16,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns. With ``dim`` known, unrolls to
+    flat left-associated multiply-adds — whole-stage codegen instead of
+    an interpreted aggregate-over-zip_with walk (the HOF was the sf0.1
+    all-pairs kernel's hot spot: ~1.7M candidate pairs x 64 interpreted
+    lambda frames). Same summation order as the fold (acc starts at 0.0
+    and 0.0 + x == x), so values are bit-identical."""
+    if dim:
+        # product in the arrays' native type (f32 inputs round to f32,
+        # exactly like zip_with), then accumulate in double like the
+        # fold's 0.0 accumulator
+        dot = None
+        for j in range(1, dim + 1):
+            term = (F.element_at(a, j) * F.element_at(b, j)).cast("double")
+            dot = term if dot is None else dot + term
+        return dot
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        s = None
+        for j in range(1, dim + 1):
+            term = (F.element_at(a, j) * F.element_at(a, j)).cast("double")
+            s = term if s is None else s + term
+        return F.sqrt(s)
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -35,7 +56,7 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 emb_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine against one query vector (brute force)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_col(F.col(emb_col), q)
+    sim = cosine_col(F.col(emb_col), q, dim=len(query_vec))
     return (embeddings
             .select(id_col, sim.alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
@@ -49,7 +70,7 @@ def knn_label_vote(embeddings: DataFrame, query_vec: list[float],
     """Majority label among the k nearest neighbours (ties -> smaller
     label)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_col(F.col(emb_col), q)
+    sim = cosine_col(F.col(emb_col), q, dim=len(query_vec))
     top = (embeddings.select(label_col, sim.alias("cosine"), id_col)
            .orderBy(F.desc("cosine"), id_col).limit(k))
     return (top.groupBy(label_col)
@@ -115,7 +136,9 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
     bucketed = with_lsh_buckets(embeddings, dim, n_planes, seed, emb_col)
     cand = bucketed.where(F.col("bucket").isin(probes))
     qc = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (cand.select(id_col, cosine_col(F.col(emb_col), qc).alias("cosine"))
+    return (cand.select(id_col,
+                        cosine_col(F.col(emb_col), qc, dim=dim)
+                        .alias("cosine"))
             .orderBy(F.desc("cosine"), id_col).limit(k))
 
 
@@ -177,7 +200,8 @@ def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
               .join(embeddings.select(F.col(id_col).alias("id_b"),
                                       F.col(emb_col).alias("e_b")), "id_b")
               .select("id_a", "id_b",
-                      cosine_col(F.col("e_a"), F.col("e_b")).alias("cosine")))
+                      cosine_col(F.col("e_a"), F.col("e_b"), dim=dim)
+                      .alias("cosine")))
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), "id_b")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -1089,8 +1089,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bucketed.where(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= 1)
     qc = F.array(*[F.lit(float(x)) for x in qv])
-    sim_milli = F.floor(cosine_col(F.col("embedding"), qc) * 1000) \
-        .cast("long")
+    sim_milli = F.floor(cosine_col(F.col("embedding"), qc, dim=ANN_DIM)
+                        * 1000).cast("long")
     return (cand.select("vec_id", "label", sim_milli.alias("sim_milli"))
             .orderBy(F.desc("sim_milli"), "vec_id").limit(10))
 

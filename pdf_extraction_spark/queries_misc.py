@@ -628,7 +628,8 @@ def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(e.select(F.col("vec_id").alias("id_b"),
                             F.col("embedding").alias("e_b")), "id_b")
              .select("id_a", "id_b",
-                     F.floor(cosine_col(F.col("e_a"), F.col("e_b")) * 1000)
+                     F.floor(cosine_col(F.col("e_a"), F.col("e_b"),
+                                        dim=APT_DIM) * 1000)
                      .cast("long").alias("sim_milli")))
     w = Window.partitionBy("id_a").orderBy(F.desc("sim_milli"), "id_b")
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -356,3 +356,61 @@ def test_connected_components_nonconvergence_raises(spark):
     comp = {r["id"]: r["comp"]
             for r in dedup.connected_components(pairs, max_iter=15).collect()}
     assert set(comp.values()) == {"n00"}
+
+
+def test_arrow_twins_value_identical(spark):
+    """The mapInArrow production kernels (minhash signatures, top-K
+    shingle hashes) must be value-identical to their pure-Catalyst
+    reference twins — the oracle SQL was transcribed from the Catalyst
+    forms, so any divergence here silently breaks the driver gate."""
+    rows = [(f"d{i}",
+             f"document {i % 7} body text with shared tokens plus "
+             f"unique tail {i} {'x' * (i % 5)} end marker {i * 13 % 11}")
+            for i in range(40)]
+    rows += [("short", "two words"), ("empty", ""), ("nul", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    cat_sig = {r["id"]: r["sig"] for r in df.select(
+        F.col("doc_id").alias("id"),
+        dedup.minhash_signature(F.col("text")).alias("sig")).collect()
+        if r["sig"] is not None}
+    arr_sig = {r["id"]: r["sig"]
+               for r in dedup.minhash_signatures_arrow(df).collect()}
+    assert cat_sig == arr_sig
+
+    cat_hs = {r["id"]: r["hs"] for r in df.select(
+        F.col("doc_id").alias("id"),
+        dedup.topk_shingle_hashes(F.col("text")).alias("hs")).collect()}
+    arr_hs = {r["id"]: r["hs"]
+              for r in dedup.topk_shingle_hashes_arrow(df).collect()}
+    assert cat_hs == arr_hs
+
+
+def test_unrolled_cosine_bit_identical(spark):
+    """cosine_col(dim=N) unrolls the zip_with/aggregate fold into flat
+    codegen arithmetic; same left-to-right summation order means the
+    doubles must match BIT-for-bit (the gates floor(x*1000), so a
+    last-bit flip at a boundary would flip a gate hash)."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, e array<double>")
+    q = [float(x) for x in rng.standard_normal(16)]
+    qc = F.array(*[F.lit(x) for x in q])
+    out = df.select(
+        similarity.cosine_col(F.col("e"), qc).alias("hof"),
+        similarity.cosine_col(F.col("e"), qc, dim=16).alias("flat")
+    ).collect()
+    for r in out:
+        assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["flat"])
+
+    # float32 inputs: products round to f32 first, then accumulate in f64
+    df32 = df.select("id", F.col("e").cast("array<float>").alias("e"))
+    out32 = df32.select(
+        similarity.cosine_col(F.col("e"), qc).alias("hof"),
+        similarity.cosine_col(F.col("e"), qc, dim=16).alias("flat")
+    ).collect()
+    for r in out32:
+        assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["flat"])
