@@ -11,9 +11,13 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -54,11 +58,13 @@ def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id",
                 emb_col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine against one query vector (brute force)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_col(F.col(emb_col), q, dim=len(query_vec))
-    return (embeddings
-            .select(id_col, sim.alias("cosine"))
+    """Exact top-k by cosine against one query vector (brute force via
+    the Arrow scoring kernel; per-partition top-k then a driver-side
+    TakeOrderedAndProject — no full sort materializes)."""
+    scored = cosine_scores_arrow(
+        embeddings.select(id_col, emb_col), query_vec, emb_col)
+    return (scored
+            .select(id_col, "cosine")
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
 
@@ -69,9 +75,9 @@ def knn_label_vote(embeddings: DataFrame, query_vec: list[float],
                    label_col: str = "label") -> DataFrame:
     """Majority label among the k nearest neighbours (ties -> smaller
     label)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_col(F.col(emb_col), q, dim=len(query_vec))
-    top = (embeddings.select(label_col, sim.alias("cosine"), id_col)
+    scored = cosine_scores_arrow(
+        embeddings.select(label_col, id_col, emb_col), query_vec, emb_col)
+    top = (scored.select(label_col, "cosine", id_col)
            .orderBy(F.desc("cosine"), id_col).limit(k))
     return (top.groupBy(label_col)
             .agg(F.count(F.lit(1)).alias("votes"))
@@ -112,12 +118,175 @@ def lsh_bucket_col(emb: Column, planes: np.ndarray) -> Column:
     return bits.cast("int")
 
 
+def _emb_matrix(col: pa.Array, dim: int) -> np.ndarray:
+    """list<float> Arrow column -> (n, dim) float32 matrix (columnar
+    flatten, no per-row python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != len(arr) * dim:
+        raise ValueError(
+            f"embedding column is not uniformly {dim}-dimensional")
+    return flat.reshape(len(arr), dim)
+
+
+def _ordered_proj(emb64: np.ndarray, plane: np.ndarray) -> np.ndarray:
+    """Left-associated dot product against a float64 plane — the same
+    IEEE-754 operation sequence as _dot_lit's unrolled multiply-adds, so
+    every row's value (and sign) is bit-identical to the Catalyst twin."""
+    acc = emb64[:, 0] * plane[0]
+    for j in range(1, emb64.shape[1]):
+        acc = acc + emb64[:, j] * plane[j]
+    return acc
+
+
+def lsh_buckets_arrow(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                      seed: int = 42,
+                      emb_col: str = "embedding") -> DataFrame:
+    """Arrow-kernel twin of the Catalyst bucket projection: appends the
+    sign-bit ``bucket`` column in one mapInArrow pass.
+
+    Why a python kernel is the production path: the unrolled JVM
+    projection is n_planes x dim multiply-add terms PER TABLE — at
+    (8, 64) that is a 512-term expression tree that costs seconds of
+    py4j construction + analysis per query and blows janino's 64 KB
+    method limit (whole-stage codegen falls back to interpreted
+    evaluation). The kernel's plan is O(1) in (planes, dim) and the
+    projection is dim vectorized numpy ops per batch; the accumulation
+    is left-associated (\\_ordered_proj), so bucket ids are
+    bit-identical to lsh_bucket_col's (asserted in
+    tests/test_training_data_ops.py). Zero shuffle either way.
+
+    Null embeddings get bucket 0, mirroring the Catalyst form (a null
+    projection fails every `when(proj >= 0)` test, so every bit takes
+    the otherwise-0 branch)."""
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            col = rb.column(rb.schema.get_field_index(emb_col))
+            n = len(col)
+            if col.null_count:
+                valid = np.asarray(col.is_valid())
+                dense = col.drop_null()
+                mat = _emb_matrix(dense, dim).astype(np.float64) \
+                    if len(dense) else np.empty((0, dim))
+                sub = np.zeros(len(dense), dtype=np.int32)
+                for i, plane in enumerate(planes):
+                    if len(dense):
+                        sub |= (_ordered_proj(mat, plane) >= 0).astype(
+                            np.int32) << i
+                bucket = np.zeros(n, dtype=np.int32)
+                bucket[valid] = sub
+            else:
+                mat = _emb_matrix(col, dim).astype(np.float64)
+                bucket = np.zeros(n, dtype=np.int32)
+                for i, plane in enumerate(planes):
+                    bucket |= (_ordered_proj(mat, plane) >= 0).astype(
+                        np.int32) << i
+            yield pa.RecordBatch.from_arrays(
+                [*rb.columns, pa.array(bucket, type=pa.int32())],
+                names=[*rb.schema.names, "bucket"])
+
+    out_schema = T.StructType(
+        list(embeddings.schema) + [T.StructField("bucket", T.IntegerType())])
+    return embeddings.mapInArrow(run, schema=out_schema)
+
+
 def with_lsh_buckets(embeddings: DataFrame, dim: int, n_planes: int = 16,
-                     seed: int = 42,
-                     emb_col: str = "embedding") -> DataFrame:
+                     seed: int = 42, emb_col: str = "embedding",
+                     arrow: bool = True) -> DataFrame:
+    """Append the hyperplane sign-bit ``bucket`` column. ``arrow=True``
+    (default) runs the O(1)-plan Arrow kernel; ``arrow=False`` keeps the
+    pure-Catalyst unrolled projection as the reference twin — both are
+    bit-identical per row."""
+    if arrow:
+        return lsh_buckets_arrow(embeddings, dim, n_planes, seed, emb_col)
     planes = hyperplanes(dim, n_planes, seed)
     return embeddings.withColumn("bucket",
                                  lsh_bucket_col(F.col(emb_col), planes))
+
+
+def _ordered_sq_norm32(mat32: np.ndarray) -> np.ndarray:
+    """Left-associated sum of float32 squares cast to double — mirrors
+    _norm's `(element_at(a,j) * element_at(a,j)).cast("double")` terms
+    (float x float multiplies IN FLOAT, then widens)."""
+    sq = (mat32 * mat32).astype(np.float64)
+    acc = sq[:, 0]
+    for j in range(1, mat32.shape[1]):
+        acc = acc + sq[:, j]
+    return acc
+
+
+def cosine_scores_arrow(embeddings: DataFrame, query_vec: list[float],
+                        emb_col: str = "embedding",
+                        out_col: str = "cosine") -> DataFrame:
+    """Appends cosine-vs-query as ``out_col`` in one mapInArrow pass —
+    bit-identical to `cosine_col(col, F.array(*lits), dim)` (query
+    literals are doubles, so dot terms widen the f32 element before the
+    multiply; norms square in f32 first; all sums left-associated).
+    The unrolled Catalyst twin is 3x dim terms of py4j tree construction
+    per call — seconds of planning at dim 64; this kernel's plan is O(1)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    nq_terms = q * q
+    nq = nq_terms[0]
+    for j in range(1, len(q)):
+        nq = nq + nq_terms[j]
+    nq = float(np.sqrt(nq))
+    dim = len(query_vec)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            col = rb.column(rb.schema.get_field_index(emb_col))
+            mat32 = _emb_matrix(col, dim)
+            dot = _ordered_proj(mat32.astype(np.float64), q)
+            na = np.sqrt(_ordered_sq_norm32(mat32))
+            cos = dot / (na * nq)
+            yield pa.RecordBatch.from_arrays(
+                [*rb.columns, pa.array(cos, type=pa.float64())],
+                names=[*rb.schema.names, out_col])
+
+    out_schema = T.StructType(
+        list(embeddings.schema) + [T.StructField(out_col, T.DoubleType())])
+    return embeddings.mapInArrow(run, schema=out_schema)
+
+
+def pair_cosine_arrow(pairs: DataFrame, a_col: str, b_col: str, dim: int,
+                      out_col: str = "cosine",
+                      drop_vectors: bool = True) -> DataFrame:
+    """Appends pairwise cosine between two f32 embedding columns —
+    bit-identical to `cosine_col(a, b, dim)` on float inputs (products
+    round to f32 like Spark's float x float multiply, then widen; sums
+    left-associated). Used by all_pairs_topk to score candidate pairs:
+    the Catalyst twin is a 3 x dim-term tree that exceeds janino's 64 KB
+    limit at dim 64 and drops the scoring projection to interpreted
+    evaluation."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            a32 = _emb_matrix(rb.column(rb.schema.get_field_index(a_col)),
+                              dim)
+            b32 = _emb_matrix(rb.column(rb.schema.get_field_index(b_col)),
+                              dim)
+            prod = (a32 * b32).astype(np.float64)
+            dot = prod[:, 0]
+            for j in range(1, dim):
+                dot = dot + prod[:, j]
+            cos = dot / (np.sqrt(_ordered_sq_norm32(a32))
+                         * np.sqrt(_ordered_sq_norm32(b32)))
+            cols = [*rb.columns, pa.array(cos, type=pa.float64())]
+            names = [*rb.schema.names, out_col]
+            if drop_vectors:
+                keep = [i for i, nm in enumerate(names)
+                        if nm not in (a_col, b_col)]
+                cols = [cols[i] for i in keep]
+                names = [names[i] for i in keep]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    fields = [f for f in pairs.schema
+              if not (drop_vectors and f.name in (a_col, b_col))]
+    out_schema = T.StructType(fields + [T.StructField(out_col,
+                                                      T.DoubleType())])
+    return pairs.mapInArrow(run, schema=out_schema)
 
 
 def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
@@ -133,12 +302,11 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
     q_bucket = int(sum((1 << i) for i, p in enumerate(planes)
                        if float(np.dot(q, p)) >= 0))
     probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_planes)]
-    bucketed = with_lsh_buckets(embeddings, dim, n_planes, seed, emb_col)
+    bucketed = with_lsh_buckets(embeddings.select(id_col, emb_col),
+                                dim, n_planes, seed, emb_col)
     cand = bucketed.where(F.col("bucket").isin(probes))
-    qc = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (cand.select(id_col,
-                        cosine_col(F.col(emb_col), qc, dim=dim)
-                        .alias("cosine"))
+    return (cosine_scores_arrow(cand, query_vec, emb_col)
+            .select(id_col, "cosine")
             .orderBy(F.desc("cosine"), id_col).limit(k))
 
 
@@ -177,8 +345,9 @@ def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
     — the wide vectors cross the wire once per distinct candidate pair,
     not once per (table x probe) hit."""
     cands = None
+    src = embeddings.select(id_col, emb_col)
     for t in range(n_tables):
-        bucketed = with_lsh_buckets(embeddings, dim, n_planes,
+        bucketed = with_lsh_buckets(src, dim, n_planes,
                                     seed=42 + t, emb_col=emb_col)
         if multiprobe:
             probes = F.array(F.col("bucket"), *[
@@ -194,14 +363,12 @@ def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
                    .select("id_a", "id_b"))
         cands = pairs_t if cands is None else cands.union(pairs_t)
     cands = cands.distinct()
-    scored = (cands
-              .join(embeddings.select(F.col(id_col).alias("id_a"),
-                                      F.col(emb_col).alias("e_a")), "id_a")
-              .join(embeddings.select(F.col(id_col).alias("id_b"),
-                                      F.col(emb_col).alias("e_b")), "id_b")
-              .select("id_a", "id_b",
-                      cosine_col(F.col("e_a"), F.col("e_b"), dim=dim)
-                      .alias("cosine")))
+    attached = (cands
+                .join(embeddings.select(F.col(id_col).alias("id_a"),
+                                        F.col(emb_col).alias("e_a")), "id_a")
+                .join(embeddings.select(F.col(id_col).alias("id_b"),
+                                        F.col(emb_col).alias("e_b")), "id_b"))
+    scored = pair_cosine_arrow(attached, "e_a", "e_b", dim)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), "id_b")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

@@ -1076,7 +1076,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/similarity.py ann_topk — bucket + Hamming-1 multi-probe),
     scored at milli precision so float fold-order differences between
     engines cannot reorder the top-k."""
-    from .operators.similarity import cosine_col, with_lsh_buckets, hyperplanes
+    from .operators.similarity import (cosine_scores_arrow, with_lsh_buckets,
+                                       hyperplanes)
     import numpy as np
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1088,11 +1089,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = with_lsh_buckets(e, ANN_DIM, ANN_N_PLANES)
     cand = bucketed.where(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= 1)
-    qc = F.array(*[F.lit(float(x)) for x in qv])
-    sim_milli = F.floor(cosine_col(F.col("embedding"), qc, dim=ANN_DIM)
-                        * 1000).cast("long")
-    return (cand.select("vec_id", "label", sim_milli.alias("sim_milli"))
-            .orderBy(F.desc("sim_milli"), "vec_id").limit(10))
+    # Arrow scoring kernel — bit-identical to the unrolled
+    # cosine_col(emb, double-literal query, dim) projection it replaced
+    scored = cosine_scores_arrow(cand, qv)
+    return (scored.select(
+        "vec_id", "label",
+        F.floor(F.col("cosine") * 1000).cast("long").alias("sim_milli"))
+        .orderBy(F.desc("sim_milli"), "vec_id").limit(10))
 
 
 def _sql_ann_topk() -> str:

@@ -606,7 +606,7 @@ def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tie-break so both engines cut identical top-k
     sets."""
     from pyspark.sql import Window
-    from .operators.similarity import cosine_col, with_lsh_buckets
+    from .operators.similarity import pair_cosine_arrow, with_lsh_buckets
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cands = None
@@ -622,14 +622,16 @@ def q_all_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .where(F.col("id_a") != F.col("id_b"))
                    .select("id_a", "id_b"))
         cands = pairs_t if cands is None else cands.union(pairs_t)
-    pairs = (cands.distinct()
-             .join(e.select(F.col("vec_id").alias("id_a"),
-                            F.col("embedding").alias("e_a")), "id_a")
-             .join(e.select(F.col("vec_id").alias("id_b"),
-                            F.col("embedding").alias("e_b")), "id_b")
+    attached = (cands.distinct()
+                .join(e.select(F.col("vec_id").alias("id_a"),
+                               F.col("embedding").alias("e_a")), "id_a")
+                .join(e.select(F.col("vec_id").alias("id_b"),
+                               F.col("embedding").alias("e_b")), "id_b"))
+    # Arrow pair-scoring kernel — bit-identical to the unrolled
+    # cosine_col(e_a, e_b, dim) f32 projection it replaced
+    pairs = (pair_cosine_arrow(attached, "e_a", "e_b", APT_DIM)
              .select("id_a", "id_b",
-                     F.floor(cosine_col(F.col("e_a"), F.col("e_b"),
-                                        dim=APT_DIM) * 1000)
+                     F.floor(F.col("cosine") * 1000)
                      .cast("long").alias("sim_milli")))
     w = Window.partitionBy("id_a").orderBy(F.desc("sim_milli"), "id_b")
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -414,3 +414,70 @@ def test_unrolled_cosine_bit_identical(spark):
     ).collect()
     for r in out32:
         assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["flat"])
+
+
+def test_similarity_arrow_kernels_bit_identical(spark):
+    """The Arrow similarity kernels (lsh_buckets_arrow,
+    cosine_scores_arrow, pair_cosine_arrow) replace unrolled Catalyst
+    trees that cost seconds of planning and blow janino's 64 KB codegen
+    limit; they claim BIT-identical values (left-associated accumulation,
+    same f32/f64 widening points), so the gates' floor(x*1000) outputs
+    cannot move. Asserted on both f32 and f64 inputs."""
+    import struct
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(80)]
+    q = [float(x) for x in rng.standard_normal(16)]
+    for atype in ("array<double>", "array<float>"):
+        df = spark.createDataFrame(rows, f"id long, embedding {atype}")
+
+        # bucket ids: Arrow kernel vs unrolled Catalyst projection
+        arr = {r["id"]: r["bucket"] for r in similarity.with_lsh_buckets(
+            df, 16, n_planes=8, arrow=True).collect()}
+        cat = {r["id"]: r["bucket"] for r in similarity.with_lsh_buckets(
+            df, 16, n_planes=8, arrow=False).collect()}
+        assert arr == cat and len(arr) == 80
+
+        # cosine vs double-literal query
+        qc = F.array(*[F.lit(x) for x in q])
+        catc = {r["id"]: r["c"] for r in df.select(
+            "id", similarity.cosine_col(F.col("embedding"), qc, dim=16)
+            .alias("c")).collect()}
+        arrc = {r["id"]: r["cosine"] for r in similarity.cosine_scores_arrow(
+            df, q).select("id", "cosine").collect()}
+        for k in catc:
+            assert struct.pack("<d", catc[k]) == struct.pack("<d", arrc[k])
+
+        # pairwise cosine over a small self-join
+        a = df.select(F.col("id").alias("id_a"),
+                      F.col("embedding").alias("e_a")).limit(20)
+        b = df.select(F.col("id").alias("id_b"),
+                      F.col("embedding").alias("e_b")).limit(20)
+        pairs = a.crossJoin(b)
+        catp = {(r["id_a"], r["id_b"]): r["c"] for r in pairs.select(
+            "id_a", "id_b",
+            similarity.cosine_col(F.col("e_a"), F.col("e_b"), dim=16)
+            .alias("c")).collect()}
+        arrp = {(r["id_a"], r["id_b"]): r["cosine"]
+                for r in similarity.pair_cosine_arrow(
+                    pairs, "e_a", "e_b", 16).collect()}
+        assert len(catp) == 400
+        for k in catp:
+            assert struct.pack("<d", catp[k]) == struct.pack("<d", arrp[k])
+
+
+def test_lsh_buckets_arrow_null_embedding(spark):
+    """Null embeddings take bucket 0 in the Catalyst projection (every
+    when(proj >= 0) test fails -> otherwise-0 bits); the Arrow kernel
+    must mirror that."""
+    rng = np.random.default_rng(5)
+    rows = [(0, None)] + [(i, [float(x) for x in rng.standard_normal(8)])
+                          for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    arr = {r["id"]: r["bucket"] for r in similarity.with_lsh_buckets(
+        df, 8, n_planes=6, arrow=True).collect()}
+    cat = {r["id"]: r["bucket"] for r in similarity.with_lsh_buckets(
+        df, 8, n_planes=6, arrow=False).collect()}
+    assert arr == cat
+    assert arr[0] == 0
