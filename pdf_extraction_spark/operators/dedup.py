@@ -522,3 +522,43 @@ def dedup_components(docs: DataFrame, pairs: DataFrame,
                     F.coalesce("comp", docs[id_col]).alias("keeper_doc_id"))
             .withColumn("is_near_duplicate",
                         F.col("keeper_doc_id") != F.col(id_col)))
+
+
+def embedding_near_dup(embeddings: DataFrame, dim: int,
+                       threshold_milli: int = 900, n_planes: int = 8,
+                       n_tables: int = 2, id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the vector-space dedup
+    tier (exact / minhash / simhash / jaccard cover the token space).
+
+    Pipeline, all bucketed (no crossJoin anywhere):
+      1. candidate pairs from L seeded hyperplane LSH tables with
+         Hamming-1 multi-probe (similarity.lsh_candidate_pairs) — only
+         (bucket, id) rows shuffle;
+      2. candidates scored with the Arrow pairwise-cosine kernel and kept
+         when floor(cosine * 1000) >= threshold_milli (the milli floor is
+         the cross-engine-stable comparison every similarity gate uses);
+      3. transitive keeper assignment by min-label connected components.
+
+    Returns every input row + (keeper_id, is_near_duplicate); rows in no
+    surviving pair keep themselves. Recall follows the LSH table
+    parameters (see all_pairs_topk's measured floor); both engines see
+    the identical candidate set, so the gate oracle reproduces the exact
+    verdict, not just the approximation family."""
+    from .similarity import lsh_candidate_pairs, pair_cosine_arrow
+
+    cands = lsh_candidate_pairs(embeddings, dim, n_planes, n_tables,
+                                True, id_col, emb_col) \
+        .where(F.col("id_a") < F.col("id_b"))
+    attached = (cands
+                .join(embeddings.select(F.col(id_col).alias("id_a"),
+                                        F.col(emb_col).alias("e_a")),
+                      "id_a")
+                .join(embeddings.select(F.col(id_col).alias("id_b"),
+                                        F.col(emb_col).alias("e_b")),
+                      "id_b"))
+    edges = (pair_cosine_arrow(attached, "e_a", "e_b", dim)
+             .where(F.floor(F.col("cosine") * 1000) >= threshold_milli)
+             .select("id_a", "id_b"))
+    out = dedup_components(embeddings, edges, id_col=id_col)
+    return out.withColumnRenamed("keeper_doc_id", "keeper_id")

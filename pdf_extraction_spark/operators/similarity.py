@@ -310,6 +310,36 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
             .orderBy(F.desc("cosine"), id_col).limit(k))
 
 
+def lsh_candidate_pairs(embeddings: DataFrame, dim: int, n_planes: int = 8,
+                        n_tables: int = 2, multiprobe: bool = True,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """Distinct directed candidate pairs (id_a, id_b), id_a != id_b, from
+    L seeded hyperplane tables with optional Hamming-1 multi-probe — the
+    shared candidate generator for all_pairs_topk and embedding near-dup.
+    Only (bucket, id) rows shuffle; vectors are re-attached by the caller
+    per DISTINCT pair."""
+    cands = None
+    src = embeddings.select(id_col, emb_col)
+    for t in range(n_tables):
+        bucketed = with_lsh_buckets(src, dim, n_planes,
+                                    seed=42 + t, emb_col=emb_col)
+        if multiprobe:
+            probes = F.array(F.col("bucket"), *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)])
+            left = bucketed.select(F.explode(probes).alias("bucket"),
+                                   F.col(id_col).alias("id_a"))
+        else:
+            left = bucketed.select("bucket", F.col(id_col).alias("id_a"))
+        right = bucketed.select("bucket", F.col(id_col).alias("id_b"))
+        pairs_t = (left.join(right, "bucket")
+                   .where(F.col("id_a") != F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cands = pairs_t if cands is None else cands.union(pairs_t)
+    return cands.distinct()
+
+
 def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
                    n_planes: int = 8, n_tables: int = 2,
                    multiprobe: bool = True,
@@ -344,25 +374,8 @@ def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
     across tables and dedups BEFORE the embedding payloads are attached
     — the wide vectors cross the wire once per distinct candidate pair,
     not once per (table x probe) hit."""
-    cands = None
-    src = embeddings.select(id_col, emb_col)
-    for t in range(n_tables):
-        bucketed = with_lsh_buckets(src, dim, n_planes,
-                                    seed=42 + t, emb_col=emb_col)
-        if multiprobe:
-            probes = F.array(F.col("bucket"), *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)])
-            left = bucketed.select(F.explode(probes).alias("bucket"),
-                                   F.col(id_col).alias("id_a"))
-        else:
-            left = bucketed.select("bucket", F.col(id_col).alias("id_a"))
-        right = bucketed.select("bucket", F.col(id_col).alias("id_b"))
-        pairs_t = (left.join(right, "bucket")
-                   .where(F.col("id_a") != F.col("id_b"))
-                   .select("id_a", "id_b"))
-        cands = pairs_t if cands is None else cands.union(pairs_t)
-    cands = cands.distinct()
+    cands = lsh_candidate_pairs(embeddings, dim, n_planes, n_tables,
+                                multiprobe, id_col, emb_col)
     attached = (cands
                 .join(embeddings.select(F.col(id_col).alias("id_a"),
                                         F.col(emb_col).alias("e_a")), "id_a")
@@ -373,3 +386,105 @@ def all_pairs_topk(embeddings: DataFrame, dim: int, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("id_a", "id_b", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer cells instead of hash buckets
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(embeddings: DataFrame, n_list: int = 8,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: the first ``n_list``
+    vectors by id (seeded medoids). A production deployment would train
+    k-means for balanced cells; the IVF mechanics — cell assignment,
+    nprobe cell pruning, exact re-ranking inside probed cells — are
+    identical, and medoids keep both engines exactly reproducible (the
+    oracle re-derives the same centroids with ORDER BY id LIMIT n)."""
+    rows = (embeddings.select(id_col, emb_col)
+            .orderBy(id_col).limit(n_list).collect())
+    return np.asarray([[float(x) for x in r[1]] for r in rows],
+                      dtype=np.float64)
+
+
+def _centroid_norms(centroids: np.ndarray) -> np.ndarray:
+    """Left-associated double norms of the (already f64) centroids."""
+    out = np.empty(len(centroids))
+    for i, c in enumerate(centroids):
+        s = c[0] * c[0]
+        for j in range(1, len(c)):
+            s = s + c[j] * c[j]
+        out[i] = np.sqrt(s)
+    return out
+
+
+def _query_cell_order(query_vec: list[float],
+                      centroids: np.ndarray) -> list[int]:
+    """Cells ordered by milli-floored cosine(query, centroid) descending,
+    smallest cell index on ties — the same ordering the oracle's
+    row_number window produces."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    nq_terms = q * q
+    nq = nq_terms[0]
+    for j in range(1, len(q)):
+        nq = nq + nq_terms[j]
+    nq = float(np.sqrt(nq))
+    ncs = _centroid_norms(centroids)
+    millis = []
+    for i, c in enumerate(centroids):
+        dot = q[0] * c[0]
+        for j in range(1, len(q)):
+            dot = dot + q[j] * c[j]
+        millis.append(int(np.floor(dot / (ncs[i] * nq) * 1000)))
+    return sorted(range(len(centroids)), key=lambda i: (-millis[i], i))
+
+
+def ivf_assign_arrow(embeddings: DataFrame, centroids: np.ndarray,
+                     dim: int,
+                     emb_col: str = "embedding") -> DataFrame:
+    """Appends each vector's IVF ``cell`` (0-based centroid index) in one
+    mapInArrow pass: milli-floored cosine to every centroid, argmax with
+    smallest-index tie-break (numpy argmax returns the first maximum —
+    the exact twin of the oracle's `ORDER BY sim DESC, cidx` window).
+    Zero shuffle; the centroid matrix rides in the task closure."""
+    ncs = _centroid_norms(centroids)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            mat32 = _emb_matrix(
+                rb.column(rb.schema.get_field_index(emb_col)), dim)
+            na = np.sqrt(_ordered_sq_norm32(mat32))
+            mat64 = mat32.astype(np.float64)
+            millis = np.empty((len(mat32), len(centroids)), dtype=np.int64)
+            for i, c in enumerate(centroids):
+                cos = _ordered_proj(mat64, c) / (na * ncs[i])
+                millis[:, i] = np.floor(cos * 1000).astype(np.int64)
+            cell = millis.argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [*rb.columns, pa.array(cell, type=pa.int32())],
+                names=[*rb.schema.names, "cell"])
+
+    out_schema = T.StructType(
+        list(embeddings.schema) + [T.StructField("cell", T.IntegerType())])
+    return embeddings.mapInArrow(run, schema=out_schema)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
+             k: int = 10, n_list: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id",
+             emb_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among the
+    query's ``nprobe`` nearest centroids. The complement of the
+    hyperplane-LSH path (ann_topk): data-adaptive cells prune better on
+    clustered corpora, hash buckets need no training pass. At scale the
+    assignment is one narrow map (cell rides with the row; partition or
+    Z-order by cell in the table layout to make the probe a partition
+    prune instead of a scan filter)."""
+    cents = ivf_centroids(embeddings, n_list, id_col, emb_col)
+    probe = _query_cell_order(query_vec, cents)[:nprobe]
+    assigned = ivf_assign_arrow(embeddings.select(id_col, emb_col),
+                                cents, dim, emb_col)
+    cand = assigned.where(F.col("cell").isin(probe))
+    return (cosine_scores_arrow(cand, query_vec, emb_col)
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), id_col).limit(k))

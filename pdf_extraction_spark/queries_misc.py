@@ -797,7 +797,149 @@ LEFT JOIN tcounts t ON t.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (vector-space dedup tier) + IVF ANN
+# ---------------------------------------------------------------------------
+
+EMB_DEDUP_THRESH = 900  # milli-floored cosine
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate keeper assignment over a derived
+    corpus with planted near-dups: every 5th vector also appears with its
+    first coordinate zeroed (cosine ~0.99 to its base — far from both the
+    0.9 threshold and any natural pair, whose max cosine is ~0.44).
+    Exercises operators/dedup.py embedding_near_dup end-to-end: LSH
+    candidate pairs -> Arrow pairwise cosine -> milli threshold ->
+    connected-components keeper."""
+    from .operators.dedup import embedding_near_dup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    mod = (e.where(F.col("vec_id") % 5 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.concat(F.array(F.lit(0.0).cast("float")),
+                            F.slice("embedding", 2, APT_DIM - 1))
+                   .alias("embedding")))
+    corpus = e.unionByName(mod)
+    out = embedding_near_dup(corpus, APT_DIM,
+                             threshold_milli=EMB_DEDUP_THRESH,
+                             n_planes=APT_PLANES, n_tables=APT_TABLES)
+    return out.select("vec_id", "keeper_id", "is_near_duplicate")
+
+
+def _sql_embedding_dedup() -> str:
+    """Oracle: same derived corpus, the two seeded hyperplane tables
+    inlined as literals (Hamming<=1 candidate join = the Spark side's
+    probe explode), milli-floored cosine edges, recursive-CTE
+    reachability for the transitive keeper."""
+    from .operators.similarity import hyperplanes
+
+    tables = []
+    for t in range(APT_TABLES):
+        planes = hyperplanes(APT_DIM, APT_PLANES, seed=42 + t)
+        plane_lits = ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
+        bucket_expr = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, pl{t}.planes[{i + 1}])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(APT_PLANES))
+        tables.append((plane_lits, bucket_expr))
+    return f"""
+WITH pl0 AS (SELECT [{tables[0][0]}] AS planes),
+pl1 AS (SELECT [{tables[1][0]}] AS planes),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0),
+be AS (
+  SELECT vec_id, embedding, {tables[0][1]} AS bucket0,
+    {tables[1][1]} AS bucket1
+  FROM corpus, pl0, pl1),
+edges0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM be a JOIN be b
+    ON (bit_count(xor(a.bucket0, b.bucket0)) <= 1
+        OR bit_count(xor(a.bucket1, b.bucket1)) <= 1)
+       AND a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000)
+             AS BIGINT) >= {EMB_DEDUP_THRESH}),
+edges AS (SELECT id_a, id_b FROM edges0
+          UNION SELECT id_b, id_a FROM edges0),
+nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.id_a, r.seen FROM edges e JOIN r ON r.id = e.id_b)
+  SELECT id, min(seen) AS comp FROM r GROUP BY id)
+SELECT c.vec_id, coalesce(reach.comp, c.vec_id) AS keeper_id,
+  coalesce(reach.comp, c.vec_id) <> c.vec_id AS is_near_duplicate
+FROM corpus c LEFT JOIN reach ON reach.id = c.vec_id
+"""
+
+
+IVF_LIST = 8
+IVF_PROBE = 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN gate: deterministic medoid centroids (first IVF_LIST ids),
+    milli-floored argmax cell assignment (Arrow kernel), top-IVF_PROBE
+    probed cells for the first vector as query, exact milli-scored
+    re-rank inside the probed cells."""
+    from .operators.similarity import (cosine_scores_arrow, ivf_assign_arrow,
+                                       ivf_centroids, _query_cell_order)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x)
+          for x in e.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    cents = ivf_centroids(e, IVF_LIST)
+    probe = _query_cell_order(qv, cents)[:IVF_PROBE]
+    assigned = ivf_assign_arrow(e, cents, APT_DIM)
+    cand = assigned.where(F.col("cell").isin(probe))
+    scored = cosine_scores_arrow(cand, qv)
+    return (scored.select(
+        "vec_id", "label",
+        F.floor(F.col("cosine") * 1000).cast("long").alias("sim_milli"))
+        .orderBy(F.desc("sim_milli"), "vec_id").limit(10))
+
+
+SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS c_emb
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {IVF_LIST})),
+q AS (SELECT embedding AS q_emb FROM embeddings ORDER BY vec_id LIMIT 1),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cidx,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      CAST(floor(list_cosine_similarity(e.embedding, c.c_emb) * 1000)
+           AS BIGINT) DESC, c.cidx) AS rn
+  FROM embeddings e, cent c),
+cells AS (SELECT vec_id, label, embedding, cidx AS cell
+          FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT cidx FROM (
+    SELECT c.cidx, row_number() OVER (ORDER BY
+      CAST(floor(list_cosine_similarity(q.q_emb, c.c_emb) * 1000)
+           AS BIGINT) DESC, c.cidx) AS rn
+    FROM cent c, q) WHERE rn <= {IVF_PROBE}),
+cand AS (SELECT c.vec_id, c.label, c.embedding
+         FROM cells c JOIN qprobe p ON c.cell = p.cidx)
+SELECT vec_id, label,
+  CAST(floor(list_cosine_similarity(embedding, q_emb) * 1000) AS BIGINT)
+    AS sim_milli
+FROM cand, q
+ORDER BY sim_milli DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_dedup": q_embedding_dedup,
+    "ivf_topk": q_ivf_topk,
     "summaries": q_summaries,
     "checkpoint_cache": q_checkpoint_cache,
     "calibration": q_calibration,
@@ -810,6 +952,8 @@ QUERIES_MISC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_MISC: dict[str, str] = {
+    "embedding_dedup": _sql_embedding_dedup(),
+    "ivf_topk": SQL_IVF_TOPK,
     "summaries": _sql_summaries(),
     "checkpoint_cache": SQL_CHECKPOINT,
     "calibration": _sql_calibration(),

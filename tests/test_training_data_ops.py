@@ -481,3 +481,65 @@ def test_lsh_buckets_arrow_null_embedding(spark):
         df, 8, n_planes=6, arrow=False).collect()}
     assert arr == cat
     assert arr[0] == 0
+
+
+def test_embedding_near_dup(spark):
+    """Planted scaled-noise copies must map to their base's keeper;
+    unrelated random vectors keep themselves."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # near-dup copy: tiny perturbation
+            w = v + 0.02 * rng.standard_normal(16)
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["keeper_id"], r["is_near_duplicate"])
+           for r in dedup.embedding_near_dup(
+               df, 16, threshold_milli=900, n_planes=6).collect()}
+    assert len(out) == 50
+    # every planted copy that the LSH tables caught points at its base
+    caught = [i for i in range(0, 40, 4) if out[100 + i][1]]
+    for i in caught:
+        assert out[100 + i][0] == i
+    # multi-probe + 2 tables at 6 planes: expect nearly all planted pairs
+    assert len(caught) >= 8, caught
+    # a random vector far from everything keeps itself
+    assert out[1] == (1, False)
+
+
+def test_ivf_topk_matches_bruteforce_cluster(spark):
+    """IVF with nprobe covering the cluster's cell must return the
+    planted tight cluster, like the exact scorer does."""
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(60):
+        if i < 6:
+            v = base + 0.01 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base]
+    exact = {r["vec_id"]
+             for r in similarity.cosine_topk(df, q, k=6).collect()}
+    # query belongs to the cluster -> its nearest centroids' cells hold it
+    approx = {r["vec_id"] for r in similarity.ivf_topk(
+        df, q, 16, k=6, n_list=6, nprobe=3).collect()}
+    assert exact == set(range(6))
+    assert approx & exact, (exact, approx)
+
+
+def test_ivf_assign_deterministic_tiebreak(spark):
+    """A vector equidistant (at milli precision) from two centroids must
+    take the smaller cell index on both the kernel and a python replay."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(df, n_list=2)
+    out = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign_arrow(
+        df, cents, 2).collect()}
+    # vec 2 has cosine 0.7071 to both centroids -> milli tie -> cell 0
+    assert out[2] == 0
+    assert out[0] == 0 and out[1] == 1
