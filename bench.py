@@ -110,8 +110,12 @@ def main() -> None:
                     ts.fingerprint_col(F.col("text")).alias("fp"))))
     timed("k_cosine_topk", lambda: noop(sim.cosine_topk(etab, qvec, k=10)))
     timed("k_ann_topk", lambda: noop(sim.ann_topk(etab, qvec, dim, k=10)))
+    timed("k_ivf_topk", lambda: noop(sim.ivf_topk(etab, qvec, dim, k=10)))
     timed("k_all_pairs_topk", lambda: noop(sim.all_pairs_topk(etab, dim,
                                                               k=5)))
+    timed("k_embedding_dedup",
+          lambda: noop(dd.embedding_near_dup(etab, dim)
+                       .select("vec_id", "keeper_id", "is_near_duplicate")))
     dtab.unpersist()
     etab.unpersist()
 

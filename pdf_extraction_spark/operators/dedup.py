@@ -527,7 +527,8 @@ def dedup_components(docs: DataFrame, pairs: DataFrame,
 def embedding_near_dup(embeddings: DataFrame, dim: int,
                        threshold_milli: int = 900, n_planes: int = 8,
                        n_tables: int = 2, id_col: str = "vec_id",
-                       emb_col: str = "embedding") -> DataFrame:
+                       emb_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the vector-space dedup
     tier (exact / minhash / simhash / jaccard cover the token space).
 
@@ -548,7 +549,8 @@ def embedding_near_dup(embeddings: DataFrame, dim: int,
     from .similarity import lsh_candidate_pairs, pair_cosine_arrow
 
     cands = lsh_candidate_pairs(embeddings, dim, n_planes, n_tables,
-                                True, id_col, emb_col) \
+                                True, id_col, emb_col,
+                                max_bucket=max_bucket) \
         .where(F.col("id_a") < F.col("id_b"))
     attached = (cands
                 .join(embeddings.select(F.col(id_col).alias("id_a"),

@@ -313,12 +313,22 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], dim: int,
 def lsh_candidate_pairs(embeddings: DataFrame, dim: int, n_planes: int = 8,
                         n_tables: int = 2, multiprobe: bool = True,
                         id_col: str = "vec_id",
-                        emb_col: str = "embedding") -> DataFrame:
+                        emb_col: str = "embedding",
+                        max_bucket: int | None = None) -> DataFrame:
     """Distinct directed candidate pairs (id_a, id_b), id_a != id_b, from
     L seeded hyperplane tables with optional Hamming-1 multi-probe — the
     shared candidate generator for all_pairs_topk and embedding near-dup.
     Only (bucket, id) rows shuffle; vectors are re-attached by the caller
-    per DISTINCT pair."""
+    per DISTINCT pair.
+
+    ``max_bucket`` is the 100x-scale skew guard (same hub-star trade as
+    dedup._bucketed_pairs): a bucket with more than ``max_bucket``
+    members — e.g. a near-identical spam cluster collapsing onto one
+    sign pattern — keeps only its min-id hub on the probe-target side,
+    so every prober still connects to the hub (O(n) rows in that task)
+    but member-member pairs inside the hot bucket are traded away.
+    Right for near-dup keeper assignment; leave None for top-k ranking
+    semantics."""
     cands = None
     src = embeddings.select(id_col, emb_col)
     for t in range(n_tables):
@@ -333,10 +343,23 @@ def lsh_candidate_pairs(embeddings: DataFrame, dim: int, n_planes: int = 8,
         else:
             left = bucketed.select("bucket", F.col(id_col).alias("id_a"))
         right = bucketed.select("bucket", F.col(id_col).alias("id_b"))
+        if max_bucket is not None:
+            stats = right.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("_n"), F.min("id_b").alias("_hub"))
+            right = (right.join(stats, "bucket")
+                     .where((F.col("_n") <= max_bucket)
+                            | (F.col("id_b") == F.col("_hub")))
+                     .select("bucket", "id_b"))
         pairs_t = (left.join(right, "bucket")
                    .where(F.col("id_a") != F.col("id_b"))
                    .select("id_a", "id_b"))
         cands = pairs_t if cands is None else cands.union(pairs_t)
+    if max_bucket is not None:
+        # the hub star only materializes (prober -> hub) rows, and the
+        # hub is the bucket MIN — without the symmetric closure a caller
+        # normalizing to id_a < id_b would drop every guarded edge
+        cands = cands.union(cands.select(F.col("id_b").alias("id_a"),
+                                         F.col("id_a").alias("id_b")))
     return cands.distinct()
 
 

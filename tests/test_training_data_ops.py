@@ -543,3 +543,26 @@ def test_ivf_assign_deterministic_tiebreak(spark):
     # vec 2 has cosine 0.7071 to both centroids -> milli tie -> cell 0
     assert out[2] == 0
     assert out[0] == 0 and out[1] == 1
+
+
+def test_embedding_hot_bucket_guard(spark):
+    """200 identical vectors collapse into one LSH bucket; with
+    max_bucket set the candidate set is the O(n) hub star, and the
+    keeper verdict still merges the whole cluster."""
+    v = [1.0, 2.0, 3.0, 4.0]
+    # outlier bucket is Hamming-2 from the cluster bucket, so Hamming-1
+    # multi-probe cannot connect them and the pair count stays exact
+    rows = [(i, v) for i in range(200)] + [(900, [4.0, 3.0, -2.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = similarity.lsh_candidate_pairs(
+        df, 4, n_planes=4, n_tables=1, max_bucket=50)
+    n_pairs = cands.where(F.col("id_a") < F.col("id_b")).count()
+    # star: every non-hub member pairs with hub 0 -> exactly 199 pairs
+    # (all-pairs would be 200*199/2 = 19900)
+    assert n_pairs == 199
+    out = {r["vec_id"]: (r["keeper_id"], r["is_near_duplicate"])
+           for r in dedup.embedding_near_dup(
+               df, 4, threshold_milli=990, n_planes=4, n_tables=1,
+               max_bucket=50).collect()}
+    assert all(out[i] == (0, True) for i in range(1, 200))
+    assert out[0] == (0, False) and out[900] == (900, False)
