@@ -1,0 +1,101 @@
+"""Physical-plan regression tests — pin the scale-critical properties
+the BENCH/BASELINE.md plan audits describe, so a refactor that
+reintroduces a cartesian product, an extra shuffle, or a full-width
+parquet scan fails CI instead of surfacing at 100x the data.
+
+All assertions are string checks on the executed/analyzed physical plan
+(AQE leaves the initial plan's Exchange nodes visible, which is what we
+count)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_no_cartesian_products(docs, emb):
+    """Every candidate generator is bucketed — a cartesian product in
+    any of these plans is a 100x-scale regression."""
+    plans = {
+        "minhash_dedup": _plan(dedup.minhash_dedup(docs)),
+        "jaccard_pairs": _plan(dedup.jaccard_pairs(docs)),
+        "simhash_pairs": _plan(
+            dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)),
+        "all_pairs_topk": _plan(similarity.all_pairs_topk(emb, 64, k=5)),
+        "lsh_candidates": _plan(
+            similarity.lsh_candidate_pairs(emb, 64, max_bucket=100)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_fused_extraction_zero_shuffle(spark):
+    """The fused extraction kernel is scan -> mapInArrow -> project:
+    embarrassingly parallel, no Exchange anywhere (BENCH/BASELINE.md's
+    headline 100x-scale property)."""
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.plans.fused import assemble_fused
+
+    df = assemble_fused(corpus.generate_docs(spark, 50, partitions=2))
+    assert "Exchange" not in _plan(df)
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    """Column pruning + predicate pushdown must reach the parquet scan:
+    a 2-column projection that reads all columns is wrong at any scale."""
+    df = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .where(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_totalprice"))
+    plan = _plan(df)
+    scan = plan[plan.index("FileScan"):]
+    head = scan.splitlines()[0]
+    assert "o_orderkey" in head and "o_totalprice" in head
+    assert "o_comment" not in head  # pruned
+    assert "PushedFilters: [" in scan
+    assert "EqualTo(o_orderstatus,F)" in scan
+
+
+def test_cosine_topk_no_global_sort(emb):
+    """Top-k against a query is a per-partition TakeOrdered, never a
+    full sort + single-partition exchange."""
+    q = [float(x) for x in emb.select("embedding").head()[0]]
+    plan = _plan(similarity.cosine_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_exact_dedup_single_shuffle(docs):
+    """Exact dedup is one hash-partitioned shuffle on the content hash
+    (window min-id keeper), nothing more."""
+    plan = _plan(dedup.exact_dedup(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_arrow_kernels_keep_plan_small(emb):
+    """The similarity Arrow kernels exist to keep plan size O(1) in
+    (planes, dim) — the unrolled Catalyst twin at (8, 64) is a 512-term
+    tree that breaks janino. Pin an upper bound on plan text size as a
+    cheap proxy (the regressed form is ~100x larger)."""
+    bucketed = similarity.with_lsh_buckets(emb, 64, n_planes=8)
+    assert len(_plan(bucketed)) < 20_000
+    q = [float(x) for x in emb.select("embedding").head()[0]]
+    assert len(_plan(similarity.cosine_topk(emb, q, k=10))) < 20_000
