@@ -27,9 +27,11 @@ TABLE_ROW_MARKER = " | "
 
 def explode_spans(docs: DataFrame) -> DataFrame:
     """Schema-tolerant span explode: the contract columns plus the
-    OPTIONAL font attributes (bold/underlined, C2) when the input span
-    struct carries them — constant-False otherwise (the fontless S4
-    fallback, reference text_extractor.pyc:178-227)."""
+    OPTIONAL font attributes (bold/underlined, C2) and OPTIONAL bbox
+    attributes (x0/y0/x1/y1, C3) when the input span struct carries
+    them — constant-False / (0,0,0,0) otherwise (the fontless S4
+    fallback, reference text_extractor.pyc:178-227 and the
+    get_text_bbox empty default at text_extractor.pyc:211-227)."""
     span_fields = set(docs.schema["spans"].dataType.elementType.fieldNames())
 
     def opt_flag(name: str) -> Column:
@@ -37,6 +39,12 @@ def explode_spans(docs: DataFrame) -> DataFrame:
             return F.coalesce(F.col(f"s.{name}").cast("boolean"),
                               F.lit(False)).alias(name)
         return F.lit(False).alias(name)
+
+    def opt_num(name: str) -> Column:
+        if name in span_fields:
+            return F.coalesce(F.col(f"s.{name}").cast("double"),
+                              F.lit(0.0)).alias(name)
+        return F.lit(0.0).alias(name)
 
     return docs.select(
         "doc_id",
@@ -49,6 +57,10 @@ def explode_spans(docs: DataFrame) -> DataFrame:
         F.col("s.offset").alias("offset"),
         opt_flag("bold"),
         opt_flag("underlined"),
+        opt_num("x0"),
+        opt_num("y0"),
+        opt_num("x1"),
+        opt_num("y1"),
     )
 
 
@@ -84,7 +96,25 @@ def build_blocks(spans: DataFrame) -> DataFrame:
     return blocks.select("doc_id", "offset", "page_num", "section",
                          "subsection", "status",
                          F.col("norm").alias("content"),
-                         "bold", "underlined")
+                         "bold", "underlined",
+                         "x0", "y0", "x1", "y1")
+
+
+def section_bboxes(blocks: DataFrame) -> DataFrame:
+    """C3 — bbox aggregation (text_extractor.pyc:211-227,
+    src/models.py:31): the reference computes a line's bbox as
+    (min x0, min top, max x1, max bottom) over its matching words with
+    (0,0,0,0) when nothing matches. In the span model the per-line word
+    aggregation has already happened upstream (the span carries its
+    line bbox, or the S4 fallback zeros), so the operator surfaces as
+    the same min/min/max/max over each raw-section group — the spatial
+    extent of every 'section > subsection' region, one shuffle on the
+    same key as A4. Pure column aggregation, no UDF."""
+    return blocks.groupBy("doc_id", "section", "subsection").agg(
+        F.min("x0").alias("x0"),
+        F.min("y0").alias("y0"),
+        F.max("x1").alias("x1"),
+        F.max("y1").alias("y1"))
 
 
 def _ne(col: Column) -> Column:

@@ -313,6 +313,65 @@ FROM ordered
 """
 
 
+def q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — bbox aggregation (text_extractor.pyc:211-227): a bbox-bearing
+    span corpus flows through the REAL schema-tolerant plan path
+    (explode_spans picks the optional x0/y0/x1/y1 attrs up; null/absent
+    attrs take the reference's (0,0,0,0) empty default), then
+    section_bboxes computes each raw-section region's spatial extent as
+    the reference's (min x0, min top, max x1, max bottom). Output values
+    are quarter-unit-scaled BIGINTs so the driver's exact hash cannot
+    diverge on float representation (every input is dyadic so the scale
+    is lossless)."""
+    from .plans.extraction import section_bboxes
+
+    lines = derived_lines(spark, sf_dir)
+    o = F.col("offset")
+    has = F.pmod(o, F.lit(6)) != 0
+    x0 = F.pmod(o, F.lit(13)) * 7.5
+    y0 = F.pmod(o, F.lit(17)) * 3.25
+    span = F.struct(
+        o.cast("int").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.when(has, x0).alias("x0"),
+        F.when(has, y0).alias("y0"),
+        F.when(has, x0 + 50.0 + F.pmod(o, F.lit(5)) * 2.5).alias("x1"),
+        F.when(has, y0 + 10.5).alias("y1"))
+    docs = (lines.select("doc_id", span.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("s")).alias("spans")))
+    blocks = build_blocks(track_sections(classify_spans(explode_spans(docs))))
+    bb = section_bboxes(blocks)
+
+    def q(c: str) -> Column:
+        return (F.col(c) * 4).cast("long").alias(c + "_q")
+
+    return bb.select("doc_id", "section", "subsection",
+                     q("x0"), q("y0"), q("x1"), q("y1"))
+
+
+SQL_BBOX_AGG = f"""
+WITH {SQL_CLASSIFIED_CTE},
+bb AS (
+  SELECT doc_id, section, subsection,
+    CASE WHEN off % 6 = 0 THEN 0.0 ELSE (off % 13) * 7.5 END AS x0,
+    CASE WHEN off % 6 = 0 THEN 0.0 ELSE (off % 17) * 3.25 END AS y0,
+    CASE WHEN off % 6 = 0 THEN 0.0
+         ELSE (off % 13) * 7.5 + 50.0 + (off % 5) * 2.5 END AS x1,
+    CASE WHEN off % 6 = 0 THEN 0.0 ELSE (off % 17) * 3.25 + 10.5 END AS y1
+  FROM blocks)
+SELECT doc_id, section, subsection,
+  CAST(min(x0) * 4 AS BIGINT) AS x0_q,
+  CAST(min(y0) * 4 AS BIGINT) AS y0_q,
+  CAST(max(x1) * 4 AS BIGINT) AS x1_q,
+  CAST(max(y1) * 4 AS BIGINT) AS y1_q
+FROM bb
+GROUP BY doc_id, section, subsection
+"""
+
+
 def q_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 — title extraction (src/data_structurer.py:147-157), long+short cases."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1210,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate": q_boilerplate,
     "priority": q_priority,
     "font_priority": q_font_priority,
+    "bbox_agg": q_bbox_agg,
     "title": q_title,
     "price_parse": q_price_parse,
     "normalize_unicode": q_normalize_unicode,
@@ -1239,6 +1299,7 @@ ORACLES: dict[str, str] = {
     "boilerplate": SQL_BOILERPLATE,
     "priority": SQL_PRIORITY,
     "font_priority": SQL_FONT_PRIORITY,
+    "bbox_agg": SQL_BBOX_AGG,
     "title": SQL_TITLE,
     "price_parse": SQL_PRICE,
     "normalize_unicode": SQL_NORMALIZE,

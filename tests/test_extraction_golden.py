@@ -208,3 +208,49 @@ def test_font_attrs_flow_through_exploded_plan(spark):
                 assert fi["priority"] == "high"
                 downgraded += 1  # high stays high (never downgraded)
     assert upgraded > 0  # the synthetic bold flag hit at least one issue
+
+
+def test_bbox_attrs_aggregate_per_section(spark):
+    """C3 (text_extractor.pyc:211-227): optional x0/y0/x1/y1 span attrs
+    flow through explode_spans -> build_blocks, null attrs take the
+    reference's (0,0,0,0) empty default, and section_bboxes computes the
+    (min x0, min top, max x1, max bottom) spatial extent per raw-section
+    group."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.plans.extraction import (
+        build_blocks, classify_spans, explode_spans, section_bboxes)
+    from pdf_extraction_spark.operators.sections import track_sections
+
+    def sp(offset, text, bbox=None):
+        x0, y0, x1, y1 = bbox or (None, None, None, None)
+        return Row(kind="text", text=text, media_ref=None, offset=offset,
+                   x0=x0, y0=y0, x1=x1, y1=y1)
+
+    docs = spark.createDataFrame([
+        ("d1", [
+            sp(0, "I. STRUCTURAL SYSTEMS"),
+            sp(1, "crack at slab edge", (10.0, 20.0, 110.0, 30.5)),
+            sp(2, "gap at beam seat", (5.5, 40.0, 90.0, 52.0)),
+            sp(3, "II. ELECTRICAL SYSTEMS"),
+            sp(4, "panel cover loose"),          # null bbox -> zeros
+        ]),
+    ], "doc_id string, spans array<struct<kind string, text string, "
+       "media_ref string, offset int, x0 double, y0 double, x1 double, "
+       "y1 double>>")
+    blocks = build_blocks(track_sections(classify_spans(explode_spans(docs))))
+    got = {r["section"]: (r["x0"], r["y0"], r["x1"], r["y1"])
+           for r in section_bboxes(blocks).collect()}
+    assert got["I. STRUCTURAL SYSTEMS"] == (5.5, 20.0, 110.0, 52.0)
+    assert got["II. ELECTRICAL SYSTEMS"] == (0.0, 0.0, 0.0, 0.0)
+
+    # bbox-less schema: the S4 fallback zeros everywhere, plan unchanged
+    plain = docs.select("doc_id", F.transform(
+        "spans", lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"))).alias("spans"))
+    blocks = build_blocks(track_sections(classify_spans(explode_spans(plain))))
+    for r in section_bboxes(blocks).collect():
+        assert (r["x0"], r["y0"], r["x1"], r["y1"]) == (0.0, 0.0, 0.0, 0.0)
