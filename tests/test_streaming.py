@@ -114,3 +114,38 @@ def test_stateful_dedup_stream(spark, tmp_path):
     finally:
         q.stop()
     docs.unpersist()
+
+
+def test_streaming_enrichment_matches_batch(spark, tmp_path):
+    """The full extract->enrich pipeline runs unchanged as a stream
+    (document-local, no state store) and agrees with its batch twin on
+    every per-doc enrichment outcome."""
+    from pdf_extraction_spark import corpus
+    from pdf_extraction_spark.plans.enrichment import enrich_extracted
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.enrich import enrich_stream
+
+    src = str(tmp_path / "docs")
+    corpus.generate_docs(spark, 20, partitions=2).write.parquet(src)
+
+    def key(r):
+        return (len(r["issues"]), r["n_excluded"],
+                r["summary"]["total_issues"],
+                r["estimate_summary"]["total_estimated_low"],
+                r["estimate_summary"]["total_estimated_high"])
+
+    batch = {r["doc_id"]: key(r) for r in enrich_extracted(
+        assemble_fused(spark.read.parquet(src))).collect()}
+
+    q = (enrich_stream(spark, src)
+         .writeStream.format("memory").queryName("enr_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: key(r)
+               for r in spark.sql("select * from enr_stream").collect()}
+    finally:
+        q.stop()
+
+    assert got == batch
+    assert len(got) == 20
