@@ -197,7 +197,7 @@ def action_cols(text_lower: Column,
 def _pat_any(c: Column, patterns: list[str]) -> Column:
     out = F.lit(False)
     for p in patterns:
-        out = out | c.rlike("(?i)" + p)
+        out = out | c.rlike(rules.jre("(?i)" + p))
     return out
 
 
@@ -234,15 +234,15 @@ def attribute_cols(text_lower: Column) -> dict[str, Column]:
         [(_contains_any(text_lower, pats), F.lit(a))
          for a, pats in rules.ACCESSIBILITY_PATTERNS.items()],
         F.lit(None).cast("string"))
-    d1 = F.regexp_extract_all(text_lower, F.lit(_P_DIM), F.lit(1))
-    d2 = F.regexp_extract_all(text_lower, F.lit(_P_DIM), F.lit(2))
+    d1 = F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_DIM)), F.lit(1))
+    d2 = F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_DIM)), F.lit(2))
     dims = F.zip_with(d1, d2, lambda a, b: F.concat(a, F.lit("x"), b))
     lengths = F.concat(
-        F.regexp_extract_all(text_lower, F.lit(_P_LEN), F.lit(1)),
-        F.regexp_extract_all(text_lower, F.lit(_P_SQ1), F.lit(1)),
-        F.regexp_extract_all(text_lower, F.lit(_P_PCT), F.lit(1)))
+        F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_LEN)), F.lit(1)),
+        F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_SQ1)), F.lit(1)),
+        F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_PCT)), F.lit(1)))
     areas = F.transform(
-        F.regexp_extract_all(text_lower, F.lit(_P_AREA), F.lit(1)),
+        F.regexp_extract_all(text_lower, F.lit(rules.jre(_P_AREA)), F.lit(1)),
         lambda x: F.concat(x, F.lit(" sq ft")))
     return {"locations": locations, "materials": materials,
             "damage_types": damage, "safety_related": safety,

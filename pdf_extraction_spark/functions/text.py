@@ -43,7 +43,7 @@ def _positional_status(col: Column, pattern: str, status_map: tuple[str, ...]) -
     when-cascade = first-checked-wins)."""
     result = None
     for i, status in enumerate(status_map):
-        grp = F.regexp_extract(col, pattern, i + 1)
+        grp = F.regexp_extract(col, rules.jre(pattern), i + 1)
         cond = grp.isin(*rules.CHECKED_GLYPHS)
         result = F.when(cond, F.lit(status)) if result is None else result.when(cond, F.lit(status))
     return result.otherwise(F.lit(None).cast("string"))
@@ -53,10 +53,10 @@ def status_col(col: Column) -> Column:
     """First-match-wins cascade over the checkbox patterns, then bare letter."""
     result = None
     for pattern, status_map in rules.CHECKBOX_PATTERNS:
-        matched = F.regexp_extract(col, pattern, 0) != ""
+        matched = F.regexp_extract(col, rules.jre(pattern), 0) != ""
         value = _positional_status(col, pattern, status_map)
         result = F.when(matched, value) if result is None else result.when(matched, value)
-    bare = F.regexp_extract(col, rules.BARE_STATUS_RE, 1)
+    bare = F.regexp_extract(col, rules.jre(rules.BARE_STATUS_RE), 1)
     return result.otherwise(F.when(bare != "", bare))
 
 

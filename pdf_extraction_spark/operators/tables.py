@@ -20,8 +20,9 @@ def page_col(offset: Column) -> Column:
 
 
 def _clean_cell(c: Column) -> Column:
-    # ' '.join(c.split()) equivalent (src/table_extractor.py:59-84)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    # ' '.join(c.split()) equivalent (src/table_extractor.py:59-84);
+    # (?U) so Java \s splits on the same unicode whitespace python does
+    return F.trim(F.regexp_replace(c, rules.jre(r"\s+"), " "))
 
 
 def _classify_table(combined_lower: Column) -> Column:
@@ -38,7 +39,7 @@ def _classify_table(combined_lower: Column) -> Column:
 def _cell_prices(c: Column) -> Column:
     """T6 — first matching price pattern wins per cell
     (src/data_structurer.py:194-217)."""
-    extracted = [F.regexp_extract_all(c, F.lit(p), F.lit(1))
+    extracted = [F.regexp_extract_all(c, F.lit(rules.jre(p)), F.lit(1))
                  for p in rules.PRICE_PATTERNS]
     return (F.when(F.size(extracted[0]) > 0, extracted[0])
             .when(F.size(extracted[1]) > 0, extracted[1])

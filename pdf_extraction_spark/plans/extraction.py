@@ -78,8 +78,10 @@ def classify_spans(df: DataFrame) -> DataFrame:
         "out_kind",
         F.when(is_media, F.lit("media_ref"))
         .when(F.col("norm") == "", F.lit("text"))
-        .when(F.col("norm").rlike(rules.SECTION_RE), F.lit("section_heading"))
-        .when(F.col("norm").rlike(rules.SUBSECTION_RE), F.lit("subsection_heading"))
+        .when(F.col("norm").rlike(rules.jre(rules.SECTION_RE)),
+              F.lit("section_heading"))
+        .when(F.col("norm").rlike(rules.jre(rules.SUBSECTION_RE)),
+              F.lit("subsection_heading"))
         .when(F.col("norm").contains(TABLE_ROW_MARKER), F.lit("table_row"))
         .when(boilerplate_col(F.col("norm")), F.lit("boilerplate"))
         .when(F.col("status").isNotNull(), F.lit("status_line"))
@@ -121,9 +123,16 @@ def _ne(col: Column) -> Column:
     return F.when(col != "", col)
 
 
+def _pystrip(col: Column) -> Column:
+    """python str.strip() equivalent: F.trim only removes 0x20 spaces,
+    while the reference strips all (unicode) whitespace — a tab after a
+    captured date is a real divergence (found by differential fuzzing)."""
+    return F.regexp_replace(col, rules.jre(r"^\s+|\s+$"), "")
+
+
 def _first_match(text: Column, patterns: list[str], flags: str = "") -> Column:
     return F.coalesce(
-        *[_ne(F.regexp_extract(text, flags + p, 1)) for p in patterns],
+        *[_ne(F.regexp_extract(text, rules.jre(flags + p), 1)) for p in patterns],
         F.lit(None).cast("string"))
 
 
@@ -149,12 +158,12 @@ def doc_metadata(spans: DataFrame) -> DataFrame:
     t1, t2 = F.col("_p1"), F.col("_p2")
 
     sqft = _first_match(t2, rules.SQFT_PATTERNS, "(?i)")
-    years = [_ne(F.regexp_extract(t2, "(?i)" + p, 1)).cast("int")
+    years = [_ne(F.regexp_extract(t2, rules.jre("(?i)" + p), 1)).cast("int")
              for p in rules.YEAR_PATTERNS]
     year = F.coalesce(*[
         F.when(y.between(rules.YEAR_MIN, rules.YEAR_MAX), y) for y in years])
     stories_raw = F.coalesce(*[
-        _ne(F.lower(F.regexp_extract(t2, "(?i)" + p, 1)))
+        _ne(F.lower(F.regexp_extract(t2, rules.jre("(?i)" + p), 1)))
         for p in rules.STORIES_PATTERNS])
     stories = F.when(stories_raw.rlike(r"^\d$"), stories_raw.cast("int"))
     for word, n in rules.STORY_WORDS.items():
@@ -167,23 +176,23 @@ def doc_metadata(spans: DataFrame) -> DataFrame:
             F.col("total_pages"),
             F.when(t1.contains(rules.REPORT_TYPE_ESTIMATE_MARKER),
                    F.lit("estimate")).otherwise(F.lit("inspection")).alias("report_type"),
-            _ne(F.regexp_extract(t1, rules.REPORT_NUMBER_RE, 1)).alias("report_number"),
-            F.trim(F.coalesce(
-                _ne(F.regexp_extract(t1, rules.INSPECTION_DATE_RE, 1)),
-                _ne(F.regexp_extract(t1, rules.DATE_FALLBACK_RE, 1)),
+            _ne(F.regexp_extract(t1, rules.jre(rules.REPORT_NUMBER_RE), 1)).alias("report_number"),
+            _pystrip(F.coalesce(
+                _ne(F.regexp_extract(t1, rules.jre(rules.INSPECTION_DATE_RE), 1)),
+                _ne(F.regexp_extract(t1, rules.jre(rules.DATE_FALLBACK_RE), 1)),
                 F.lit(None).cast("string"))).alias("inspection_date"),
             F.coalesce(
-                _ne(F.regexp_extract(t1, rules.ADDRESS_TX_RE, 1)),
-                _ne(F.regexp_extract(t1, rules.ADDRESS_ANY_RE, 1)),
+                _ne(F.regexp_extract(t1, rules.jre(rules.ADDRESS_TX_RE), 1)),
+                _ne(F.regexp_extract(t1, rules.jre(rules.ADDRESS_ANY_RE), 1)),
                 F.lit(None).cast("string")).alias("property_address"),
             F.regexp_replace(sqft, ",", "").cast("int").alias("square_footage"),
             year.alias("year_built"),
             stories.alias("stories"),
-            F.trim(_first_match(t2, rules.HOME_TYPE_PATTERNS, "(?i)")).alias("home_type"),
+            _pystrip(_first_match(t2, rules.HOME_TYPE_PATTERNS, "(?i)")).alias("home_type"),
             _first_match(t2, rules.LOT_PATTERNS, "(?i)").alias("lot_size"),
             _first_match(t2, rules.BED_PATTERNS, "(?i)").cast("int").alias("bedrooms"),
             _first_match(t2, rules.BATH_PATTERNS, "(?i)").cast("double").alias("bathrooms"),
-            F.trim(F.regexp_replace(loc, r"\s+", " ")).alias("location"),
+            _pystrip(F.regexp_replace(loc, rules.jre(r"\s+"), " ")).alias("location"),
         ).alias("metadata"))
 
 

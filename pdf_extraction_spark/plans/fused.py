@@ -108,6 +108,15 @@ PA_SCHEMA = pa.schema([
 _DIRTY_RE = re.compile(r"[^\x01-\x7f]")
 _ALTERNATION_CACHE: dict[int, str] = {}
 
+# python-re twins for the RE2 batch scans: RE2's \s/\b are ASCII-only and
+# it treats U+2028/U+2029 as line terminators, so rows containing any
+# non-ASCII char re-run under python re — the engine the reference (and
+# the golden oracle) uses. Same two-tier design as _normalize_series;
+# non-ASCII survivors of T1 are rare at scale, so the slow tier is cold.
+_SEC_PY = re.compile(rules.SECTION_RE)
+_SUB_PY = re.compile(rules.SUBSECTION_RE)
+_BARE_PY = re.compile(rules.BARE_STATUS_RE)
+
 
 def _normalize_series(s: pd.Series) -> pd.Series:
     """T1 + strip, vectorized with an ASCII fast path (text_extractor.pyc:11-64)."""
@@ -278,6 +287,12 @@ def _classify_arrays(raw_kinds: np.ndarray,
 
     is_sec = _m(rules.SECTION_RE) & ~is_media
     is_sub = _m(rules.SUBSECTION_RE) & ~is_sec & ~is_media
+    dirty = norm.str.contains(_DIRTY_RE).values
+    if dirty.any():
+        d = norm[dirty]
+        is_sec[dirty] = d.str.contains(_SEC_PY).values & ~is_media[dirty]
+        is_sub[dirty] = (d.str.contains(_SUB_PY).values
+                         & ~is_sec[dirty] & ~is_media[dirty])
     is_table = pc.match_substring(norm_pa, TABLE_ROW_MARKER) \
         .to_numpy(zero_copy_only=False) & ~is_sec & ~is_sub & ~is_media
     boiler_meta = _contains_any_pa(low_pa, rules.METADATA_KEYWORDS)
@@ -293,6 +308,9 @@ def _classify_arrays(raw_kinds: np.ndarray,
     bare_vals = pc.struct_field(
         pc.extract_regex(norm_pa, r"\b(?P<s>[DINP])\b"), "s") \
         .to_numpy(zero_copy_only=False)
+    if dirty.any():
+        bp = norm[dirty].str.extract(_BARE_PY)[0]
+        bare_vals[dirty] = bp.where(bp.notna(), None).values
     status = np.full(n, None, dtype=object)
     bare_ok = ~has_glyph
     if has_glyph.any():

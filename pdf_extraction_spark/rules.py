@@ -56,6 +56,57 @@ def normalize_unicode_text(text: str) -> str:
     return "".join(c for c in text if not unicodedata.category(c).startswith("M"))
 
 
+# python-re word chars: alphanumerics (L*, N*) + underscore. Java's (?U)\w
+# additionally includes combining marks (Mn/Mc/Me) and join controls, so \w,
+# \b and \S are rewritten into explicit classes / lookarounds instead.
+_PY_W = r"[\p{L}\p{N}_]"
+# python-re whitespace: Unicode White_Space + the U+001C-1F separators
+# (str.isspace() includes them; the White_Space property does not)
+_PY_S = r"[\s\x1c-\x1f]"
+_PY_B = (r"(?:(?<=[\p{L}\p{N}_])(?![\p{L}\p{N}_])"
+         r"|(?<![\p{L}\p{N}_])(?=[\p{L}\p{N}_]))")
+_JRE_MAP = {"w": _PY_W, "s": _PY_S, "S": "[^\\s\\x1c-\\x1f]", "b": _PY_B}
+_JRE_CACHE: dict[str, str] = {}
+
+
+def jre(pattern: str) -> str:
+    """Compile a shared pattern to Java-regex form with python-re
+    semantics (for rlike/regexp_extract in the exploded plan).
+
+    Java's default \\w/\\s/\\S/\\d classes are ASCII-only while Python's
+    re module — the engine the reference runs on and the one the fused
+    plan's kernels and the golden oracle use — is Unicode-aware; and
+    Java's unicode classes ((?U)) are *wider* than python's (\\w and the
+    \\b it induces include combining marks). So: \\w/\\s/\\S/\\b are
+    rewritten into explicit Java classes/lookarounds matching python
+    exactly (class forms are Java class-union syntax, legal both inside
+    and outside [...]); (?U) aligns the remaining \\d; UNIX_LINES ((?d))
+    narrows Java's line-terminator set for ./^/$ to \\n like python.
+    All three divergence classes were found by the differential fuzz in
+    tests/test_extraction_fuzz.py (NBSP after 'Report Number:', CJK
+    between a number and an address, combining marks inside an address).
+    """
+    out = _JRE_CACHE.get(pattern)
+    if out is None:
+        parts: list[str] = []
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern) and \
+                    pattern[i + 1] in _JRE_MAP:
+                parts.append(_JRE_MAP[pattern[i + 1]])
+                i += 2
+            elif c == "\\":
+                parts.append(pattern[i:i + 2])
+                i += 2
+            else:
+                parts.append(c)
+                i += 1
+        out = "(?Ud)" + "".join(parts)
+        _JRE_CACHE[pattern] = out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # W1 — section / subsection tracking (text_extractor.pyc:90-129)
 # ---------------------------------------------------------------------------
