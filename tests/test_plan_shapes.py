@@ -135,3 +135,27 @@ def test_bucketed_stage_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_stats")
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path, emb):
+    """The IVF cell-partitioned layout turns the nprobe predicate into a
+    partition prune (PartitionFilters at the scan, only probed cell
+    directories read) and returns exactly what the scan-filter ivf_topk
+    returns on the same vectors."""
+    from pdf_extraction_spark.operators.similarity import (
+        ivf_topk, ivf_topk_partitioned, ivf_write_partitioned)
+
+    path = str(tmp_path / "ivf")
+    q = [float(x) for x in emb.select("embedding").head()[0]]
+    cents = ivf_write_partitioned(emb, path, dim=64, n_list=8)
+
+    got = ivf_topk_partitioned(spark, path, q, cents, k=10, nprobe=2)
+    plan = _plan(got)
+    scan = plan[plan.index("FileScan"):].splitlines()[0]
+    assert "PartitionFilters: [" in scan and "cell" in scan.split(
+        "PartitionFilters:")[1]
+
+    want = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, q, dim=64, k=10, n_list=8,
+                              nprobe=2).collect()]
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
