@@ -46,11 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_enrich2 import QUERIES_ENRICH2
     from pdf_extraction_spark.queries_phase2 import QUERIES_PHASE2
     from pdf_extraction_spark.queries_misc import QUERIES_MISC
+    from pdf_extraction_spark.queries_misc3 import QUERIES_MISC3
     from pdf_extraction_spark.queries_reports import QUERIES_REPORTS
 
     return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
             **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
-            **QUERIES_REPORTS}
+            **QUERIES_REPORTS, **QUERIES_MISC3}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -60,8 +61,9 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_enrich2 import ORACLES_ENRICH2
     from pdf_extraction_spark.queries_phase2 import ORACLES_PHASE2
     from pdf_extraction_spark.queries_misc import ORACLES_MISC
+    from pdf_extraction_spark.queries_misc3 import ORACLES_MISC3
     from pdf_extraction_spark.queries_reports import ORACLES_REPORTS
 
     return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
             **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
-            **ORACLES_REPORTS}
+            **ORACLES_REPORTS, **ORACLES_MISC3}

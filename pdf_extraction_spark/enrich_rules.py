@@ -994,6 +994,24 @@ def group_issues(issues: list[dict]) -> tuple[list[dict], list[dict]]:
     return issues, groups
 
 
+def group_summary(groups: list[dict]) -> dict:
+    """A3 (issue_grouper.py:172-201): summary over the created groups —
+    total count, per-type histogram, total issues grouped, avg size."""
+    if not groups:
+        return {"total_groups": 0, "by_type": {},
+                "total_issues_grouped": 0, "avg_group_size": 0}
+    by_type: dict[str, int] = {}
+    total_issues = 0
+    for g in groups:
+        by_type[g["group_type"]] = by_type.get(g["group_type"], 0) + 1
+        total_issues += g["issue_count"]
+    return {
+        "total_groups": len(groups), "by_type": by_type,
+        "total_issues_grouped": total_issues,
+        "avg_group_size": round(total_issues / len(groups), 1),
+    }
+
+
 def group_cost_adjustment(group_size: int, base_cost: float = 1000.0) -> dict:
     """A7 (issue_grouper.py:122-166)."""
     if group_size <= 1:

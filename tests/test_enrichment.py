@@ -220,6 +220,42 @@ def test_spark_matches_python(spark):
         assert ge == we, row.doc_id
 
 
+def test_group_summary_golden():
+    """A3 get_group_summary (issue_grouper.py:172-201): totals, per-type
+    histogram, avg size with the reference's round(x, 1)."""
+    from pdf_extraction_spark import enrich_rules as er
+
+    assert er.group_summary([]) == {
+        "total_groups": 0, "by_type": {}, "total_issues_grouped": 0,
+        "avg_group_size": 0}
+
+    issues = [
+        {"id": f"i{n}", "standard_category": cat,
+         "classification": {"trade": trade, "work_type": "repair"},
+         "extracted_attributes": {"locations": locs}}
+        for n, (cat, trade, locs) in enumerate([
+            ("Electrical", "electrical", ["kitchen"]),
+            ("Electrical", "electrical", ["kitchen"]),
+            ("Plumbing", "plumbing", []),
+            ("Plumbing", "plumbing", []),
+            ("Plumbing", "plumbing", []),
+        ])]
+    _, groups = er.group_issues(issues)
+    s = er.group_summary(groups)
+    # groups: loc_kitchen_electrical(2), cat_Electrical_repair(2),
+    # trade_electrical_repair(2), cat_Plumbing_repair(3),
+    # trade_plumbing_repair(3)
+    assert s["total_groups"] == 5
+    assert s["by_type"] == {"location_trade": 1, "category_work": 2,
+                            "trade_work": 2}
+    assert s["total_issues_grouped"] == 12
+    assert s["avg_group_size"] == 2.4
+    # group ids follow first-appearance key order across all three tiers
+    assert [g["group_id"] for g in groups] == [f"group_{i}"
+                                               for i in range(1, 6)]
+    assert groups[0]["grouping_key"] == "loc_kitchen_electrical"
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-x", "-q"]))
