@@ -317,11 +317,129 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming parity — the fused extraction as a Structured Streaming query
+# ---------------------------------------------------------------------------
+
+def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract_summary derivation: derived lines folded back into
+    (doc_id, spans) documents."""
+    from .queries import derived_lines
+
+    lines = derived_lines(spark, sf_dir)
+    return (lines.groupBy(F.col("doc_id").cast("string").alias("doc_id"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                lambda x: F.struct(
+                    F.lit("text").alias("kind"), x["text"].alias("text"),
+                    F.lit("").alias("media_ref"),
+                    x["offset"].alias("offset")),
+            ).alias("spans")))
+
+
+def _summary_cols(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("summary.total_issues").cast("long").alias("total_issues"),
+        F.col("summary.deficient").cast("long").alias("deficient"),
+        F.col("summary.inspected").cast("long").alias("inspected"),
+        F.col("summary.not_inspected").cast("long").alias("not_inspected"),
+        F.col("summary.not_present").cast("long").alias("not_present"),
+        F.col("summary.high").cast("long").alias("high"),
+        F.col("summary.medium").cast("long").alias("medium"),
+        F.col("summary.low").cast("long").alias("low"),
+        F.col("summary.info").cast("long").alias("info"),
+        F.col("summary.total_tables").cast("long").alias("total_tables"))
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity as a hard signal: the fused extraction run
+    as a Structured Streaming query (file source -> mapInArrow -> memory
+    sink, availableNow, multiple micro-batches) must produce exactly the
+    per-doc summary the batch EXPLODED plan produces — the oracle is the
+    same SQL the extract_summary row uses, so this row pins
+    stream(fused) == batch(exploded) == independent DuckDB transcription."""
+    import tempfile
+    import uuid
+
+    from .streaming.extract import extract_stream
+
+    base = tempfile.mkdtemp(prefix="gate_stream_")
+    src = f"{base}/src"
+    # several input files + maxFilesPerTrigger=2 => >1 micro-batch, so the
+    # parity also covers batch-boundary effects, not just a single pass
+    _derived_span_docs(spark, sf_dir).repartition(5) \
+        .write.mode("overwrite").parquet(src)
+
+    table = f"gate_stream_{uuid.uuid4().hex[:8]}"
+    q = (extract_stream(spark, src, max_files_per_trigger=2)
+         .writeStream.format("memory").queryName(table)
+         .option("checkpointLocation", f"{base}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return _summary_cols(spark.table(table))
+
+
+def _sql_stream_extract() -> str:
+    from .queries_misc import _sql_extract_summary
+
+    return _sql_extract_summary()
+
+
+# ---------------------------------------------------------------------------
+# S9/A6 — enriched sink + per-partition lineage metrics, end to end
+# ---------------------------------------------------------------------------
+
+def q_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + the north-rule's per-partition lineage: run the REAL
+    run_incremental twice on the same corpus (second run must be a no-op
+    via the S8 hash cache), then emit the partition-stable rollup of the
+    metrics table plus the data-dir row count.  Partition-level rows
+    (partition_id, wall_ms, ts) are intentionally excluded — they are
+    run-environment-dependent; their SUMS are exact."""
+    import tempfile
+
+    from .sources.checkpoint import (read_metrics, read_output,
+                                     run_incremental)
+
+    out_dir = tempfile.mkdtemp(prefix="gate_sink_") + "/out"
+    docs = _derived_span_docs(spark, sf_dir)
+    run_incremental(spark, docs, out_dir)
+    run_incremental(spark, docs, out_dir)  # fully cached -> writes nothing
+
+    m = read_metrics(spark, out_dir)
+    agg = m.groupBy("stage").agg(
+        F.countDistinct("run_id").cast("long").alias("n_runs"),
+        F.sum("doc_count").cast("long").alias("doc_count"),
+        F.sum("span_count").cast("long").alias("span_count"),
+        F.sum("issue_count").cast("long").alias("issue_count"))
+    n_out = read_output(spark, out_dir).count()
+    return agg.withColumn("out_docs", F.lit(n_out).cast("long"))
+
+
+def _sql_sink_metrics() -> str:
+    from .queries import SQL_SEGMENTATION
+
+    return f"""
+SELECT 'extract' AS stage,
+  CAST(1 AS BIGINT) AS n_runs,
+  CAST((SELECT count(DISTINCT o_orderkey % 100) FROM orders) AS BIGINT)
+    AS doc_count,
+  CAST((SELECT count(*) FROM orders) AS BIGINT) AS span_count,
+  CAST((SELECT count(*) FROM ({SQL_SEGMENTATION}) seg) AS BIGINT)
+    AS issue_count,
+  CAST((SELECT count(DISTINCT o_orderkey % 100) FROM orders) AS BIGINT)
+    AS out_docs
+"""
+
+
 QUERIES_MISC3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_detail": q_group_detail,
     "group_summary": q_group_summary,
     "validation_stats": q_validation_stats,
     "json_roundtrip": q_json_roundtrip,
+    "stream_extract": q_stream_extract,
+    "sink_metrics": q_sink_metrics,
 }
 
 ORACLES_MISC3: dict[str, str] = {
@@ -329,4 +447,6 @@ ORACLES_MISC3: dict[str, str] = {
     "group_summary": SQL_GROUP_SUMMARY,
     "validation_stats": _sql_validation_stats(),
     "json_roundtrip": _sql_json_roundtrip(),
+    "stream_extract": _sql_stream_extract(),
+    "sink_metrics": _sql_sink_metrics(),
 }
