@@ -126,6 +126,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        # host-contention context: this box shows documented bimodal
+        # hypervisor steal (BENCH/BASELINE.md §9); a high loadavg relative
+        # to cpus marks a contended window so a slow wall is attributable
+        "loadavg": [round(x, 1) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
         "sf": sf,
         "extract_docs": n_docs,
         "kernel_docs": n_dtab,

@@ -178,6 +178,9 @@ def clean_item_name(item: str) -> str:
 
 _DUP_NORM_CACHE: dict[str, tuple[str, Counter]] = {}
 _PAIR_RATIO_CACHE: dict[tuple[str, str], float] = {}
+# full pair verdict (gates + ratio) at the DEFAULT threshold: recurring
+# boilerplate pairs skip even the length/counter quick-reject work
+_PAIR_VERDICT_CACHE: dict[tuple[str, str], bool] = {}
 _MATCHER_CACHE: dict[str, SequenceMatcher] = {}
 _DUP_CACHE_MAX = 500_000
 
@@ -217,21 +220,33 @@ class DuplicateTracker:
         # b2j cache while preserving that argument order. The char-counter
         # bound below IS difflib's quick_ratio (2*multiset-overlap/total),
         # computed from cached counters instead of per-pair rebuilds.
+        # verdict memo only applies at the default threshold (the verdict
+        # folds the threshold-dependent gates in); custom thresholds take
+        # the uncached path below
+        memo_ok = threshold == rules.DUPLICATE_SIMILARITY_THRESHOLD
         for seen, ls, cs, sm in self.seen:
-            mn, mx = (ls, ln) if ls < ln else (ln, ls)
-            if 2 * mn < threshold * (mn + mx):
-                continue
-            overlap = sum(min(c, cn[ch]) for ch, c in cs.items())
-            if 2 * overlap < threshold * (ln + ls):
-                continue
             pair = (normalized, seen)
-            r = _PAIR_RATIO_CACHE.get(pair)
-            if r is None:
-                sm.set_seq1(normalized)
-                r = sm.ratio()
-                if len(_PAIR_RATIO_CACHE) < _DUP_CACHE_MAX:
-                    _PAIR_RATIO_CACHE[pair] = r
-            if r >= threshold:
+            if memo_ok:
+                v = _PAIR_VERDICT_CACHE.get(pair)
+                if v is not None:
+                    if v:
+                        return True
+                    continue
+            verdict = False
+            mn, mx = (ls, ln) if ls < ln else (ln, ls)
+            if 2 * mn >= threshold * (mn + mx):
+                overlap = sum(min(c, cn[ch]) for ch, c in cs.items())
+                if 2 * overlap >= threshold * (ln + ls):
+                    r = _PAIR_RATIO_CACHE.get(pair)
+                    if r is None:
+                        sm.set_seq1(normalized)
+                        r = sm.ratio()
+                        if len(_PAIR_RATIO_CACHE) < _DUP_CACHE_MAX:
+                            _PAIR_RATIO_CACHE[pair] = r
+                    verdict = r >= threshold
+            if memo_ok and len(_PAIR_VERDICT_CACHE) < _DUP_CACHE_MAX:
+                _PAIR_VERDICT_CACHE[pair] = verdict
+            if verdict:
                 return True
         sm = _MATCHER_CACHE.get(normalized)
         if sm is None:

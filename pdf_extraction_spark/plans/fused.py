@@ -40,6 +40,7 @@ Output is row-identical to plans/extraction.assemble (same golden tests).
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any, Iterator
 
 import numpy as np
@@ -49,6 +50,11 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 
 from .. import rules
+
+# the shared section/subsection patterns carry capture groups (other
+# callers extract them); here .str.contains only needs the match verdict
+warnings.filterwarnings(
+    "ignore", message="This pattern is interpreted as a regular expression")
 from ..corpus import LINES_PER_PAGE
 from ..oracle import (KIND_BOILERPLATE, KIND_MEDIA, KIND_SECTION, KIND_STATUS,
                       KIND_SUBSECTION, KIND_TABLE_ROW, KIND_TEXT,
