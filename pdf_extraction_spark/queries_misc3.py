@@ -387,6 +387,81 @@ def _sql_stream_extract() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Span-sequence invariant — the north rule's per-row contract, as a row
+# ---------------------------------------------------------------------------
+
+def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule invariant itself: over interleaved text + media
+    documents, the fused kernel's output span sequence must preserve
+    (kind, text, media_ref, order) — media spans pass through untouched
+    in extraction order, text spans carry the classified kind
+    (text_extractor.pyc:66-139 ladder) and T1-normalized text.  Every
+    4th line gets a media span interleaved directly after it."""
+    from .plans.fused import assemble_fused
+    from .queries import derived_lines
+
+    lines = derived_lines(spark, sf_dir)
+    k = F.col("k")
+    text_span = F.struct(
+        (F.col("offset") * 2).cast("int").alias("o"),
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit("").alias("media_ref"))
+    media_span = F.struct(
+        (F.col("offset") * 2 + 1).cast("int").alias("o"),
+        F.lit("media").alias("kind"), F.lit("").alias("text"),
+        F.concat(F.lit("img://"), k.cast("string")).alias("media_ref"))
+    per_line = lines.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.pmod(k, F.lit(4)) == 0,
+               F.array(text_span, media_span))
+         .otherwise(F.array(text_span)).alias("sp"))
+    docs = per_line.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.flatten(F.collect_list("sp"))),
+            lambda x: F.struct(
+                x["kind"].alias("kind"), x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                x["o"].alias("offset"))).alias("spans"))
+    out = assemble_fused(docs)
+    s = out.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id", F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"))
+
+
+def _sql_span_sequence() -> str:
+    from . import rules
+    from .queries import (SQL_LINES_CTE, _IS_SEC, _IS_SUB, _STATUS,
+                          _sql_like_any)
+
+    boiler = (f"({_sql_like_any('lower(text)', rules.METADATA_KEYWORDS)}"
+              f" OR ({_sql_like_any('lower(text)', rules.DISCLAIMER_PHRASES)}"
+              f" AND NOT {_sql_like_any('lower(text)', rules.DISCLAIMER_RESCUE_WORDS)}))")
+    return f"""
+WITH {SQL_LINES_CTE},
+spansrc AS (
+  SELECT doc_id, 2 * off AS ord, 'text' AS raw_kind, text,
+         '' AS media_ref
+  FROM ordered
+  UNION ALL
+  SELECT doc_id, 2 * off + 1, 'media', '', 'img://' || k
+  FROM ordered WHERE k % 4 = 0)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(ord AS INT) AS ord,
+  CASE WHEN raw_kind = 'media' THEN 'media_ref'
+       WHEN {_IS_SEC} THEN 'section_heading'
+       WHEN {_IS_SUB} THEN 'subsection_heading'
+       WHEN text LIKE '% | %' THEN 'table_row'
+       WHEN {boiler} THEN 'boilerplate'
+       WHEN {_STATUS} IS NOT NULL THEN 'status_line'
+       ELSE 'text' END AS kind,
+  CASE WHEN raw_kind = 'media' THEN '' ELSE text END AS text,
+  media_ref
+FROM spansrc
+"""
+
+
+# ---------------------------------------------------------------------------
 # S9/A6 — enriched sink + per-partition lineage metrics, end to end
 # ---------------------------------------------------------------------------
 
@@ -439,6 +514,7 @@ QUERIES_MISC3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validation_stats": q_validation_stats,
     "json_roundtrip": q_json_roundtrip,
     "stream_extract": q_stream_extract,
+    "span_sequence": q_span_sequence,
     "sink_metrics": q_sink_metrics,
 }
 
@@ -448,5 +524,6 @@ ORACLES_MISC3: dict[str, str] = {
     "validation_stats": _sql_validation_stats(),
     "json_roundtrip": _sql_json_roundtrip(),
     "stream_extract": _sql_stream_extract(),
+    "span_sequence": _sql_span_sequence(),
     "sink_metrics": _sql_sink_metrics(),
 }

@@ -220,6 +220,66 @@ def test_spark_matches_python(spark):
         assert ge == we, row.doc_id
 
 
+def test_dup_tracker_memo_parity():
+    """The process-wide memo layers (norm / matcher / pair-ratio /
+    pair-verdict caches) must be pure accelerators: a tracker running
+    with warm caches and one with cold caches give identical verdicts on
+    identical streams, including across repeated documents (hypothesis
+    property, seeded for determinism)."""
+    import random
+
+    from difflib import SequenceMatcher
+
+    from pdf_extraction_spark import enrich_rules as er
+    from pdf_extraction_spark import rules
+
+    def reference_verdicts(stream: list[str]) -> list[bool]:
+        """Uncached transcription of the reference tracker
+        (text_cleaner.py:294): linear scan, SequenceMatcher(None, new,
+        seen) ratio vs threshold."""
+        seen: list[str] = []
+        out = []
+        thr = rules.DUPLICATE_SIMILARITY_THRESHOLD
+        for text in stream:
+            if not text:
+                out.append(False)
+                continue
+            norm = er.clean_text(text.lower())
+            dup = any(SequenceMatcher(None, norm, s).ratio() >= thr
+                      for s in seen)
+            out.append(dup)
+            if not dup:
+                seen.append(norm)
+        return out
+
+    rng = random.Random(0xD0C5)
+    words = ["water", "heater", "shows", "corrosion", "at", "the", "base",
+             "roof", "leak", "window", "crack", "minor", "repair", "wall",
+             "électrique", "中文"]
+    for trial in range(30):
+        base = " ".join(rng.choices(words, k=rng.randint(3, 12)))
+        stream = []
+        for _ in range(rng.randint(2, 12)):
+            pick = rng.random()
+            if pick < 0.4:
+                stream.append(base)                      # exact repeat
+            elif pick < 0.7:                             # near-dup tweak
+                toks = base.split()
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+                stream.append(" ".join(toks))
+            else:                                        # unrelated
+                stream.append(" ".join(
+                    rng.choices(words, k=rng.randint(3, 12))))
+        want = reference_verdicts(stream)
+        # run the SAME stream twice: first call warms the process-wide
+        # caches, second call must hit the verdict memo — both equal the
+        # uncached reference
+        for run in range(2):
+            tracker = er.DuplicateTracker()
+            got = [tracker.is_duplicate(t) for t in stream]
+            assert got == want, (trial, run, stream)
+
+
 def test_group_summary_golden():
     """A3 get_group_summary (issue_grouper.py:172-201): totals, per-type
     histogram, avg size with the reference's round(x, 1)."""

@@ -25,21 +25,33 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--warmup", type=int, default=2048)
     ap.add_argument("--plan", default="fused", choices=["fused", "salted"])
+    ap.add_argument("--stage", default="extract",
+                    choices=["extract", "pipeline"],
+                    help="extract = fused/salted extraction only; "
+                         "pipeline = extraction + full 6-phase enrichment "
+                         "(both map-only, the production chain)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
+    from pdf_extraction_spark.plans.enrichment import enrich_extracted
     from pdf_extraction_spark.plans.fused import assemble_fused
     from pdf_extraction_spark.plans.salted import assemble_salted
 
     if args.plan == "fused":
-        def plan(d):
+        def extract(d):
             return assemble_fused(d)
     else:
-        def plan(d):
+        def extract(d):
             return assemble_salted(d, chunk_spans=8192, partitions=cores * 3)
+
+    if args.stage == "extract":
+        plan = extract
+    else:
+        def plan(d):
+            return enrich_extracted(extract(d))
 
     docs = spark.read.parquet(args.input)
     n_docs = docs.count()
@@ -57,7 +69,8 @@ def main() -> None:
     wall = min(walls)  # steady-state throughput
 
     print(json.dumps({
-        "cores": cores, "plan": args.plan, "docs": n_docs,
+        "cores": cores, "plan": args.plan, "stage": args.stage,
+        "docs": n_docs,
         "spans": int(n_spans), "wall_sec": round(wall, 2),
         "walls": [round(w, 2) for w in walls],
         "docs_per_sec": round(n_docs / wall, 1),

@@ -44,7 +44,8 @@ def generate_corpus(path: str, n_docs: int) -> None:
     spark.stop()
 
 
-def run_submit(cores: int, zpath: str, input_path: str, plan: str) -> dict:
+def run_submit(cores: int, zpath: str, input_path: str, plan: str,
+               stage: str = "extract") -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or "/usr/bin/pyspark"),
         "spark-submit")
@@ -59,7 +60,7 @@ def run_submit(cores: int, zpath: str, input_path: str, plan: str) -> dict:
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "extract_job.py"),
-        "--input", input_path, "--plan", plan,
+        "--input", input_path, "--plan", plan, "--stage", stage,
     ]
     print("+", " ".join(cmd), file=sys.stderr)
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -75,6 +76,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--plan", default="fused")
+    ap.add_argument("--stage", default="extract",
+                    choices=["extract", "pipeline"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     args = ap.parse_args()
@@ -82,17 +85,20 @@ def main() -> None:
     generate_corpus(args.data, args.docs)
     zpath = make_zip("/tmp")
 
-    small = run_submit(args.n, zpath, args.data, args.plan)
-    large = run_submit(args.n * 4, zpath, args.data, args.plan)
+    small = run_submit(args.n, zpath, args.data, args.plan, args.stage)
+    large = run_submit(args.n * 4, zpath, args.data, args.plan, args.stage)
     eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
 
     result = {"N": args.n, "4N": args.n * 4, "plan": args.plan,
+              "stage": args.stage,
               "run_N": small, "run_4N": large,
               "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
 
     os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "scaling_result.json"), "w") as f:
+    fname = ("scaling_result.json" if args.stage == "extract"
+             else f"scaling_{args.stage}.json")
+    with open(os.path.join(args.out, fname), "w") as f:
         json.dump(result, f, indent=2)
 
 
