@@ -116,6 +116,8 @@ def main() -> None:
     timed("k_embedding_dedup",
           lambda: noop(dd.embedding_near_dup(etab, dim)
                        .select("vec_id", "keeper_id", "is_near_duplicate")))
+    from pdf_extraction_spark.operators.curation import curate_corpus
+    timed("k_curation", lambda: noop(curate_corpus(dtab)))
     dtab.unpersist()
     etab.unpersist()
 

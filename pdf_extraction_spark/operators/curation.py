@@ -1,0 +1,75 @@
+"""Composed training-data curation: the filter→langid→dedup chain a
+corpus-curation pipeline runs before training, as ONE declarative plan.
+
+Stages (all pure ``pyspark.sql.functions`` column expressions over a
+``documents(doc_id, text)`` table — JVM whole-stage codegen, no UDFs):
+
+  1. token / stopword-density / language-ID signals (operators.textstats)
+  2. rule filters: length window, allowed languages, minimum stopword
+     density (a natural-text proxy)
+  3. exact near-zero-cost dedup: md5 content hash, min-id keeper window
+     over the FILTER SURVIVORS only (an excluded copy never blocks a
+     surviving one)
+
+The whole chain costs exactly one shuffle (the keeper window's hash
+partition); every filter is a codegen predicate evaluated in the scan
+stage, so at 100 TB the plan is scan → filter → one exchange → window.
+Verdict ladder (first match wins): too_short → too_long → language →
+low_quality → duplicate → kept.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import lang_id_columns, quality_columns
+
+
+def curate_corpus(docs: DataFrame, text_col: str = "text", *,
+                  min_tokens: int = 5, max_tokens: int = 100_000,
+                  allowed_langs: Sequence[str] = ("en",),
+                  min_stop_ppm: int = 0) -> DataFrame:
+    """Per-document curation verdicts.
+
+    Returns (doc_id, n_tokens, stop_ratio_ppm, pred_lang, content_hash,
+    keeper_id, verdict); ``keeper_id`` is the minimum surviving doc_id of
+    the document's exact-content group (null when no copy survives the
+    filters), ``verdict`` the first failing rule or 'kept'.
+    """
+    text = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        *quality_columns(text),
+        *lang_id_columns(text),
+        F.md5(text).alias("content_hash"))
+
+    n_tok = F.col("n_tokens")
+    passes = (
+        (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        & F.col("pred_lang").isin(*allowed_langs)
+        & (F.col("stop_ratio_ppm") >= min_stop_ppm))
+    keeper = F.min(F.when(passes, F.col("doc_id"))).over(
+        Window.partitionBy("content_hash"))
+
+    verdict = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+         .when(n_tok > max_tokens, F.lit("too_long"))
+         .when(~F.col("pred_lang").isin(*allowed_langs), F.lit("language"))
+         .when(F.col("stop_ratio_ppm") < min_stop_ppm, F.lit("low_quality"))
+         # only reached when `passes` holds, so keeper is non-null here
+         .when(F.col("doc_id") != keeper, F.lit("duplicate"))
+         .otherwise(F.lit("kept")))
+
+    return base.select(
+        "doc_id", "n_tokens", "stop_ratio_ppm", "pred_lang", "content_hash",
+        keeper.alias("keeper_id"), verdict.alias("verdict"))
+
+
+def curated(docs: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """The surviving corpus: input rows whose verdict is 'kept'."""
+    verdicts = curate_corpus(docs, text_col, **kwargs)
+    return (docs.join(verdicts.where(F.col("verdict") == "kept")
+                      .select("doc_id"), "doc_id"))

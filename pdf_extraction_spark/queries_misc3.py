@@ -508,6 +508,72 @@ SELECT 'extract' AS stage,
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed curation pipeline (filters -> langid -> exact dedup, one plan)
+# ---------------------------------------------------------------------------
+# Thresholds chosen so every verdict branch fires on the driver corpus
+# (token lengths 10-99, stop ppm 0-222k, langid 'en' for ~90%); every
+# 10th document is re-injected under doc_id+1000000 so the duplicate
+# branch and the min-surviving-id keeper are exercised.
+
+CUR_MIN_TOK, CUR_MAX_TOK, CUR_MIN_STOP_PPM = 20, 80, 20_000
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import curate_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dups = d.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return curate_corpus(
+        d.unionByName(dups), min_tokens=CUR_MIN_TOK, max_tokens=CUR_MAX_TOK,
+        allowed_langs=("en",), min_stop_ppm=CUR_MIN_STOP_PPM)
+
+
+def _sql_curation() -> str:
+    from .operators.textstats import EN_FUNCTION_WORDS, EN_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    fn = ", ".join(f"'{w}'" for w in EN_FUNCTION_WORDS)
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+t AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM corpus),
+sig AS (
+  SELECT doc_id, content_hash,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(floor(len(list_filter(toks, x -> x IN ({stop})))
+               * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_ppm,
+    CASE WHEN len(list_filter(toks, x -> x IN ({fn}))) * 100 >= len(toks)
+         THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM t),
+flt AS (
+  SELECT *,
+    (n_tokens BETWEEN {CUR_MIN_TOK} AND {CUR_MAX_TOK}
+     AND pred_lang = 'en'
+     AND stop_ratio_ppm >= {CUR_MIN_STOP_PPM}) AS passes
+  FROM sig),
+k AS (
+  SELECT *, min(CASE WHEN passes THEN doc_id END)
+              OVER (PARTITION BY content_hash) AS keeper_id
+  FROM flt)
+SELECT doc_id, n_tokens, stop_ratio_ppm, pred_lang, content_hash, keeper_id,
+  CASE WHEN n_tokens < {CUR_MIN_TOK} THEN 'too_short'
+       WHEN n_tokens > {CUR_MAX_TOK} THEN 'too_long'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN stop_ratio_ppm < {CUR_MIN_STOP_PPM} THEN 'low_quality'
+       WHEN doc_id <> keeper_id THEN 'duplicate'
+       ELSE 'kept' END AS verdict
+FROM k
+"""
+
+
 QUERIES_MISC3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_detail": q_group_detail,
     "group_summary": q_group_summary,
@@ -515,6 +581,7 @@ QUERIES_MISC3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_roundtrip": q_json_roundtrip,
     "stream_extract": q_stream_extract,
     "span_sequence": q_span_sequence,
+    "curation": q_curation,
     "sink_metrics": q_sink_metrics,
 }
 
@@ -525,5 +592,6 @@ ORACLES_MISC3: dict[str, str] = {
     "json_roundtrip": _sql_json_roundtrip(),
     "stream_extract": _sql_stream_extract(),
     "span_sequence": _sql_span_sequence(),
+    "curation": _sql_curation(),
     "sink_metrics": _sql_sink_metrics(),
 }
