@@ -13,19 +13,21 @@ whole document when its hash was seen before. The distributed analog
   issue_count, wall_ms) — the per-partition lineage the north-rule
   requires for auditing a resumable 10^12-doc run.
 
-Storage here is parquet directories; on a real cluster these are Iceberg
-tables (atomic append snapshots + time travel) — the dataflow is
-identical.
+Storage goes through ``sources/catalog.py``'s TableStore protocol: plain
+parquet directories here (``ParquetStore``, the default), Iceberg catalog
+tables on a real cluster (``IcebergStore`` — atomic append snapshots +
+MERGE INTO keyed upsert + time travel). The dataflow is identical.
 """
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .catalog import ParquetStore
 
 
 def content_hash_col() -> F.Column:
@@ -37,27 +39,28 @@ def content_hash_col() -> F.Column:
             s["offset"].cast("string")))))
 
 
-def _exists(path: str) -> bool:
-    return os.path.exists(path)
-
-
 def run_incremental(spark: SparkSession, docs: DataFrame, out_dir: str,
-                    plan=None, stage: str = "extract") -> dict:
+                    plan=None, stage: str = "extract",
+                    store=None) -> dict:
     """Run ``plan`` over the docs not yet in the checkpoint; append output
-    + processed-keys + per-partition metrics. Returns run stats."""
+    + processed-keys + per-partition metrics. Returns run stats.
+
+    ``store`` is a ``catalog.TableStore`` (idents ``data``/``processed``/
+    ``metrics``); default is parquet dirs under ``out_dir``. Pass an
+    ``IcebergStore`` on a cluster for atomic-snapshot appends and a
+    duplicate-free processed-keys table."""
     if plan is None:
         from ..plans.fused import assemble_fused
         plan = assemble_fused
+    if store is None:
+        store = ParquetStore(out_dir)
 
     data_dir = f"{out_dir}/data"
-    processed_dir = f"{out_dir}/processed"
-    metrics_dir = f"{out_dir}/metrics"
     run_id = uuid.uuid4().hex[:12]
 
     keyed = docs.withColumn("content_hash", content_hash_col())
-    if _exists(processed_dir):
-        spark.catalog.refreshByPath(processed_dir)
-        seen = spark.read.parquet(processed_dir)
+    if store.exists(spark, "processed"):
+        seen = store.read(spark, "processed")
         todo = keyed.join(seen.select("doc_id", "content_hash"),
                           ["doc_id", "content_hash"], "left_anti")
     else:
@@ -69,11 +72,12 @@ def run_incremental(spark: SparkSession, docs: DataFrame, out_dir: str,
     wall_ms = int((time.time() - t0) * 1000)
 
     if n_done:
-        extracted.write.mode("append").parquet(data_dir)
+        store.append(extracted, "data")
 
         # metrics MUST be written before the processed-keys append: that
-        # append invalidates the cached plan (it reads processed_dir via
-        # the anti-join), and a recompute would see its own output.
+        # append invalidates the cached plan (it reads the processed
+        # table via the anti-join), and a recompute would see its own
+        # output.
         metrics = (extracted
                    .groupBy(F.spark_partition_id().alias("partition_id"))
                    .agg(F.count(F.lit(1)).alias("doc_count"),
@@ -85,24 +89,24 @@ def run_incremental(spark: SparkSession, docs: DataFrame, out_dir: str,
                            "issue_count",
                            F.lit(wall_ms).alias("wall_ms"),
                            F.current_timestamp().alias("ts")))
-        metrics.write.mode("append").parquet(metrics_dir)
+        store.append(metrics, "metrics")
 
-        (extracted.select("doc_id")
-         .join(keyed.select("doc_id", "content_hash"), "doc_id")
-         .withColumn("run_id", F.lit(run_id))
-         .write.mode("append").parquet(processed_dir))
+        store.upsert_keys(
+            extracted.select("doc_id")
+            .join(keyed.select("doc_id", "content_hash"), "doc_id")
+            .withColumn("run_id", F.lit(run_id)),
+            "processed", keys=["doc_id", "content_hash"])
     extracted.unpersist()
 
     return {"run_id": run_id, "processed": n_done, "wall_ms": wall_ms,
             "data_dir": data_dir}
 
 
-def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    # appends from this session may be hidden by the FileStatusCache
-    spark.catalog.refreshByPath(f"{out_dir}/data")
-    return spark.read.parquet(f"{out_dir}/data")
+def read_output(spark: SparkSession, out_dir: str,
+                store=None) -> DataFrame:
+    return (store or ParquetStore(out_dir)).read(spark, "data")
 
 
-def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
-    spark.catalog.refreshByPath(f"{out_dir}/metrics")
-    return spark.read.parquet(f"{out_dir}/metrics")
+def read_metrics(spark: SparkSession, out_dir: str,
+                 store=None) -> DataFrame:
+    return (store or ParquetStore(out_dir)).read(spark, "metrics")

@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=True,
+                    help="parquet path, or an Iceberg catalog table "
+                         "identifier (catalog.db.table) on a cluster "
+                         "with the Iceberg runtime configured")
     ap.add_argument("--warmup", type=int, default=2048)
     ap.add_argument("--plan", default="fused", choices=["fused", "salted"])
     ap.add_argument("--stage", default="extract",
@@ -53,7 +56,8 @@ def main() -> None:
         def plan(d):
             return enrich_extracted(extract(d))
 
-    docs = spark.read.parquet(args.input)
+    from pdf_extraction_spark.sources.catalog import load_docs
+    docs = load_docs(spark, args.input)
     n_docs = docs.count()
     n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
 
