@@ -297,6 +297,116 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
                         F.col("keeper_doc_id") != F.col(id_col)))
 
 
+def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8, k: int = 64,
+                              bands: int = 16,
+                              broadcast_new: bool = True) -> DataFrame:
+    """Near-dup verdicts for a NEW batch against an already-deduped
+    corpus — the operation a production pipeline runs per ingest instead
+    of re-deduping 100 TB daily.
+
+    ``corpus_sigs`` is the persisted signature table ``(id, sig)`` (from
+    ``minhash_signatures_arrow`` / ``update_signature_store``); bands are
+    re-derived from it as a projection, so only one store table exists.
+
+    Keeper rule (single-hop, like minhash_dedup, but corpus-canonical):
+    a new doc matching ANY corpus doc is a duplicate of the minimum such
+    corpus id — an already-kept doc never loses its canonical status to
+    a later arrival; a new doc matching only new docs keeps the batch
+    minimum; otherwise it keeps itself.
+
+    Scale shape: the corpus side is touched exactly once (scan of the
+    signature table + a projection into band hashes); with
+    ``broadcast_new`` (default) the small new batch is broadcast, so the
+    candidate probe is a map-side join — NO shuffle of the corpus at
+    all. Signatures are re-attached per candidate pair, never carried
+    through the band join.
+    """
+    new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k)
+    all_sigs = (corpus_sigs.select("id", "sig",
+                                   F.lit(False).alias("is_new"))
+                .unionByName(new_sigs.select(
+                    "id", "sig", F.lit(True).alias("is_new"))))
+
+    def band(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id", "is_new",
+            F.explode(lsh_bands(F.col("sig"), bands)).alias("b")) \
+            .select("id", "is_new", F.col("b.band").alias("band"),
+                    F.col("b.h").alias("h"))
+
+    new_banded = band(all_sigs.where("is_new"))
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
+    # probe: new batch against corpus+batch; >=1 new side by construction
+    cand = (new_banded.select("band", "h", F.col("id").alias("id_n"))
+            .join(band(all_sigs).select(
+                "band", "h", F.col("id").alias("id_o"),
+                F.col("is_new").alias("o_new")), ["band", "h"])
+            .where(F.col("id_n") != F.col("id_o"))
+            .select("id_n", "id_o", "o_new")
+            .distinct())
+    pairs = (cand
+             .join(all_sigs.select(F.col("id").alias("id_n"),
+                                   F.col("sig").alias("sig_n")), "id_n")
+             .join(all_sigs.select(F.col("id").alias("id_o"),
+                                   F.col("sig").alias("sig_o")), "id_o"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda v: v))
+    near = pairs.select(
+        "id_n", "id_o", "o_new",
+        (agree / F.size("sig_n")).alias("jaccard_est")) \
+        .where(F.col("jaccard_est") >= threshold)
+
+    verdict = near.groupBy("id_n").agg(
+        F.min(F.when(~F.col("o_new"), F.col("id_o")))
+        .alias("corpus_partner"),
+        F.min(F.when(F.col("o_new"), F.col("id_o")))
+        .alias("batch_partner"))
+    return (new_docs.join(verdict,
+                          new_docs[id_col] == verdict["id_n"], "left")
+            .select(new_docs["*"],
+                    F.coalesce(
+                        "corpus_partner",
+                        F.least(F.coalesce("batch_partner",
+                                           new_docs[id_col]),
+                                new_docs[id_col]))
+                    .alias("keeper_doc_id"))
+            .withColumn("is_near_duplicate",
+                        F.col("keeper_doc_id") != F.col(id_col)))
+
+
+def update_signature_store(spark, new_docs: DataFrame, store,
+                           ident: str = "minhash_sigs",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           threshold: float = 0.8, k: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Incremental-dedup driver over a ``sources.catalog`` TableStore:
+    verdicts for the new batch against the stored corpus signatures, then
+    append the batch's signatures (keepers AND duplicates — a later copy
+    of a duplicate must still find a partner) to the store. Returns the
+    materialized verdicts."""
+    if store.exists(spark, ident):
+        corpus_sigs = store.read(spark, ident)
+        verdicts = minhash_dedup_incremental(
+            new_docs, corpus_sigs, text_col, id_col,
+            threshold=threshold, k=k, bands=bands)
+    else:
+        verdicts = minhash_dedup(new_docs, text_col, id_col,
+                                 threshold=threshold, k=k, bands=bands)
+    # localCheckpoint, not persist: the store append below invalidates
+    # any cached plan that scans the store path, and a recompute would
+    # see the batch's own signatures as corpus — every batch-internal
+    # group would then mark ALL members duplicates of each other.
+    out = verdicts.localCheckpoint(eager=True)
+    store.upsert_keys(
+        minhash_signatures_arrow(new_docs, text_col, id_col, k),
+        ident, keys=["id"])
+    return out
+
+
 def topk_shingle_hashes(text: Column, k: int = 8, n: int = 3) -> Column:
     """K smallest md5(shingle) values — the bounded candidate-generation
     set used by jaccard pair mining (portable across engines)."""

@@ -1126,6 +1126,131 @@ FROM t LEFT JOIN keeper k ON k.id = t.id
 """
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (operators/dedup.py
+    minhash_dedup_incremental): a synthetic ingest batch against the
+    already-stored corpus signatures. Batch tiers: exact copies of
+    corpus docs (corpus-canonical keeper), twin copies of docs ABSENT
+    from the corpus (batch-minimum keeper), and token-reversed docs
+    (shingle-destroyed — kept). Derivations are dyadic (doc_id % 8 and
+    +10^6 offsets) so DuckDB and Spark agree bit-for-bit."""
+    from .operators.dedup import (minhash_dedup_incremental,
+                                  minhash_signatures_arrow)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("did"), "text")
+    corpus = d.where(F.col("did") % 8 != 5).select(
+        F.col("did").cast("string").alias("doc_id"), "text")
+    rev = F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")),
+                                             r"\s+")))
+    batch = (
+        d.where(F.col("did") % 8 == 1).select(
+            (F.col("did") + 1000000).cast("string").alias("doc_id"),
+            "text")
+        .unionByName(d.where(F.col("did") % 8 == 5).select(
+            (F.col("did") + 1000000).cast("string").alias("doc_id"),
+            "text"))
+        .unionByName(d.where(F.col("did") % 8 == 5).select(
+            (F.col("did") + 2000000).cast("string").alias("doc_id"),
+            "text"))
+        .unionByName(d.where(F.col("did") % 8 == 3).select(
+            (F.col("did") + 3000000).cast("string").alias("doc_id"),
+            rev.alias("text"))))
+    out = minhash_dedup_incremental(
+        batch, minhash_signatures_arrow(corpus), threshold=0.5)
+    return out.select("doc_id", "keeper_doc_id", "is_near_duplicate")
+
+
+def _sql_minhash_incremental(k: int = 64, bands: int = 16,
+                             threshold: float = 0.5) -> str:
+    """SQL transcription of minhash_dedup_incremental over the same
+    dyadic corpus/batch split: same seeded permutations and banding as
+    _sql_minhash_dedup, candidate pairs restricted to >=1 new side, and
+    the corpus-canonical keeper rule (min corpus partner first, else
+    batch minimum, else self)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    mersenne = (1 << 31) - 1
+    a = rng.integers(1, mersenne, size=k, dtype=np.int64)
+    b = rng.integers(0, mersenne, size=k, dtype=np.int64)
+    perms = ", ".join("{'a': %d, 'b': %d}" % (int(a[i]), int(b[i]))
+                      for i in range(k))
+    rows = k // bands
+    return rf"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text
+  FROM documents WHERE doc_id % 8 <> 5),
+batch AS (
+  SELECT CAST(doc_id + 1000000 AS VARCHAR) AS id, text
+  FROM documents WHERE doc_id % 8 = 1
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR), text
+  FROM documents WHERE doc_id % 8 = 5
+  UNION ALL
+  SELECT CAST(doc_id + 2000000 AS VARCHAR), text
+  FROM documents WHERE doc_id % 8 = 5
+  UNION ALL
+  SELECT CAST(doc_id + 3000000 AS VARCHAR),
+    array_to_string(list_reverse(
+      string_split_regex(trim(text), '\s+')), ' ')
+  FROM documents WHERE doc_id % 8 = 3),
+allr AS (
+  SELECT id, text, FALSE AS is_new FROM corpus
+  UNION ALL
+  SELECT id, text, TRUE FROM batch),
+t AS (
+  SELECT id, is_new,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM allr),
+sh AS (
+  SELECT id, is_new,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        for i in range(1, len(toks) - 2 + 1)])
+    ELSE [] END AS shingles
+  FROM t),
+xs AS (
+  SELECT id, is_new,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s),1,15))::BIGINT % 1073741824) AS xs
+  FROM sh),
+sigs AS (
+  SELECT id, is_new,
+    [list_min(list_transform(xs, x -> (p.a * x + p.b) % {mersenne}))
+     for p in [{perms}]] AS sig
+  FROM xs WHERE len(xs) > 0),
+banded AS (
+  SELECT id, is_new, j,
+    md5(array_to_string(sig[{rows}*j+1:{rows}*j+{rows}], ',')) AS h
+  FROM sigs CROSS JOIN unnest(range(0, {bands})) AS t(j)),
+cand AS (
+  SELECT DISTINCT n.id AS id_n, o.id AS id_o, o.is_new AS o_new
+  FROM banded n JOIN banded o ON n.j = o.j AND n.h = o.h AND n.id <> o.id
+  WHERE n.is_new),
+scored AS (
+  SELECT id_n, id_o, o_new,
+    len(list_filter(range(1, {k}+1), i -> sa.sig[i] = sb.sig[i]))
+      / CAST({k} AS DOUBLE) AS jaccard_est
+  FROM cand
+  JOIN sigs sa ON sa.id = cand.id_n
+  JOIN sigs sb ON sb.id = cand.id_o),
+near AS (SELECT * FROM scored WHERE jaccard_est >= {threshold}),
+verdict AS (
+  SELECT id_n,
+    min(CASE WHEN NOT o_new THEN id_o END) AS corpus_partner,
+    min(CASE WHEN o_new THEN id_o END) AS batch_partner
+  FROM near GROUP BY id_n)
+SELECT b.id AS doc_id,
+  coalesce(v.corpus_partner,
+           least(coalesce(v.batch_partner, b.id), b.id)) AS keeper_doc_id,
+  coalesce(v.corpus_partner,
+           least(coalesce(v.batch_partner, b.id), b.id)) <> b.id
+    AS is_near_duplicate
+FROM batch b LEFT JOIN verdict v ON v.id_n = b.id
+"""
+
+
 ANN_N_PLANES = 8
 ANN_DIM = 64
 
@@ -1284,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_vote": q_knn_vote,
     "simhash_pairs": q_simhash_pairs,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_incremental": q_minhash_incremental,
     "ann_topk": q_ann_topk,
     "media_features": q_media_features,
     "events_window": q_events_window,
@@ -1318,6 +1444,7 @@ ORACLES: dict[str, str] = {
     "property_meta": SQL_PROPERTY_META,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "minhash_dedup": _sql_minhash_dedup(),
+    "minhash_incremental": _sql_minhash_incremental(),
     "ann_topk": _sql_ann_topk(),
     "media_features": _sql_media_features(),
 }

@@ -566,3 +566,70 @@ def test_embedding_hot_bucket_guard(spark):
                max_bucket=50).collect()}
     assert all(out[i] == (0, True) for i in range(1, 200))
     assert out[0] == (0, False) and out[900] == (900, False)
+
+
+def test_minhash_incremental_keeper_tiers(spark, tmp_path):
+    """Corpus-canonical keeper first, batch minimum second, self last —
+    across three update_signature_store batches (the persisted-store
+    path, which also pins the lineage-truncation fix: verdicts must not
+    recompute against a store that already contains the batch)."""
+    from pdf_extraction_spark.sources.catalog import ParquetStore
+
+    t_fox = "the quick brown fox jumps over the lazy dog again today"
+    t_new = "some brand new content matching nothing in the corpus at all"
+    store = ParquetStore(str(tmp_path / "sigs"))
+
+    b1 = spark.createDataFrame(
+        [("1", t_fox), ("2", "completely different text about spark "
+                             "execution engines and shuffle plans")],
+        "doc_id string, text string")
+    v1 = {r["doc_id"]: r["is_near_duplicate"]
+          for r in dedup.update_signature_store(
+              spark, b1, store, threshold=0.5).collect()}
+    assert v1 == {"1": False, "2": False}
+
+    b2 = spark.createDataFrame(
+        [("1000001", t_fox),       # dup of corpus doc 1
+         ("1000005", t_new),       # batch group keeper (no corpus match)
+         ("2000005", t_new),       # dup of batch sibling 1000005
+         ("3000009", "tiny")],     # too short to shingle -> kept
+        "doc_id string, text string")
+    v2 = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+          for r in dedup.update_signature_store(
+              spark, b2, store, threshold=0.5).collect()}
+    assert v2 == {"1000001": ("1", True),
+                  "1000005": ("1000005", False),
+                  "2000005": ("1000005", True),
+                  "3000009": ("3000009", False)}
+
+    # a later copy of a batch-2 DUPLICATE still finds a partner: dup
+    # signatures must be appended to the store too
+    b3 = spark.createDataFrame([("9000000", t_new)],
+                               "doc_id string, text string")
+    v3 = dedup.update_signature_store(spark, b3, store,
+                                      threshold=0.5).collect()[0]
+    assert v3["keeper_doc_id"] == "1000005"
+    assert v3["is_near_duplicate"] is True
+
+
+def test_minhash_incremental_empty_corpus_matches_batch_dedup(docs, spark):
+    """With no corpus, the incremental keeper rule degenerates to the
+    batch rule: verdicts equal minhash_dedup on the same docs."""
+    empty = spark.createDataFrame([], "id string, sig array<bigint>")
+    inc = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+           for r in dedup.minhash_dedup_incremental(
+               docs, empty, threshold=0.5).collect()}
+    batch = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+             for r in dedup.minhash_dedup(docs, threshold=0.5).collect()}
+    assert inc == batch
+
+
+def test_minhash_incremental_broadcasts_new_batch(docs, spark):
+    """broadcast_new=True: the corpus band table is probed by a
+    broadcast of the (small) batch — no shuffle of the corpus side."""
+    sigs = dedup.minhash_signatures_arrow(docs)
+    out = dedup.minhash_dedup_incremental(
+        docs.limit(2), sigs, threshold=0.5, broadcast_new=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
