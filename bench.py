@@ -99,6 +99,16 @@ def main() -> None:
 
     timed("k_dedup_exact", lambda: noop(dd.exact_dedup(dtab)))
     timed("k_minhash_dedup", lambda: noop(dd.minhash_dedup(dtab)))
+    # incremental ingest: odd-id batch against even-id corpus signatures
+    # (signature table prebuilt outside the timed region, as in
+    # production where it is the persisted store)
+    inc_sigs = dd.minhash_signatures_arrow(
+        dtab.where(F.col("doc_id").cast("long") % 2 == 0)).persist()
+    inc_sigs.count()
+    inc_batch = dtab.where(F.col("doc_id").cast("long") % 2 == 1)
+    timed("k_minhash_incremental",
+          lambda: noop(dd.minhash_dedup_incremental(inc_batch, inc_sigs)))
+    inc_sigs.unpersist()
     timed("k_jaccard_pairs", lambda: noop(dd.jaccard_pairs(dtab)))
     sigs = dd.simhash(dtab)
     timed("k_simhash_pairs", lambda: noop(dd.simhash_pairs(sigs,
