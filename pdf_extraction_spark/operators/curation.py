@@ -68,8 +68,12 @@ def curate_corpus(docs: DataFrame, text_col: str = "text", *,
         keeper.alias("keeper_id"), verdict.alias("verdict"))
 
 
-def curated(docs: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
-    """The surviving corpus: input rows whose verdict is 'kept'."""
-    verdicts = curate_corpus(docs, text_col, **kwargs)
+def curated(docs: DataFrame, text_col: str = "text",
+            verdicts: DataFrame | None = None, **kwargs) -> DataFrame:
+    """The surviving corpus: input rows whose verdict is 'kept'. Pass
+    already-materialized ``verdicts`` to avoid recomputing the plan
+    (tools/curate_job.py does, after aggregating the verdict counts)."""
+    if verdicts is None:
+        verdicts = curate_corpus(docs, text_col, **kwargs)
     return (docs.join(verdicts.where(F.col("verdict") == "kept")
                       .select("doc_id"), "doc_id"))

@@ -302,7 +302,8 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
                               id_col: str = "doc_id",
                               threshold: float = 0.8, k: int = 64,
                               bands: int = 16,
-                              broadcast_new: bool = True) -> DataFrame:
+                              broadcast_new: bool = True,
+                              new_sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup verdicts for a NEW batch against an already-deduped
     corpus — the operation a production pipeline runs per ingest instead
     of re-deduping 100 TB daily.
@@ -310,6 +311,9 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     ``corpus_sigs`` is the persisted signature table ``(id, sig)`` (from
     ``minhash_signatures_arrow`` / ``update_signature_store``); bands are
     re-derived from it as a projection, so only one store table exists.
+    Pass precomputed (ideally checkpointed) ``new_sigs`` to avoid
+    re-running the batch signature kernel per plan reference —
+    ``update_signature_store`` does.
 
     Keeper rule (single-hop, like minhash_dedup, but corpus-canonical):
     a new doc matching ANY corpus doc is a duplicate of the minimum such
@@ -317,14 +321,16 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     a later arrival; a new doc matching only new docs keeps the batch
     minimum; otherwise it keeps itself.
 
-    Scale shape: the corpus side is touched exactly once (scan of the
-    signature table + a projection into band hashes); with
-    ``broadcast_new`` (default) the small new batch is broadcast, so the
-    candidate probe is a map-side join — NO shuffle of the corpus at
-    all. Signatures are re-attached per candidate pair, never carried
-    through the band join.
+    Scale shape: the corpus signature table is SCANNED twice (band-hash
+    probe, then pair verification) and SHUFFLED never: with
+    ``broadcast_new`` (default) both joins broadcast the batch-derived
+    side — the banded batch into the probe, the candidate set with
+    batch signatures attached into the verification — so per ingest the
+    corpus contributes two map-side scans and zero exchanges.
+    Signatures never enter the band join.
     """
-    new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k)
+    if new_sigs is None:
+        new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k)
     all_sigs = (corpus_sigs.select("id", "sig",
                                    F.lit(False).alias("is_new"))
                 .unionByName(new_sigs.select(
@@ -337,7 +343,7 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
             .select("id", "is_new", F.col("b.band").alias("band"),
                     F.col("b.h").alias("h"))
 
-    new_banded = band(all_sigs.where("is_new"))
+    new_banded = band(new_sigs.withColumn("is_new", F.lit(True)))
     if broadcast_new:
         new_banded = F.broadcast(new_banded)
     # probe: new batch against corpus+batch; >=1 new side by construction
@@ -348,11 +354,17 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
             .where(F.col("id_n") != F.col("id_o"))
             .select("id_n", "id_o", "o_new")
             .distinct())
-    pairs = (cand
-             .join(all_sigs.select(F.col("id").alias("id_n"),
-                                   F.col("sig").alias("sig_n")), "id_n")
-             .join(all_sigs.select(F.col("id").alias("id_o"),
-                                   F.col("sig").alias("sig_o")), "id_o"))
+    # sig_n comes from the batch-sized table, and the candidate set
+    # (with sig_n attached) is broadcast into the corpus-side attach:
+    # the corpus signature table is never shuffled
+    cand_n = cand.join(new_sigs.select(F.col("id").alias("id_n"),
+                                       F.col("sig").alias("sig_n")),
+                       "id_n")
+    if broadcast_new:
+        cand_n = F.broadcast(cand_n)
+    pairs = cand_n.join(all_sigs.select(F.col("id").alias("id_o"),
+                                        F.col("sig").alias("sig_o")),
+                        "id_o")
     agree = F.size(F.filter(
         F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda v: v))
     near = pairs.select(
@@ -387,12 +399,24 @@ def update_signature_store(spark, new_docs: DataFrame, store,
     verdicts for the new batch against the stored corpus signatures, then
     append the batch's signatures (keepers AND duplicates — a later copy
     of a duplicate must still find a partner) to the store. Returns the
-    materialized verdicts."""
-    if store.exists(spark, ident):
+    materialized verdicts.
+
+    Contract: doc ids are immutable — a changed document must arrive
+    under a new id (re-using an id keeps the stored signature; the
+    upstream checkpoint layer treats changed content under the same id
+    as new WORK, but this store keys identity by id). Re-ingesting an
+    id already in the store never grows it: novelty is enforced by an
+    id anti-join here (parquet) and by MERGE (Iceberg)."""
+    # one batch signature pass total: checkpointed, then reused by the
+    # verdict plan (3 references) and the store append
+    new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k) \
+        .localCheckpoint(eager=True)
+    existed = store.exists(spark, ident)
+    if existed:
         corpus_sigs = store.read(spark, ident)
         verdicts = minhash_dedup_incremental(
             new_docs, corpus_sigs, text_col, id_col,
-            threshold=threshold, k=k, bands=bands)
+            threshold=threshold, k=k, bands=bands, new_sigs=new_sigs)
     else:
         verdicts = minhash_dedup(new_docs, text_col, id_col,
                                  threshold=threshold, k=k, bands=bands)
@@ -401,9 +425,15 @@ def update_signature_store(spark, new_docs: DataFrame, store,
     # see the batch's own signatures as corpus — every batch-internal
     # group would then mark ALL members duplicates of each other.
     out = verdicts.localCheckpoint(eager=True)
-    store.upsert_keys(
-        minhash_signatures_arrow(new_docs, text_col, id_col, k),
-        ident, keys=["id"])
+    to_append = new_sigs
+    if existed:
+        # ids already stored are skipped (rerun-safe for ParquetStore,
+        # whose upsert_keys is a blind append); checkpointed so the
+        # append job cannot race its own scan of the store directory
+        to_append = new_sigs.join(store.read(spark, ident).select("id"),
+                                  "id", "left_anti") \
+            .localCheckpoint(eager=True)
+    store.upsert_keys(to_append, ident, keys=["id"])
     return out
 
 

@@ -79,9 +79,16 @@ class ParquetStore:
     def _path(self, ident: str) -> str:
         return f"{self.base}/{ident}"
 
+    def location(self, ident: str) -> str:
+        return self._path(ident)
+
     def exists(self, spark: SparkSession, ident: str) -> bool:
-        import os
-        return os.path.exists(self._path(ident))
+        # through the Hadoop FS API, not os.path: the base may be an
+        # object-store/HDFS URI on a cluster (s3a://, hdfs://)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self._path(ident))
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def append(self, df: DataFrame, ident: str) -> None:
         df.write.mode("append").parquet(self._path(ident))
@@ -114,6 +121,9 @@ class IcebergStore:
 
     def _fq(self, ident: str) -> str:
         return f"{self.base}.{ident}"
+
+    def location(self, ident: str) -> str:
+        return self._fq(ident)
 
     def exists(self, spark: SparkSession, ident: str) -> bool:
         return spark.catalog.tableExists(self._fq(ident))
@@ -160,7 +170,15 @@ def load_docs(spark: SparkSession, source: str) -> DataFrame:
     """Read an input corpus from either a catalog table identifier
     (Iceberg on a real cluster, per the north rule) or a parquet path
     (this sandbox). Catalyst's DataSourceV2 scan of an Iceberg table
-    gives the same pushdown/pruning surface as the parquet reader."""
-    if "/" not in source and "\\" not in source and "." in source:
-        return spark.table(source)
+    gives the same pushdown/pruning surface as the parquet reader.
+
+    Catalog routing is gated on the table actually resolving, so a
+    dotted RELATIVE parquet path ("documents.parquet") still reads as
+    parquet instead of raising TABLE_OR_VIEW_NOT_FOUND."""
+    if "/" not in source and "\\" not in source:
+        try:
+            if spark.catalog.tableExists(source):
+                return spark.table(source)
+        except Exception:
+            pass
     return spark.read.parquet(source)

@@ -55,7 +55,7 @@ def run_incremental(spark: SparkSession, docs: DataFrame, out_dir: str,
     if store is None:
         store = ParquetStore(out_dir)
 
-    data_dir = f"{out_dir}/data"
+    data_dir = store.location("data")
     run_id = uuid.uuid4().hex[:12]
 
     keyed = docs.withColumn("content_hash", content_hash_col())

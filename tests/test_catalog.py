@@ -69,3 +69,17 @@ def test_iceberg_store_live(spark, tmp_path):
     store.append(df, "t")
     store.upsert_keys(df, "t", keys=["doc_id"])
     assert store.read(spark, "t").count() == 3
+
+
+def test_load_docs_table_identifier(spark):
+    spark.range(3).withColumnRenamed("id", "doc_id") \
+        .createOrReplaceTempView("docs_tbl")
+    assert catalog.load_docs(spark, "docs_tbl").count() == 3
+
+
+def test_load_docs_dotted_nontable_falls_back_to_parquet(spark):
+    """A dotted name that resolves to no table must route to the parquet
+    reader (e.g. a relative 'documents.parquet'), not spark.table."""
+    with pytest.raises(Exception) as e:
+        catalog.load_docs(spark, "no_such.parquet")
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(e.value)

@@ -57,7 +57,8 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(max(spark.sparkContext.defaultParallelism, 8)))
 
-    from pdf_extraction_spark.operators.curation import curate_corpus
+    from pdf_extraction_spark.operators.curation import (curate_corpus,
+                                                         curated)
     from pdf_extraction_spark.operators.dedup import update_signature_store
     from pdf_extraction_spark.sources.catalog import get_store, load_docs
 
@@ -74,9 +75,7 @@ def main() -> None:
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
     t_curate = time.time() - t0
 
-    survivors = docs.join(
-        verdicts.where(F.col("verdict") == "kept").select("doc_id"),
-        "doc_id")
+    survivors = curated(docs, verdicts=verdicts)
     t0 = time.time()
     near = update_signature_store(spark, survivors, store,
                                   threshold=args.threshold)
