@@ -288,7 +288,10 @@ def _classify_arrays(raw_kinds: np.ndarray,
     low_pa = pc.utf8_lower(norm_pa)
 
     def _m(pattern: str) -> np.ndarray:
-        return pc.match_substring_regex(norm_pa, pattern) \
+        # rules.re2: python-\s semantics for the ASCII rows RE2 scans
+        # (\x0b and \x1c-\x1f are ASCII, so the dirty reroute below
+        # never catches them)
+        return pc.match_substring_regex(norm_pa, rules.re2(pattern)) \
             .to_numpy(zero_copy_only=False)
 
     is_sec = _m(rules.SECTION_RE) & ~is_media

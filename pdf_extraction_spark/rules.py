@@ -107,6 +107,57 @@ def jre(pattern: str) -> str:
     return out
 
 
+# RE2's \s is [\t\n\f\r ] — it excludes \x0b (vertical tab) and the
+# U+001C-1F separators, ALL of which python's \s matches and all of which
+# are ASCII, so they sail past the fused kernels' non-ASCII python-re
+# reroute. Found by the extended differential fuzz (an 'A. \x0b...'
+# subsection heading classified text by the RE2 tier only). The RE2 tier
+# only ever sees ASCII rows, so parity needs exactly the ASCII members of
+# python's \s.
+_RE2_S_MEMBERS = r" \t\n\r\f\x0b\x1c-\x1f"
+_RE2_CACHE: dict[str, str] = {}
+
+
+def re2(pattern: str) -> str:
+    """Compile a shared pattern to RE2 form with python-re semantics on
+    ASCII input (for pyarrow.compute regex scans in the fused kernels;
+    non-ASCII rows are re-run under python re by the callers, so only
+    ASCII-range divergences matter here). \\s/\\S are rewritten into
+    explicit classes (emitted as bare members inside an existing [...]
+    class); \\w/\\b/\\d are ASCII-identical between the engines."""
+    out = _RE2_CACHE.get(pattern)
+    if out is None:
+        parts: list[str] = []
+        in_class = False
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern) and pattern[i + 1] in "sS":
+                if pattern[i + 1] == "s":
+                    parts.append(_RE2_S_MEMBERS if in_class
+                                 else f"[{_RE2_S_MEMBERS}]")
+                else:
+                    if in_class:
+                        raise ValueError(
+                            r"\S inside a character class has no RE2 "
+                            "member-list rewrite")
+                    parts.append(f"[^{_RE2_S_MEMBERS}]")
+                i += 2
+            elif c == "\\":
+                parts.append(pattern[i:i + 2])
+                i += 2
+            else:
+                if c == "[" and not in_class:
+                    in_class = True
+                elif c == "]" and in_class:
+                    in_class = False
+                parts.append(c)
+                i += 1
+        out = "".join(parts)
+        _RE2_CACHE[pattern] = out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # W1 — section / subsection tracking (text_extractor.pyc:90-129)
 # ---------------------------------------------------------------------------

@@ -76,6 +76,13 @@ NASTY = [
     "trailing spaces    ",
     "    leading spaces",
     "line\nwith\ninternal\nnewlines",
+    # RE2's \s excludes \x0b and \x1c-\x1f — ASCII chars python's \s
+    # matches, so they dodge the fused kernels' non-ASCII python-re
+    # reroute; rules.re2() closes the gap (4th tri-engine divergence,
+    # found by the extended random-unicode fuzz campaign)
+    "A. \x0b\t\n\r\r\x0b\n\n\x0c\x0b\t\r176585748  Deficient item marked D today",
+    "IV. \x0bVertical tab section",
+    "A. \x1c\x1d\x1e\x1fseparator heading observed",
 ]
 
 

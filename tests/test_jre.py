@@ -21,3 +21,26 @@ def test_non_class_escapes_pass_through():
 def test_literals_unchanged_and_cached():
     assert rules.jre("^([IVX]+)") == "(?Ud)^([IVX]+)"
     assert rules.jre("abc") is rules.jre("abc")  # cache hit
+
+
+def test_re2_s_rewrite_matches_python_on_ascii():
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # every ASCII char python's \s matches must match the rewritten RE2
+    # class, and no other ASCII char may
+    py_ws = [chr(c) for c in range(0x80) if re.match(r"\s", chr(c))]
+    assert "\x0b" in py_ws and "\x1c" in py_ws  # the divergent members
+    pat = rules.re2(r"^a\s+b$")
+    for c in (chr(i) for i in range(1, 0x80)):
+        got = pc.match_substring_regex(pa.array([f"a{c}b"]), pat)[0].as_py()
+        assert got == bool(re.match(r"^a\s+b$", f"a{c}b")), hex(ord(c))
+
+
+def test_re2_class_member_form_and_cache():
+    assert rules.re2(r"[\s,]") == "[ \\t\\n\\r\\f\\x0b\\x1c-\\x1f,]"
+    assert rules.re2(r"\S") == "[^ \\t\\n\\r\\f\\x0b\\x1c-\\x1f]"
+    assert rules.re2(r"\.\d[]]") == r"\.\d[]]"  # non-\s escapes untouched
+    assert rules.re2("abc") is rules.re2("abc")
