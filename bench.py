@@ -128,6 +128,8 @@ def main() -> None:
                        .select("vec_id", "keeper_id", "is_near_duplicate")))
     from pdf_extraction_spark.operators.curation import curate_corpus
     timed("k_curation", lambda: noop(curate_corpus(dtab)))
+    from pdf_extraction_spark.operators.sampling import pack_shards
+    timed("k_pack_shards", lambda: noop(pack_shards(dtab, 2000)))
     dtab.unpersist()
     etab.unpersist()
 
