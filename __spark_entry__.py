@@ -49,10 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_misc3 import QUERIES_MISC3
     from pdf_extraction_spark.queries_reports import QUERIES_REPORTS
     from pdf_extraction_spark.queries_sampling import QUERIES_SAMPLING
+    from pdf_extraction_spark.queries_quality import QUERIES_QUALITY
 
     return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
             **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
-            **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING}
+            **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
+            **QUERIES_QUALITY}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -65,7 +67,9 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_misc3 import ORACLES_MISC3
     from pdf_extraction_spark.queries_reports import ORACLES_REPORTS
     from pdf_extraction_spark.queries_sampling import ORACLES_SAMPLING
+    from pdf_extraction_spark.queries_quality import ORACLES_QUALITY
 
     return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
             **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
-            **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING}
+            **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
+            **ORACLES_QUALITY}

@@ -1,0 +1,148 @@
+"""Gate queries for the repetition-quality and PII-scrubbing operators
+(``operators/repetition.py``, ``operators/pii.py``).
+
+Derived corpora (same dyadic-arithmetic contract as the other gate
+modules): duplicate lines and PII strings are injected deterministically
+from ``doc_id``, rendered identically into Spark columns and DuckDB SQL,
+so every branch (dup lines present/absent, each PII rule, clean docs)
+fires and both engines see byte-identical input.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.pii import PII_RULES, scrub_pii
+from .operators.repetition import repetition_stats
+
+
+# ---------------------------------------------------------------------------
+# repetition stats over a duplicate-line-injected corpus
+# ---------------------------------------------------------------------------
+
+def _rep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.col("text").substr(
+        F.lit(1), F.lit(40) + F.pmod(F.col("doc_id"), F.lit(3)) * 7)
+    text2 = F.concat(
+        F.col("text"), F.lit("\n"), base, F.lit("\n"), base,
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+               F.concat(F.lit("\n"), base)).otherwise(F.lit("")))
+    return d.select("doc_id", text2.alias("text"))
+
+
+SQL_REP_TEXT = ("text || chr(10) || substr(text, 1, 40 + (doc_id % 3) * 7)"
+                " || chr(10) || substr(text, 1, 40 + (doc_id % 3) * 7)"
+                " || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||"
+                " substr(text, 1, 40 + (doc_id % 3) * 7) ELSE '' END")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (dup-line ppm, top-bigram share)
+    over a corpus with injected duplicate lines."""
+    return repetition_stats(_rep_corpus(spark, sf_dir))
+
+
+SQL_REPETITION = rf"""
+WITH d AS (SELECT doc_id, {SQL_REP_TEXT} AS text FROM documents),
+tok AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)), '\s+') AS toks,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               s -> trim(s)), s -> s <> '') AS lines
+  FROM d),
+bg AS (
+  SELECT doc_id, toks, lines,
+    [toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))] AS bgs
+  FROM tok),
+top AS (
+  SELECT doc_id, toks, lines,
+    coalesce(list_max(list_transform(
+      list_distinct(bgs),
+      b -> len(list_filter(bgs, x -> x = b)))), 0) AS top_c
+  FROM bg)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CASE WHEN len(lines) > 0 THEN CAST(FLOOR(
+      (len(lines) - len(list_distinct(lines))) * 1000000.0 / len(lines))
+    AS BIGINT) ELSE 0 END AS dup_line_ppm,
+  CAST(top_c AS BIGINT) AS top_bigram_count,
+  CASE WHEN len(toks) > 0 THEN CAST(FLOOR(
+      top_c * 2 * 1000000.0 / len(toks)) AS BIGINT)
+    ELSE 0 END AS top_bigram_ppm
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub over an injected-PII corpus
+# ---------------------------------------------------------------------------
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id")
+    email = F.when(F.pmod(k, F.lit(3)) == 0, F.concat(
+        F.lit(" contact user."), k.cast("string"),
+        F.lit("@mail.example.com now"))).otherwise(F.lit(""))
+    phone = F.when(F.pmod(k, F.lit(5)) == 0, F.concat(
+        F.lit(" call 713-555-"),
+        F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" today"))).otherwise(F.lit(""))
+    ip = F.when(F.pmod(k, F.lit(7)) == 0, F.concat(
+        F.lit(" from 10.0."), F.pmod(k, F.lit(256)).cast("string"),
+        F.lit("."), F.pmod(k * 3, F.lit(256)).cast("string"),
+        F.lit(" logged"))).otherwise(F.lit(""))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), email, phone, ip).alias("text"))
+
+
+SQL_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user.' ||"
+    " CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 713-555-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+    " CAST((doc_id * 3) % 256 AS VARCHAR) || ' logged' ELSE '' END")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-mail/phone/IPv4 detection + redaction over injected PII; the
+    scrubbed text itself is part of the compared output."""
+    return scrub_pii(_pii_corpus(spark, sf_dir)) \
+        .select("doc_id", "text", "n_email", "n_phone", "n_ipv4",
+                "has_pii")
+
+
+def _sql_pii_scrub() -> str:
+    scrubbed = "text"
+    counts = []
+    for name, pat, token in PII_RULES:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{name}")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH d AS (SELECT doc_id, {SQL_PII_TEXT} AS text FROM documents),
+c AS (SELECT doc_id, {', '.join(counts)}, {scrubbed} AS text FROM d)
+SELECT doc_id, text, n_email, n_phone, n_ipv4,
+  (n_email + n_phone + n_ipv4) > 0 AS has_pii
+FROM c
+"""
+
+
+QUERIES_QUALITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
+}
+
+ORACLES_QUALITY: dict[str, str] = {
+    "repetition": SQL_REPETITION,
+    "pii_scrub": _sql_pii_scrub(),
+}

@@ -1,0 +1,72 @@
+"""Repetition-quality (operators/repetition.py) and PII-scrubbing
+(operators/pii.py) unit tests: hand-built adversarial docs with known
+expected values, plus plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.pii import scrub_pii
+from pdf_extraction_spark.operators.repetition import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_known_values(spark):
+    out = {r.doc_id: r for r in repetition_stats(_docs(spark, [
+        (1, "a a a a"),                      # "a a" x3 overlapping
+        (2, "x\ny\nx\n  \nx"),               # 5 raw, 4 nonempty, 2 dup
+        (3, "unique words only here"),
+        (4, "solo"),                          # <2 tokens: no bigram
+    ])).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.top_bigram_count) == (4, 3)
+    assert r1.top_bigram_ppm == 3 * 2 * 1_000_000 // 4  # can exceed 1e6
+    r2 = out[2]
+    assert (r2.n_lines, r2.dup_line_ppm) == (4, 2 * 1_000_000 // 4)
+    r3 = out[3]
+    assert (r3.dup_line_ppm, r3.top_bigram_count) == (0, 1)
+    r4 = out[4]
+    assert (r4.n_tokens, r4.top_bigram_count, r4.top_bigram_ppm) == (1, 0, 0)
+
+
+def test_repetition_case_folds_tokens_not_lines(spark):
+    out = repetition_stats(_docs(spark, [(1, "Dog dog\ndog Dog")])).head()
+    # bigrams fold case and cross line breaks ("dog dog" x3);
+    # lines keep case (no dup)
+    assert out.top_bigram_count == 3
+    assert out.dup_line_ppm == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    out = {r.doc_id: r for r in scrub_pii(_docs(spark, [
+        (1, "mail a.b-c_1%x@sub.example.co.uk ok"),
+        (2, "call 713-555-0101 or 713.555.0102 or 713 555 0103"),
+        (3, "host 192.168.0.1 and 10.0.255.3"),
+        (4, "clean text, no identifiers at all"),
+        (5, "mix bob@x.io at 1.2.3.4 tel 800-555-1234"),
+    ])).collect()}
+    assert out[1].text == "mail <EMAIL> ok"
+    assert (out[1].n_email, out[1].has_pii) == (1, True)
+    assert out[2].text == "call <PHONE> or <PHONE> or <PHONE>"
+    assert out[2].n_phone == 3
+    assert out[3].text == "host <IP> and <IP>"
+    assert out[3].n_ipv4 == 2
+    assert out[4].text == "clean text, no identifiers at all"
+    assert out[4].has_pii is False
+    assert out[5].text == "mix <EMAIL> at <IP> tel <PHONE>"
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)
+
+
+def test_pii_phone_not_eaten_by_ip_rule(spark):
+    # dotted phone: 3 dot-groups must become <PHONE>, never a partial <IP>
+    out = scrub_pii(_docs(spark, [(1, "x 713.555.0102 y")])).head()
+    assert out.text == "x <PHONE> y"
+    assert (out.n_phone, out.n_ipv4) == (1, 0)
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    plan = scrub_pii(_docs(spark, [(1, "a")]))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
