@@ -57,11 +57,14 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     text = F.col(text_col)
     toks = tokens_col(F.lower(text))
+    # no persist: the two consumers below (per-doc stats and the bigram
+    # explode) each scan the input once — stateless and spill-free at
+    # any scale, vs caching the full token arrays corpus-wide
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         *line_stats_columns(text),
-        toks.alias("_toks")).persist()
+        toks.alias("_toks"))
 
     sz = F.size("_toks")
     bigrams = F.zip_with(
