@@ -1,12 +1,13 @@
 """spark-submit job: training-data ingest — curation filters + exact
 dedup + incremental MinHash near-dup against a persisted signature store.
 
-The daily-ingest composition a 100 TB curation pipeline runs: filter the
-new batch (length / language / stopword-density), exact-dedup the
-survivors, then near-dup them against everything already ingested
-WITHOUT touching the stored corpus (signature table scanned once, batch
-broadcast). Re-running with the same store is incremental by
-construction.
+The daily-ingest composition a 100 TB curation pipeline runs: optionally
+downsample the new batch (deterministic key-hash — stable under re-runs),
+filter it (length / language / stopword-density), gate repetitive docs
+(duplicate-line ppm) and scrub PII from the survivors, exact-dedup, then
+near-dup against everything already ingested WITHOUT touching the stored
+corpus (signature table scanned once, batch broadcast). Re-running with
+the same store is incremental by construction.
 
 Identity re-ingestion (same doc_id, same content) is the checkpoint's
 job (sources/checkpoint.run_incremental upstream of this), not the
@@ -45,6 +46,17 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default="en")
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic key-hash downsample applied "
+                         "before anything else (stable under re-runs "
+                         "and corpus growth)")
+    ap.add_argument("--max-dup-line-ppm", type=int, default=None,
+                    help="drop filter survivors whose duplicate-line "
+                         "ppm exceeds this (Gopher-style repetition "
+                         "gate; zero extra shuffle)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact email/phone/IPv4 in survivor text "
+                         "before it reaches the signature store")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -60,11 +72,19 @@ def main() -> None:
     from pdf_extraction_spark.operators.curation import (curate_corpus,
                                                          curated)
     from pdf_extraction_spark.operators.dedup import update_signature_store
+    from pdf_extraction_spark.operators.pii import scrub_pii
+    from pdf_extraction_spark.operators.repetition import line_stats_columns
+    from pdf_extraction_spark.operators.sampling import sample_corpus
     from pdf_extraction_spark.sources.catalog import get_store, load_docs
 
     docs = load_docs(spark, args.input).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     store = get_store(spark, args.store)
+
+    n_presample = None
+    if args.sample_rate is not None:
+        n_presample = docs.count()
+        docs = sample_corpus(docs, args.sample_rate)
 
     t0 = time.time()
     verdicts = curate_corpus(
@@ -76,6 +96,23 @@ def main() -> None:
     t_curate = time.time() - t0
 
     survivors = curated(docs, verdicts=verdicts)
+    n_repetitive = 0
+    if args.max_dup_line_ppm is not None:
+        # zero-shuffle array-expression gate (the top-bigram signal
+        # needs an aggregation and stays an offline analysis here)
+        gated = survivors.withColumns(
+            dict(zip(["n_lines", "dup_line_ppm"],
+                     line_stats_columns(F.col("text"))))).persist()
+        n_repetitive = gated.where(
+            F.col("dup_line_ppm") > args.max_dup_line_ppm).count()
+        survivors = gated.where(
+            F.col("dup_line_ppm") <= args.max_dup_line_ppm) \
+            .drop("n_lines", "dup_line_ppm")
+    n_pii = 0
+    if args.scrub_pii:
+        scrubbed = scrub_pii(survivors).persist()
+        n_pii = scrubbed.where("has_pii").count()
+        survivors = scrubbed.select("doc_id", "text")
     t0 = time.time()
     near = update_signature_store(spark, survivors, store,
                                   threshold=args.threshold)
@@ -88,7 +125,10 @@ def main() -> None:
     wall = t_curate + t_dedup
     print(json.dumps({
         "docs": n_docs,
+        "presample_docs": n_presample,
         "by_verdict": by_verdict,
+        "repetitive_dropped": n_repetitive,
+        "pii_docs_scrubbed": n_pii,
         "near_duplicates_vs_store": n_near_dup,
         "ingested": n_final,
         "wall_sec": round(wall, 2),
