@@ -40,14 +40,21 @@ PII_RULES: list[tuple[str, str, str]] = [
 
 
 def pii_count_columns(text: Column) -> list[Column]:
-    """Match counts per rule, BEFORE redaction (counts are taken on the
-    raw text; order-independence holds because the three raw patterns
-    are mutually non-overlapping on well-formed input)."""
-    return [
-        F.size(F.regexp_extract_all(text, F.lit(pat), 0))
-        .cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_RULES
-    ]
+    """Match counts per rule, each taken on the text AFTER the earlier
+    rules' redactions — i.e. n_<rule> is exactly the number of <TOKEN>s
+    that rule inserts into the scrubbed output.  Counting every rule on
+    the raw text instead would report phantom detections the scrub never
+    redacts (a phone-shaped email local part like ``800-555-1234@x.com``
+    is consumed whole by the email rule), breaking any
+    redaction-completeness audit that reconciles counts against tokens.
+    """
+    cols = []
+    for name, pat, token in PII_RULES:
+        cols.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            .cast("long").alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, token)
+    return cols
 
 
 def redact_col(text: Column) -> Column:
@@ -60,7 +67,8 @@ def redact_col(text: Column) -> Column:
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc scrub: original columns with ``text_col`` replaced by the
-    redacted text, plus n_email/n_phone/n_ipv4 counts and ``has_pii``."""
+    redacted text, plus n_email/n_phone/n_ipv4 counts (= tokens inserted
+    per rule) and ``has_pii``."""
     text = F.col(text_col)
     counts = pii_count_columns(text)
     out = docs.select(

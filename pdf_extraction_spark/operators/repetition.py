@@ -40,7 +40,12 @@ def line_stats_columns(text: Column) -> list[Column]:
     that repeat an earlier line), as pure column expressions."""
     lines = _nonempty_lines(text)
     n = F.size(lines)
-    dup = n - F.size(F.array_distinct(lines))
+    # cast to long BEFORE scaling: dup * 1e6 overflows int32 above 2147
+    # duplicate lines — ANSI Spark throws ARITHMETIC_OVERFLOW (killing
+    # the ingest job), non-ANSI wraps negative so the MOST repetitive
+    # docs would pass a <= threshold gate (same pattern as
+    # textstats.quality_columns)
+    dup = (n - F.size(F.array_distinct(lines))).cast("long")
     return [
         n.cast("long").alias("n_lines"),
         F.when(n > 0, F.floor(dup * F.lit(1_000_000) / n))

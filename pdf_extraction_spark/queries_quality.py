@@ -124,9 +124,11 @@ def _sql_pii_scrub() -> str:
     scrubbed = "text"
     counts = []
     for name, pat, token in PII_RULES:
+        # each count on the text after the EARLIER rules' redactions,
+        # mirroring pii_count_columns (n_<rule> = tokens inserted)
         counts.append(
-            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
-            f" AS n_{name}")
+            f"CAST(len(regexp_extract_all({scrubbed}, '{pat}'))"
+            f" AS BIGINT) AS n_{name}")
         scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
     return f"""
 WITH d AS (SELECT doc_id, {SQL_PII_TEXT} AS text FROM documents),

@@ -15,8 +15,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.sampling import (SAMPLE_MOD, pack_shards, sample_corpus,
-                                 stratified_sample)
+from .operators.sampling import (SAMPLE_MOD, _threshold, pack_shards,
+                                 sample_corpus, stratified_sample)
 
 # stratified-sample gate parameters: three explicit strata + a default
 # tier, all of which fire on the 20-source documents table
@@ -45,7 +45,7 @@ def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_sample_uniform() -> str:
-    thr = int(round(UNIF_RATE * SAMPLE_MOD))
+    thr = _threshold(UNIF_RATE)
     return f"""
 SELECT doc_id, source, lang FROM documents
 WHERE {_sql_hash(UNIF_SALT)} < {thr}
@@ -64,13 +64,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_sample_stratified() -> str:
     arms = "\n".join(
-        f"  WHEN '{v}' THEN {int(round(r * SAMPLE_MOD))}"
+        f"  WHEN '{v}' THEN {_threshold(r)}"
         for v, r in STRAT_RATES.items())
     return f"""
 SELECT doc_id, source, lang FROM documents
 WHERE {_sql_hash(STRAT_SALT)} < CASE source
 {arms}
-  ELSE {int(round(STRAT_DEFAULT * SAMPLE_MOD))} END
+  ELSE {_threshold(STRAT_DEFAULT)} END
 """
 
 

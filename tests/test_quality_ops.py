@@ -59,6 +59,24 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (1, 1, 1)
 
 
+def test_repetition_no_int32_overflow_on_huge_dup_count(spark):
+    # 3000 duplicate lines: dup * 1e6 overflows int32 unless cast to
+    # long first — ANSI Spark threw ARITHMETIC_OVERFLOW (review finding)
+    out = repetition_stats(_docs(
+        spark, [(1, "\n".join(["same line"] * 3000))])).head()
+    assert out.n_lines == 3000
+    assert out.dup_line_ppm == 2999 * 1_000_000 // 3000
+
+
+def test_pii_counts_are_tokens_inserted_not_raw_matches(spark):
+    # phone-shaped email local part: consumed whole by the email rule,
+    # so n_phone must be 0 (counts reconcile with inserted tokens)
+    out = scrub_pii(_docs(
+        spark, [(1, "call 800-555-1234@mail.com now")])).head()
+    assert out.text == "call <EMAIL> now"
+    assert (out.n_email, out.n_phone, out.n_ipv4) == (1, 0, 0)
+
+
 def test_pii_phone_not_eaten_by_ip_rule(spark):
     # dotted phone: 3 dot-groups must become <PHONE>, never a partial <IP>
     out = scrub_pii(_docs(spark, [(1, "x 713.555.0102 y")])).head()

@@ -96,6 +96,7 @@ def main() -> None:
     t_curate = time.time() - t0
 
     survivors = curated(docs, verdicts=verdicts)
+    staged = []  # caches released once the verdicts are checkpointed
     n_repetitive = 0
     if args.max_dup_line_ppm is not None:
         # zero-shuffle array-expression gate (the top-bigram signal
@@ -103,6 +104,7 @@ def main() -> None:
         gated = survivors.withColumns(
             dict(zip(["n_lines", "dup_line_ppm"],
                      line_stats_columns(F.col("text"))))).persist()
+        staged.append(gated)
         n_repetitive = gated.where(
             F.col("dup_line_ppm") > args.max_dup_line_ppm).count()
         survivors = gated.where(
@@ -111,11 +113,18 @@ def main() -> None:
     n_pii = 0
     if args.scrub_pii:
         scrubbed = scrub_pii(survivors).persist()
+        staged.append(scrubbed)
         n_pii = scrubbed.where("has_pii").count()
         survivors = scrubbed.select("doc_id", "text")
     t0 = time.time()
     near = update_signature_store(spark, survivors, store,
                                   threshold=args.threshold)
+    # near is eagerly localCheckpoint-ed inside update_signature_store,
+    # so the survivor-text caches are dead weight from here on — release
+    # them before the near-dup counts rather than pinning two copies of
+    # the batch text through the rest of the job
+    for df in staged:
+        df.unpersist()
     n_near_dup = near.where("is_near_duplicate").count()
     n_final = near.count() - n_near_dup
     t_dedup = time.time() - t0
