@@ -50,11 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_reports import QUERIES_REPORTS
     from pdf_extraction_spark.queries_sampling import QUERIES_SAMPLING
     from pdf_extraction_spark.queries_quality import QUERIES_QUALITY
+    from pdf_extraction_spark.queries_layout import QUERIES_LAYOUT
 
     return {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
             **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
             **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
-            **QUERIES_QUALITY}
+            **QUERIES_QUALITY, **QUERIES_LAYOUT}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -68,8 +69,9 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_reports import ORACLES_REPORTS
     from pdf_extraction_spark.queries_sampling import ORACLES_SAMPLING
     from pdf_extraction_spark.queries_quality import ORACLES_QUALITY
+    from pdf_extraction_spark.queries_layout import ORACLES_LAYOUT
 
     return {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
             **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
             **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
-            **ORACLES_QUALITY}
+            **ORACLES_QUALITY, **ORACLES_LAYOUT}

@@ -1,0 +1,147 @@
+"""Geometric layout reconstruction: positioned text runs -> lines ->
+blocks, with font-size-histogram heading detection.
+
+The reference gets this for free from pdfplumber
+(`text_extractor.pyc:67-137` calls ``page.extract_text(layout=True)``
+and ``extract_words(extra_attrs=['fontname','size'])``, whose public
+semantics cluster words into lines by a y tolerance on the word's top
+coordinate and join them left-to-right); the north star requires the
+same reconstruction as DataFrame transforms over a run table, for
+corpora that arrive as raw positioned runs instead of pre-assembled
+span text.
+
+Input: ``runs(doc_id, text, x0, y0, x1, y1[, size])`` — one row per
+word/text run, y increasing downward (PDF user space, pdfplumber
+``top``/``bottom``), ``size`` the font size when the extractor provides
+it.
+
+Algorithm (all single-linkage 1-D clustering = sort + gap threshold,
+which windows express exactly):
+
+  1. lines: runs sorted by (y0, x0); a run starts a new line when its
+     top is more than ``y_tol`` below the previous run's top
+     (pdfplumber's ``y_tolerance``, default 3.0).
+  2. line assembly: member runs sorted by x0, texts joined with single
+     spaces; line bbox = enclosing box.
+  3. blocks: lines sorted by top; a line starts a new block when the
+     whitespace gap from the previous line's bottom exceeds ``gap_tol``
+     (the whitespace-gap rule; PyMuPDF-style block segmentation).
+  4. headings: per-doc modal font size (the font-size histogram's mode,
+     ties broken toward the larger size); a line is heading-like when
+     its maximum run size exceeds ``mode + size_slack``.
+
+Scale shape: every step keys on ``doc_id`` — one hash shuffle of the
+run table into per-doc partitions (zero if the table is already
+bucketed by doc_id, `sources/bucketed.py`), then window functions and
+one groupBy per level; no self-joins, no collect. Runs of one document
+never cross partitions, so a 10^12-doc corpus parallelizes per-doc with
+bounded task state (a doc's runs).
+
+Determinism contract for the oracle gate: ties in (y0, x0) order are
+broken by ``text``; ppm-free integer geometry comparisons only (the
+thresholds are exact rational comparisons on the input coordinates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
+    """Assign ``line_id`` (0-based per doc, reading order) to each run."""
+    w = Window.partitionBy("doc_id").orderBy("y0", "x0", "text")
+    prev_top = F.lag("y0").over(w)
+    new_line = F.when(prev_top.isNull(), F.lit(1)) \
+        .when(F.col("y0") - prev_top > y_tol, F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy("doc_id").orderBy("y0", "x0", "text") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return runs.withColumn("line_id",
+                           (F.sum(new_line).over(cum) - 1).cast("long"))
+
+
+def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
+    """Lines from line-assigned runs: text joined left-to-right,
+    enclosing bbox, max run font size (null when runs carry none)."""
+    has_size = "size" in runs_with_lines.columns
+    size_agg = (F.max("size") if has_size
+                else F.lit(None).cast("double")).alias("max_size")
+    parts = F.array_sort(F.collect_list(F.struct("x0", "text")))
+    return (runs_with_lines
+            .groupBy("doc_id", "line_id")
+            .agg(F.array_join(
+                     F.transform(parts, lambda s: s["text"]), " ")
+                 .alias("text"),
+                 F.min("x0").alias("x0"), F.min("y0").alias("y0"),
+                 F.max("x1").alias("x1"), F.max("y1").alias("y1"),
+                 size_agg,
+                 F.count(F.lit(1)).cast("long").alias("n_runs")))
+
+
+def cluster_blocks(lines: DataFrame, gap_tol: float = 10.0) -> DataFrame:
+    """Assign ``block_id`` (0-based per doc) to lines: a new block starts
+    where the whitespace gap (this line's top minus the previous line's
+    bottom) exceeds ``gap_tol``."""
+    w = Window.partitionBy("doc_id").orderBy("y0", "x0", "line_id")
+    prev_bottom = F.lag("y1").over(w)
+    new_block = F.when(prev_bottom.isNull(), F.lit(1)) \
+        .when(F.col("y0") - prev_bottom > gap_tol, F.lit(1)) \
+        .otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return lines.withColumn("block_id",
+                            (F.sum(new_block).over(cum) - 1).cast("long"))
+
+
+def modal_font_size(runs: DataFrame) -> DataFrame:
+    """(doc_id, modal_size): the font-size histogram's mode per doc,
+    ties broken toward the LARGER size (deterministic)."""
+    counts = runs.where(F.col("size").isNotNull()) \
+        .groupBy("doc_id", "size").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.desc("size"))
+    return counts.withColumn("rk", F.row_number().over(w)) \
+        .where(F.col("rk") == 1) \
+        .select("doc_id", F.col("size").alias("modal_size"))
+
+
+def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
+                       gap_tol: float = 10.0,
+                       size_slack: float = 0.5) -> DataFrame:
+    """Full layout parse: runs -> (doc_id, block_id, line_id, text, bbox,
+    n_runs, is_heading).  One row per LINE, block-assigned, in reading
+    order; heading-ness is per line (a block's first line may head a
+    body block, as in real documents).
+
+    ``is_heading`` is False everywhere when the corpus carries no
+    ``size`` attribute (the same schema-tolerant fallback contract as
+    C2/C3: fontless corpora get fontless semantics).
+    """
+    lines = assemble_lines(cluster_lines(runs, y_tol))
+    blocks = cluster_blocks(lines, gap_tol)
+    if "size" in runs.columns:
+        mode = modal_font_size(runs)
+        blocks = blocks.join(mode, "doc_id", "left").withColumn(
+            "is_heading",
+            F.coalesce(
+                F.col("max_size") > F.col("modal_size") + size_slack,
+                F.lit(False))).drop("modal_size")
+    else:
+        blocks = blocks.withColumn("is_heading", F.lit(False))
+    return blocks.select("doc_id", "block_id", "line_id", "text",
+                         "x0", "y0", "x1", "y1", "max_size", "n_runs",
+                         "is_heading")
+
+
+def block_text(blocks: DataFrame) -> DataFrame:
+    """Collapse line rows to one row per block: lines joined with
+    newlines in reading order, block bbox, line count — the unit the
+    span-classification pipeline consumes."""
+    parts = F.array_sort(F.collect_list(F.struct("y0", "x0", "text")))
+    return (blocks.groupBy("doc_id", "block_id")
+            .agg(F.array_join(
+                     F.transform(parts, lambda s: s["text"]), "\n")
+                 .alias("text"),
+                 F.min("x0").alias("x0"), F.min("y0").alias("y0"),
+                 F.max("x1").alias("x1"), F.max("y1").alias("y1"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.max(F.col("is_heading").cast("int")).cast("boolean")
+                 .alias("has_heading")))

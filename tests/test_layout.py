@@ -1,0 +1,89 @@
+"""Geometric layout reconstruction (operators/layout.py): hand-built
+run sets with known line/block/heading structure."""
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.layout import (block_text,
+                                                   reconstruct_blocks)
+
+SCHEMA = ("doc_id long, text string, x0 double, y0 double, "
+          "x1 double, y1 double, size double")
+
+
+def _runs(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_lines_cluster_within_y_tolerance_and_join_left_to_right(spark):
+    out = reconstruct_blocks(_runs(spark, [
+        (1, "world", 60.0, 2.0, 100.0, 10.0, 10.0),   # +2pt jitter
+        (1, "hello", 0.0, 0.0, 40.0, 8.0, 10.0),
+        (1, "again", 0.0, 20.0, 40.0, 28.0, 10.0),    # 12pt below: new line
+    ])).collect()
+    lines = {r.line_id: r for r in out}
+    assert lines[0].text == "hello world"
+    assert lines[1].text == "again"
+    assert (lines[0].x0, lines[0].y0, lines[0].x1, lines[0].y1) \
+        == (0.0, 0.0, 100.0, 10.0)
+
+
+def test_single_linkage_chains_past_total_tolerance(spark):
+    # 0 -> 2 -> 4: each step <= 3, total spread 4 — one line (pdfplumber
+    # cluster semantics), not two
+    out = reconstruct_blocks(_runs(spark, [
+        (1, "a", 0.0, 0.0, 5.0, 8.0, 10.0),
+        (1, "b", 10.0, 2.0, 15.0, 10.0, 10.0),
+        (1, "c", 20.0, 4.0, 25.0, 12.0, 10.0),
+    ])).collect()
+    assert len(out) == 1 and out[0].text == "a b c"
+
+
+def test_whitespace_gap_splits_blocks(spark):
+    out = reconstruct_blocks(_runs(spark, [
+        (1, "l1", 0.0, 0.0, 10.0, 8.0, 10.0),
+        (1, "l2", 0.0, 12.0, 10.0, 20.0, 10.0),   # gap 4 <= 10: same block
+        (1, "l3", 0.0, 40.0, 10.0, 48.0, 10.0),   # gap 20 > 10: new block
+    ])).collect()
+    by_line = {r.text: r.block_id for r in out}
+    assert by_line["l1"] == by_line["l2"] == 0
+    assert by_line["l3"] == 1
+
+
+def test_font_histogram_heading_detection(spark):
+    out = reconstruct_blocks(_runs(spark, [
+        (1, "TITLE", 0.0, 0.0, 30.0, 12.0, 14.0),
+        (1, "body", 0.0, 20.0, 20.0, 28.0, 10.0),
+        (1, "more", 0.0, 32.0, 20.0, 40.0, 10.0),
+        (1, "body2", 30.0, 32.0, 50.0, 40.0, 10.0),
+    ])).collect()
+    heads = {r.text: r.is_heading for r in out}
+    assert heads["TITLE"] is True
+    assert heads["body"] is False and heads["more body2"] is False
+
+
+def test_fontless_corpus_gets_false_headings(spark):
+    runs = _runs(spark, [(1, "a", 0.0, 0.0, 5.0, 8.0)],
+                 schema=("doc_id long, text string, x0 double, "
+                         "y0 double, x1 double, y1 double"))
+    out = reconstruct_blocks(runs).collect()
+    assert out[0].is_heading is False and out[0].max_size is None
+
+
+def test_block_text_joins_lines_in_reading_order(spark):
+    blocks = reconstruct_blocks(_runs(spark, [
+        (1, "first", 0.0, 0.0, 10.0, 8.0, 10.0),
+        (1, "second", 0.0, 12.0, 10.0, 20.0, 10.0),
+        (1, "third", 0.0, 60.0, 10.0, 68.0, 14.0),
+    ]))
+    out = {r.block_id: r for r in block_text(blocks).collect()}
+    assert out[0].text == "first\nsecond"
+    assert (out[0].n_lines, out[0].has_heading) == (2, False)
+    assert (out[1].text, out[1].has_heading) == ("third", True)
+
+
+def test_layout_plan_has_no_cartesian_product(spark):
+    runs = _runs(spark, [(1, "a", 0.0, 0.0, 5.0, 8.0, 10.0)])
+    plan = reconstruct_blocks(runs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
