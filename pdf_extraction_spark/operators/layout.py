@@ -131,6 +131,42 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
                          "is_heading")
 
 
+def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
+                    gap_tol: float = 10.0) -> DataFrame:
+    """The bridge from a raw positioned-run corpus to the contract span
+    rows the extraction plans consume: text runs are layout-parsed into
+    blocks (one span of kind 'text' per block), rows with a non-null
+    ``media_ref`` column pass through untouched as kind 'media' spans
+    positioned by their own bbox — so images/figures stay interleaved in
+    reading order exactly where the layout put them.
+
+    Output: (doc_id, offset, kind, text, media_ref), offset = 0-based
+    reading-order position per doc (order: top, then left, with a
+    deterministic kind/content tie-break).  ``groupBy(doc_id) +
+    sort_array(collect_list(...))`` turns this into the
+    ``spans array<struct<kind,text,media_ref,offset>>`` input-hint shape.
+    """
+    has_media = "media_ref" in runs.columns
+    text_runs = runs.where(F.col("media_ref").isNull()) if has_media \
+        else runs
+    blocks = block_text(reconstruct_blocks(text_runs.drop(
+        *(["media_ref"] if has_media else [])), y_tol, gap_tol))
+    units = blocks.select(
+        "doc_id", "y0", "x0", F.lit("text").alias("kind"),
+        F.col("text"), F.lit(None).cast("string").alias("media_ref"))
+    if has_media:
+        media = runs.where(F.col("media_ref").isNotNull()).select(
+            "doc_id", "y0", "x0", F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"), "media_ref")
+        units = units.unionByName(media)
+    w = Window.partitionBy("doc_id").orderBy(
+        "y0", "x0", "kind", F.coalesce("text", F.lit("")),
+        F.coalesce("media_ref", F.lit("")))
+    return units.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("int")) \
+        .select("doc_id", "offset", "kind", "text", "media_ref")
+
+
 def block_text(blocks: DataFrame) -> DataFrame:
     """Collapse line rows to one row per block: lines joined with
     newlines in reading order, block bbox, line count — the unit the

@@ -27,7 +27,8 @@ RWORDS = ["roof", "leak", "panel", "attic", "vent", "joist", "crack",
 N_LDOCS = 40
 
 
-def _runs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _runs_corpus(spark: SparkSession, sf_dir: str,
+                 with_k: bool = False) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     doc = F.pmod(k, F.lit(N_LDOCS))
@@ -40,6 +41,7 @@ def _runs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     x0 = (pos * 50 + F.pmod(k, F.lit(7))).cast("double")
     return o.select(
         doc.alias("doc_id"),
+        *([k.alias("k")] if with_k else []),
         _pick(RWORDS, F.pmod(F.floor(k / 11), F.lit(len(RWORDS))))
         .alias("text"),
         x0.alias("x0"), y0.alias("y0"),
@@ -48,11 +50,29 @@ def _runs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(10.0)).alias("size"))
 
 
+def _runs_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same grid with every k%9==0 run turned into a media run
+    (text null, media_ref set) — interleaved figures at real positions."""
+    r = _runs_corpus(spark, sf_dir, with_k=True)
+    is_m = F.pmod(F.col("k"), F.lit(9)) == 0
+    return r.select(
+        "doc_id",
+        F.when(is_m, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        "x0", "y0", "x1", "y1", "size",
+        F.when(is_m, F.concat(F.lit("img:"), F.col("k").cast("string")))
+        .alias("media_ref"))
+
+
 def _sql_list(arr: list[str]) -> str:
     return "[" + ", ".join(f"'{x}'" for x in arr) + "]"
 
 
-SQL_RUNS_CTE = f"""
+def _sql_layout_cte(text_pred: str = "TRUE") -> str:
+    """The shared oracle CTE chain; ``text_pred`` filters which runs
+    enter the line/block clustering (the spans query excludes media
+    runs, mirroring spans_from_runs)."""
+    return f"""
 r0 AS (
   SELECT o_orderkey AS k, o_orderkey % {N_LDOCS} AS doc_id,
     ROW_NUMBER() OVER (PARTITION BY o_orderkey % {N_LDOCS}
@@ -70,11 +90,12 @@ runs AS (
       AS y1,
     CASE WHEN (rn // 3) % 6 = 0 THEN 14.0 ELSE 10.0 END AS size
   FROM r0),
+tr AS (SELECT * FROM runs WHERE {text_pred}),
 lc AS (
   SELECT *, CASE WHEN lag(y0) OVER w IS NULL
                    OR y0 - lag(y0) OVER w > 3.0
             THEN 1 ELSE 0 END AS nl
-  FROM runs
+  FROM tr
   WINDOW w AS (PARTITION BY doc_id ORDER BY y0, x0, text)),
 lid AS (
   SELECT *, SUM(nl) OVER (PARTITION BY doc_id ORDER BY y0, x0, text
@@ -98,7 +119,7 @@ bid AS (
   FROM bc),
 mode AS (
   SELECT doc_id, size AS modal_size
-  FROM runs GROUP BY doc_id, size
+  FROM tr GROUP BY doc_id, size
   QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                              ORDER BY count(*) DESC, size DESC) = 1),
 blocks AS (
@@ -118,7 +139,7 @@ def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LAYOUT_BLOCKS = f"""
-WITH {SQL_RUNS_CTE}
+WITH {_sql_layout_cte()}
 SELECT * FROM blocks
 """
 
@@ -130,7 +151,7 @@ def q_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LAYOUT_TEXT = f"""
-WITH {SQL_RUNS_CTE}
+WITH {_sql_layout_cte()}
 SELECT doc_id, block_id,
   string_agg(text, chr(10) ORDER BY y0, x0) AS text,
   min(x0) AS x0, min(y0) AS y0, max(x1) AS x1, max(y1) AS y1,
@@ -140,12 +161,47 @@ FROM blocks GROUP BY doc_id, block_id
 """
 
 
+def q_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-table -> contract spans: text blocks become kind-'text' spans,
+    media runs pass through interleaved at their positions (exploded
+    form of the input-hint spans array)."""
+    from .operators.layout import spans_from_runs
+    return spans_from_runs(_runs_media_corpus(spark, sf_dir))
+
+
+SQL_LAYOUT_SPANS = f"""
+WITH {_sql_layout_cte("k % 9 <> 0")},
+bt AS (
+  SELECT doc_id,
+    string_agg(text, chr(10) ORDER BY y0, x0) AS text,
+    min(x0) AS x0, min(y0) AS y0
+  FROM blocks GROUP BY doc_id, block_id),
+units AS (
+  SELECT doc_id, y0, x0, 'text' AS kind, text,
+    CAST(NULL AS VARCHAR) AS media_ref
+  FROM bt
+  UNION ALL
+  SELECT doc_id, y0, x0, 'media' AS kind, CAST(NULL AS VARCHAR),
+    'img:' || CAST(k AS VARCHAR)
+  FROM runs WHERE k % 9 = 0)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY y0, x0, kind, coalesce(text, ''),
+               coalesce(media_ref, '')) - 1 AS INT) AS "offset",
+  kind, text, media_ref
+FROM units
+"""
+
+
 QUERIES_LAYOUT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_blocks": q_layout_blocks,
     "layout_text": q_layout_text,
+    "layout_spans": q_layout_spans,
 }
 
 ORACLES_LAYOUT: dict[str, str] = {
     "layout_blocks": SQL_LAYOUT_BLOCKS,
     "layout_text": SQL_LAYOUT_TEXT,
+    "layout_spans": SQL_LAYOUT_SPANS,
 }

@@ -81,6 +81,53 @@ def test_block_text_joins_lines_in_reading_order(spark):
     assert (out[1].text, out[1].has_heading) == ("third", True)
 
 
+def test_spans_from_runs_interleaves_media_in_reading_order(spark):
+    from pdf_extraction_spark.operators.layout import spans_from_runs
+    runs = spark.createDataFrame(
+        [(1, "Top line", 0.0, 0.0, 40.0, 8.0, 10.0, None),
+         (1, None, 0.0, 20.0, 200.0, 120.0, None, "img:7"),
+         (1, "Bottom line", 0.0, 140.0, 50.0, 148.0, 10.0, None)],
+        SCHEMA + ", media_ref string")
+    out = [(r.offset, r.kind, r.text, r.media_ref)
+           for r in spans_from_runs(runs)
+           .orderBy("offset").collect()]
+    assert out == [(0, "text", "Top line", None),
+                   (1, "media", None, "img:7"),
+                   (2, "text", "Bottom line", None)]
+
+
+def test_spans_from_runs_feeds_the_extraction_pipeline(spark):
+    """End-to-end: positioned runs -> layout spans -> spans array in the
+    input-hint shape -> fused extraction plan."""
+    from pdf_extraction_spark.operators.layout import spans_from_runs
+    from pdf_extraction_spark.plans.fused import assemble_fused
+
+    runs = spark.createDataFrame(
+        [(7, "2. ROOF", 0.0, 0.0, 40.0, 8.0, 14.0, None),
+         (7, "Deficient: shingles cracked", 0.0, 20.0, 120.0, 28.0,
+          10.0, None),
+         (7, None, 0.0, 40.0, 200.0, 140.0, None, "img:roof"),
+         (7, "Repair recommended", 0.0, 160.0, 90.0, 168.0, 10.0,
+          None)],
+        SCHEMA + ", media_ref string")
+    span_rows = spans_from_runs(runs)
+    docs = span_rows.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "offset", "kind", "text", "media_ref"))),
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"))).alias("spans")) \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    row = assemble_fused(docs).collect()[0]
+    media = [s for s in row.spans if s.kind == "media_ref"]
+    assert [m.media_ref for m in media] == ["img:roof"]
+    assert media[0].order == 2  # interleaved position preserved
+    texts = [s.text for s in row.spans if s.kind == "text"]
+    assert "Deficient: shingles cracked" in texts
+
+
 def test_layout_plan_has_no_cartesian_product(spark):
     runs = _runs(spark, [(1, "a", 0.0, 0.0, 5.0, 8.0, 10.0)])
     plan = reconstruct_blocks(runs)._jdf.queryExecution() \
