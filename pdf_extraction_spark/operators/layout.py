@@ -48,13 +48,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _run_order(runs: DataFrame) -> list[str]:
+    """TOTAL ordering of runs: (y0, x0, text) alone is not one, and the
+    nested lag -> cumulative-sum computation sorts twice — Spark may
+    order rows tied on a partial key differently between the two window
+    passes, attaching the new-line flag to one physical row in the first
+    sort and accumulating it from the other in the second, splitting a
+    tied pair across two lines (found by differential fuzz, seed 1004).
+    With every input column in the key, only FULL duplicates tie, and
+    those are order-indifferent by construction."""
+    extra = [c for c in ("y1", "x1", "size") if c in runs.columns]
+    return ["y0", "x0", "text", *extra]
+
+
 def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
     """Assign ``line_id`` (0-based per doc, reading order) to each run."""
-    w = Window.partitionBy("doc_id").orderBy("y0", "x0", "text")
+    order = _run_order(runs)
+    w = Window.partitionBy("doc_id").orderBy(*order)
     prev_top = F.lag("y0").over(w)
     new_line = F.when(prev_top.isNull(), F.lit(1)) \
         .when(F.col("y0") - prev_top > y_tol, F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy("doc_id").orderBy("y0", "x0", "text") \
+    cum = Window.partitionBy("doc_id").orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return runs.withColumn("line_id",
                            (F.sum(new_line).over(cum) - 1).cast("long"))

@@ -96,9 +96,11 @@ lc AS (
                    OR y0 - lag(y0) OVER w > 3.0
             THEN 1 ELSE 0 END AS nl
   FROM tr
-  WINDOW w AS (PARTITION BY doc_id ORDER BY y0, x0, text)),
+  WINDOW w AS (PARTITION BY doc_id
+               ORDER BY y0, x0, text, y1, x1, size)),
 lid AS (
-  SELECT *, SUM(nl) OVER (PARTITION BY doc_id ORDER BY y0, x0, text
+  SELECT *, SUM(nl) OVER (PARTITION BY doc_id
+                          ORDER BY y0, x0, text, y1, x1, size
                           ROWS UNBOUNDED PRECEDING) - 1 AS line_id
   FROM lc),
 lines AS (

@@ -128,6 +128,21 @@ def test_spans_from_runs_feeds_the_extraction_pipeline(spark):
     assert "Deficient: shingles cracked" in texts
 
 
+def test_tied_sort_key_runs_stay_in_one_line(spark):
+    # two runs identical in (y0, x0, text) but differing in y1 sit at a
+    # line start: without a TOTAL window order Spark's two window sorts
+    # could disagree on the tie and split the pair across lines
+    # (found by differential fuzz, seed 1004)
+    out = reconstruct_blocks(_runs(spark, [
+        (1, "above", 0.0, 40.0, 20.0, 48.0, 10.0),
+        (1, "leak", 50.0, 69.5, 90.0, 77.5, 10.0),
+        (1, "leak", 50.0, 69.5, 90.0, 79.5, 10.0),
+    ])).collect()
+    pair = [r for r in out if "leak" in r.text]
+    assert len(pair) == 1 and pair[0].text == "leak leak"
+    assert pair[0].n_runs == 2 and pair[0].y1 == 79.5
+
+
 def test_layout_plan_has_no_cartesian_product(spark):
     runs = _runs(spark, [(1, "a", 0.0, 0.0, 5.0, 8.0, 10.0)])
     plan = reconstruct_blocks(runs)._jdf.queryExecution() \
