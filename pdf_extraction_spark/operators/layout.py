@@ -35,11 +35,17 @@ run table into per-doc partitions (zero if the table is already
 bucketed by doc_id, `sources/bucketed.py`), then window functions and
 one groupBy per level; no self-joins, no collect. Runs of one document
 never cross partitions, so a 10^12-doc corpus parallelizes per-doc with
-bounded task state (a doc's runs).
+bounded task state (a doc's runs).  Giant-document skew (a single doc
+with 10^5+ runs makes one window partition = one sort task — the same
+tail the salted extraction plan defuses): real run corpora carry a page
+number, and clustering never crosses a page boundary, so pre-compose
+the key (``doc_id || ':' || page``) and the skew unit drops from
+document to page, which is bounded by construction.
 
-Determinism contract for the oracle gate: ties in (y0, x0) order are
-broken by ``text``; ppm-free integer geometry comparisons only (the
-thresholds are exact rational comparisons on the input coordinates).
+Determinism contract for the oracle gate: the window order is a TOTAL
+order over every input column (see ``_run_order`` — a partial key is
+not enough under Spark's two-pass window evaluation); geometry
+comparisons are exact rational comparisons on the input coordinates.
 """
 
 from __future__ import annotations
