@@ -130,6 +130,12 @@ def main() -> None:
     timed("k_curation", lambda: noop(curate_corpus(dtab)))
     from pdf_extraction_spark.operators.sampling import pack_shards
     timed("k_pack_shards", lambda: noop(pack_shards(dtab, 2000)))
+    from pdf_extraction_spark.operators.layout import spans_from_runs
+    from pdf_extraction_spark.queries_layout import _runs_media_corpus
+    runs = _runs_media_corpus(spark, sf_dir).persist()
+    n_runs = runs.count()
+    timed("k_layout_spans", lambda: noop(spans_from_runs(runs)))
+    runs.unpersist()
     dtab.unpersist()
     etab.unpersist()
 
@@ -148,6 +154,7 @@ def main() -> None:
         "sf": sf,
         "extract_docs": n_docs,
         "kernel_docs": n_dtab,
+        "layout_runs": n_runs,
         "extract_docs_per_sec": round(n_docs / timings["extract_corpus"], 2),
         "enrich_docs_per_sec": round(n_docs / timings["enrich_corpus"], 2),
     }))
