@@ -62,20 +62,23 @@ def _run_order(runs: DataFrame) -> list[str]:
     sort and accumulating it from the other in the second, splitting a
     tied pair across two lines (found by differential fuzz, seed 1004).
     With every input column in the key, only FULL duplicates tie, and
-    those are order-indifferent by construction."""
-    extra = [c for c in ("y1", "x1", "size") if c in runs.columns]
+    those are order-indifferent by construction.  EVERY column (not a
+    whitelist): a passthrough column (fontname, page, a run id) left out
+    of the key would silently reintroduce the split."""
+    extra = [c for c in runs.columns
+             if c not in ("doc_id", "y0", "x0", "text")]
     return ["y0", "x0", "text", *extra]
 
 
 def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
     """Assign ``line_id`` (0-based per doc, reading order) to each run."""
-    order = _run_order(runs)
-    w = Window.partitionBy("doc_id").orderBy(*order)
+    w = Window.partitionBy("doc_id").orderBy(*_run_order(runs))
     prev_top = F.lag("y0").over(w)
     new_line = F.when(prev_top.isNull(), F.lit(1)) \
         .when(F.col("y0") - prev_top > y_tol, F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy("doc_id").orderBy(*order) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # derived from w, never rebuilt: the determinism contract hinges on
+    # the lag and cumsum windows sharing one identical total order
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return runs.withColumn("line_id",
                            (F.sum(new_line).over(cum) - 1).cast("long"))
 
@@ -125,7 +128,8 @@ def modal_font_size(runs: DataFrame) -> DataFrame:
 
 def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
                        gap_tol: float = 10.0,
-                       size_slack: float = 0.5) -> DataFrame:
+                       size_slack: float = 0.5,
+                       with_headings: bool = True) -> DataFrame:
     """Full layout parse: runs -> (doc_id, block_id, line_id, text, bbox,
     n_runs, is_heading).  One row per LINE, block-assigned, in reading
     order; heading-ness is per line (a block's first line may head a
@@ -137,7 +141,7 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
     """
     lines = assemble_lines(cluster_lines(runs, y_tol))
     blocks = cluster_blocks(lines, gap_tol)
-    if "size" in runs.columns:
+    if with_headings and "size" in runs.columns:
         mode = modal_font_size(runs)
         blocks = blocks.join(mode, "doc_id", "left").withColumn(
             "is_heading",
@@ -169,8 +173,11 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     has_media = "media_ref" in runs.columns
     text_runs = runs.where(F.col("media_ref").isNull()) if has_media \
         else runs
-    blocks = block_text(reconstruct_blocks(text_runs.drop(
-        *(["media_ref"] if has_media else [])), y_tol, gap_tol))
+    # with_headings=False: the heading columns don't survive the span
+    # select below, so skip the modal-font groupBy + join they'd cost
+    blocks = block_text(reconstruct_blocks(
+        text_runs.drop(*(["media_ref"] if has_media else [])),
+        y_tol, gap_tol, with_headings=False))
     units = blocks.select(
         "doc_id", "y0", "x0", F.lit("text").alias("kind"),
         F.col("text"), F.lit(None).cast("string").alias("media_ref"))

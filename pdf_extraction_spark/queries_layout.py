@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.layout import block_text, reconstruct_blocks
-from .queries import _pick
+from .queries import _pick, _sql_list
 
 RWORDS = ["roof", "leak", "panel", "attic", "vent", "joist", "crack",
           "beam", "flue", "sump"]
@@ -64,10 +64,6 @@ def _runs_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_ref"))
 
 
-def _sql_list(arr: list[str]) -> str:
-    return "[" + ", ".join(f"'{x}'" for x in arr) + "]"
-
-
 def _sql_layout_cte(text_pred: str = "TRUE") -> str:
     """The shared oracle CTE chain; ``text_pred`` filters which runs
     enter the line/block clustering (the spans query excludes media
@@ -97,10 +93,10 @@ lc AS (
             THEN 1 ELSE 0 END AS nl
   FROM tr
   WINDOW w AS (PARTITION BY doc_id
-               ORDER BY y0, x0, text, y1, x1, size)),
+               ORDER BY y0, x0, text, x1, y1, size)),
 lid AS (
   SELECT *, SUM(nl) OVER (PARTITION BY doc_id
-                          ORDER BY y0, x0, text, y1, x1, size
+                          ORDER BY y0, x0, text, x1, y1, size
                           ROWS UNBOUNDED PRECEDING) - 1 AS line_id
   FROM lc),
 lines AS (
