@@ -297,13 +297,55 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
                         F.col("keeper_doc_id") != F.col(id_col)))
 
 
+def _incremental_candidates(new_banded: DataFrame, o_banded: DataFrame,
+                            max_bucket: int | None,
+                            broadcast_new: bool = True) -> DataFrame:
+    """Distinct (id_n, id_o, o_new) candidate pairs for the incremental
+    probe: ``new_banded(id, band, h)`` joined against the corpus+batch
+    band table ``o_banded(band, h, id_o, o_new)``.
+
+    With ``max_bucket`` set, buckets holding more than that many
+    corpus+batch members are pruned to two hub rows (min corpus id, min
+    new id) BEFORE the join — O(1) candidates per probing doc instead of
+    O(bucket). The census is restricted to buckets the batch probes, so
+    its output (and therefore the prune-side broadcast) is batch-bounded
+    and the corpus is never shuffled — only re-scanned map-side once.
+    """
+    if max_bucket is not None:
+        probed = new_banded.select("band", "h").distinct()
+        if broadcast_new:
+            probed = F.broadcast(probed)
+        stats = (o_banded.join(probed, ["band", "h"])
+                 .groupBy("band", "h")
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.min(F.when(~F.col("o_new"), F.col("id_o")))
+                      .alias("_hub_corpus"),
+                      F.min(F.when(F.col("o_new"), F.col("id_o")))
+                      .alias("_hub_new")))
+        if broadcast_new:
+            stats = F.broadcast(stats)
+        # hot buckets shrink to their two hubs; the stats join also
+        # prunes un-probed buckets (they could never match anyway)
+        o_banded = (o_banded.join(stats, ["band", "h"])
+                    .where((F.col("_n") <= F.lit(max_bucket))
+                           | (F.col("id_o") == F.col("_hub_corpus"))
+                           | (F.col("id_o") == F.col("_hub_new")))
+                    .select("band", "h", "id_o", "o_new"))
+    return (new_banded.select("band", "h", F.col("id").alias("id_n"))
+            .join(o_banded, ["band", "h"])
+            .where(F.col("id_n") != F.col("id_o"))
+            .select("id_n", "id_o", "o_new")
+            .distinct())
+
+
 def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id",
                               threshold: float = 0.8, k: int = 64,
                               bands: int = 16,
                               broadcast_new: bool = True,
-                              new_sigs: DataFrame | None = None) -> DataFrame:
+                              new_sigs: DataFrame | None = None,
+                              max_bucket: int | None = None) -> DataFrame:
     """Near-dup verdicts for a NEW batch against an already-deduped
     corpus — the operation a production pipeline runs per ingest instead
     of re-deduping 100 TB daily.
@@ -328,6 +370,18 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     batch signatures attached into the verification — so per ingest the
     corpus contributes two map-side scans and zero exchanges.
     Signatures never enter the band join.
+
+    ``max_bucket`` is the hot-bucket guard (the incremental analogue of
+    ``_bucketed_pairs``): a band bucket holding more than ``max_bucket``
+    corpus+batch members — web boilerplate with millions of stored
+    near-copies — is pruned to two hub rows (its minimum corpus id and
+    minimum new id) before the probe join, so a batch doc probing it
+    emits O(1) candidates instead of O(bucket). The traded-away pairs
+    are non-hub partners inside one degenerate bucket; the keeper rule
+    only consumes the MINIMUM verified partner, which the hubs are.
+    Costs one extra map-side corpus scan (bucket counts, restricted to
+    buckets the batch actually probes, aggregated map-side before a
+    batch-bounded shuffle) — the corpus still shuffles never.
     """
     if new_sigs is None:
         new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k)
@@ -346,14 +400,12 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     new_banded = band(new_sigs.withColumn("is_new", F.lit(True)))
     if broadcast_new:
         new_banded = F.broadcast(new_banded)
+    o_banded = band(all_sigs).select(
+        "band", "h", F.col("id").alias("id_o"),
+        F.col("is_new").alias("o_new"))
     # probe: new batch against corpus+batch; >=1 new side by construction
-    cand = (new_banded.select("band", "h", F.col("id").alias("id_n"))
-            .join(band(all_sigs).select(
-                "band", "h", F.col("id").alias("id_o"),
-                F.col("is_new").alias("o_new")), ["band", "h"])
-            .where(F.col("id_n") != F.col("id_o"))
-            .select("id_n", "id_o", "o_new")
-            .distinct())
+    cand = _incremental_candidates(new_banded, o_banded, max_bucket,
+                                   broadcast_new)
     # sig_n comes from the batch-sized table, and the candidate set
     # (with sig_n attached) is broadcast into the corpus-side attach:
     # the corpus signature table is never shuffled
@@ -394,7 +446,8 @@ def update_signature_store(spark, new_docs: DataFrame, store,
                            ident: str = "minhash_sigs",
                            text_col: str = "text", id_col: str = "doc_id",
                            threshold: float = 0.8, k: int = 64,
-                           bands: int = 16) -> DataFrame:
+                           bands: int = 16,
+                           max_bucket: int | None = 10_000) -> DataFrame:
     """Incremental-dedup driver over a ``sources.catalog`` TableStore:
     verdicts for the new batch against the stored corpus signatures, then
     append the batch's signatures (keepers AND duplicates — a later copy
@@ -406,7 +459,13 @@ def update_signature_store(spark, new_docs: DataFrame, store,
     upstream checkpoint layer treats changed content under the same id
     as new WORK, but this store keys identity by id). Re-ingesting an
     id already in the store never grows it: novelty is enforced by an
-    id anti-join here (parquet) and by MERGE (Iceberg)."""
+    id anti-join here (parquet) and by MERGE (Iceberg).
+
+    This is the composed INGEST entry point, so the hot-bucket guard is
+    ON by default (``max_bucket=10_000``): without it one degenerate
+    boilerplate bucket in a 10^12-doc store makes the probe join
+    quadratic. Pass ``max_bucket=None`` to opt out (exact all-pairs
+    candidates, small corpora only)."""
     # one batch signature pass total: checkpointed, then reused by the
     # verdict plan (3 references) and the store append
     new_sigs = minhash_signatures_arrow(new_docs, text_col, id_col, k) \
@@ -416,10 +475,12 @@ def update_signature_store(spark, new_docs: DataFrame, store,
         corpus_sigs = store.read(spark, ident)
         verdicts = minhash_dedup_incremental(
             new_docs, corpus_sigs, text_col, id_col,
-            threshold=threshold, k=k, bands=bands, new_sigs=new_sigs)
+            threshold=threshold, k=k, bands=bands, new_sigs=new_sigs,
+            max_bucket=max_bucket)
     else:
         verdicts = minhash_dedup(new_docs, text_col, id_col,
-                                 threshold=threshold, k=k, bands=bands)
+                                 threshold=threshold, k=k, bands=bands,
+                                 max_bucket=max_bucket)
     # localCheckpoint, not persist: the store append below invalidates
     # any cached plan that scans the store path, and a recompute would
     # see the batch's own signatures as corpus — every batch-internal

@@ -633,3 +633,59 @@ def test_minhash_incremental_broadcasts_new_batch(docs, spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_candidates_hot_bucket_guard(spark):
+    """A degenerate bucket holding 10k stored near-copies must yield O(1)
+    candidates per probing batch doc (hub star: min corpus id + min new
+    id), not O(bucket) — the composed-ingest skew guard (round-3 verdict
+    item 2). Unguarded this single bucket would emit 200 x 10,199 rows."""
+    n_corpus, n_new = 10_000, 200
+    o_banded = spark.range(n_corpus).select(
+        F.lit(0).alias("band"), F.lit("hot").alias("h"),
+        F.format_string("c%05d", F.col("id")).alias("id_o"),
+        F.lit(False).alias("o_new")) \
+        .unionByName(spark.range(n_new).select(
+            F.lit(0).alias("band"), F.lit("hot").alias("h"),
+            F.format_string("n%03d", F.col("id")).alias("id_o"),
+            F.lit(True).alias("o_new")))
+    new_banded = spark.range(n_new).select(
+        F.format_string("n%03d", F.col("id")).alias("id"),
+        F.lit(0).alias("band"), F.lit("hot").alias("h"))
+    cand = dedup._incremental_candidates(new_banded, o_banded,
+                                         max_bucket=100).collect()
+    # every new doc pairs with the corpus hub; all but the new hub also
+    # pair with the new hub (no self-pair)
+    assert len(cand) == n_new + (n_new - 1)
+    partners = {r["id_o"] for r in cand}
+    assert partners == {"c00000", "n000"}
+    # cold path unchanged: bucket under the cap keeps all-pairs
+    cold = dedup._incremental_candidates(
+        new_banded.limit(3), o_banded.where("id_o < 'c00005'"),
+        max_bucket=100).collect()
+    assert len(cold) == 3 * 5
+
+
+def test_update_signature_store_hot_bucket_ingest(spark, tmp_path):
+    """End-to-end composed ingest over a single-bucket corpus completes
+    with star-bounded candidate work and corpus-canonical verdicts; the
+    guard is the DEFAULT for update_signature_store (opt out with None)."""
+    from pdf_extraction_spark.sources.catalog import ParquetStore
+
+    boiler = ("subscribe to our newsletter for updates terms of service "
+              "privacy policy all rights reserved contact us today")
+    store = ParquetStore(str(tmp_path / "sigs"))
+    seed = spark.createDataFrame(
+        [(f"c{i:04d}", boiler) for i in range(500)],
+        "doc_id string, text string")
+    v1 = dedup.update_signature_store(spark, seed, store, threshold=0.8,
+                                      max_bucket=50)
+    assert v1.where("not is_near_duplicate").count() == 1
+
+    batch = spark.createDataFrame(
+        [(f"n{i:04d}", boiler) for i in range(100)],
+        "doc_id string, text string")
+    v2 = {r["doc_id"]: (r["keeper_doc_id"], r["is_near_duplicate"])
+          for r in dedup.update_signature_store(
+              spark, batch, store, threshold=0.8, max_bucket=50).collect()}
+    assert all(v2[f"n{i:04d}"] == ("c0000", True) for i in range(100))

@@ -44,6 +44,12 @@ def main() -> None:
                     help="signature-store location: a directory path "
                          "(parquet) or catalog.namespace (Iceberg)")
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--max-bucket", type=int, default=10_000,
+                    help="hot-bucket guard for the near-dup candidate "
+                         "join: LSH buckets larger than this star-join "
+                         "around their hub ids instead of all-pairs. "
+                         "0 disables (exact candidates — small corpora "
+                         "only; one degenerate bucket goes quadratic)")
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default="en")
     ap.add_argument("--sample-rate", type=float, default=None,
@@ -117,8 +123,9 @@ def main() -> None:
         n_pii = scrubbed.where("has_pii").count()
         survivors = scrubbed.select("doc_id", "text")
     t0 = time.time()
-    near = update_signature_store(spark, survivors, store,
-                                  threshold=args.threshold)
+    near = update_signature_store(
+        spark, survivors, store, threshold=args.threshold,
+        max_bucket=args.max_bucket if args.max_bucket > 0 else None)
     # near is eagerly localCheckpoint-ed inside update_signature_store,
     # so the survivor-text caches are dead weight from here on — release
     # them before the near-dup counts rather than pinning two copies of
