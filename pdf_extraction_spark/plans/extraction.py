@@ -27,24 +27,39 @@ TABLE_ROW_MARKER = " | "
 
 def explode_spans(docs: DataFrame) -> DataFrame:
     """Schema-tolerant span explode: the contract columns plus the
-    OPTIONAL font attributes (bold/underlined, C2) and OPTIONAL bbox
-    attributes (x0/y0/x1/y1, C3) when the input span struct carries
-    them — constant-False / (0,0,0,0) otherwise (the fontless S4
-    fallback, reference text_extractor.pyc:178-227 and the
-    get_text_bbox empty default at text_extractor.pyc:211-227)."""
+    OPTIONAL font attributes (bold/underlined/italic via font name and
+    size, C2) and OPTIONAL bbox attributes (x0/y0/x1/y1, C3) when the
+    input span struct carries them — constant-False / (0,0,0,0)
+    otherwise (the fontless S4 fallback, reference
+    text_extractor.pyc:178-227 and the get_text_bbox empty default at
+    text_extractor.pyc:211-227).
+
+    C2 derivation (detect_formatting, text_extractor.pyc:178-207):
+    bold when the explicit attr says so, OR the font name contains
+    bold/black, OR the font size exceeds 12pt; italic when the font
+    name contains italic/oblique. ``font``/``size`` are per-span
+    (the reference's per-line max-over-matching-words aggregation
+    happens upstream in the span model, like the C3 line bbox)."""
     span_fields = set(docs.schema["spans"].dataType.elementType.fieldNames())
 
     def opt_flag(name: str) -> Column:
         if name in span_fields:
             return F.coalesce(F.col(f"s.{name}").cast("boolean"),
-                              F.lit(False)).alias(name)
-        return F.lit(False).alias(name)
+                              F.lit(False))
+        return F.lit(False)
 
     def opt_num(name: str) -> Column:
         if name in span_fields:
             return F.coalesce(F.col(f"s.{name}").cast("double"),
-                              F.lit(0.0)).alias(name)
-        return F.lit(0.0).alias(name)
+                              F.lit(0.0))
+        return F.lit(0.0)
+
+    font = (F.lower(F.coalesce(F.col("s.font").cast("string"), F.lit("")))
+            if "font" in span_fields else F.lit(""))
+    bold = (opt_flag("bold")
+            | font.rlike("bold|black")
+            | (opt_num("size") > 12.0))
+    italic = font.rlike("italic|oblique")
 
     return docs.select(
         "doc_id",
@@ -55,12 +70,13 @@ def explode_spans(docs: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
-        opt_flag("bold"),
-        opt_flag("underlined"),
-        opt_num("x0"),
-        opt_num("y0"),
-        opt_num("x1"),
-        opt_num("y1"),
+        bold.alias("bold"),
+        italic.alias("italic"),
+        opt_flag("underlined").alias("underlined"),
+        opt_num("x0").alias("x0"),
+        opt_num("y0").alias("y0"),
+        opt_num("x1").alias("x1"),
+        opt_num("y1").alias("y1"),
     )
 
 
@@ -98,7 +114,7 @@ def build_blocks(spans: DataFrame) -> DataFrame:
     return blocks.select("doc_id", "offset", "page_num", "section",
                          "subsection", "status",
                          F.col("norm").alias("content"),
-                         "bold", "underlined",
+                         "bold", "italic", "underlined",
                          "x0", "y0", "x1", "y1")
 
 

@@ -635,3 +635,37 @@ def assemble_fused(docs: DataFrame, partitions: int | None = None) -> DataFrame:
                 yield extract_record_batch(rb)
 
     return docs.mapInArrow(run, schema=OUTPUT_SCHEMA)
+
+
+def assemble_auto(docs: DataFrame, giant_spans: int | None = 50_000,
+                  chunk_spans: int = 4096,
+                  partitions: int | None = None) -> DataFrame:
+    """Skew-adaptive extraction: ONE entry point for mixed corpora.
+
+    Docs with ``size(spans) <= giant_spans`` run the zero-shuffle fused
+    plan; the giant tail is routed through the chunked+salted plan
+    (plans/salted.py) IN THE SAME JOB and unioned back — so an
+    adversarial 500k-span doc parallelizes across ~n/chunk_spans tasks
+    instead of pinning one task for minutes while its stage idles
+    (round-3 verdict item 3; both plans are output-identical, golden
+    seam-carry tests).
+
+    Threshold: fused single-task cost is ~25-40k spans/sec/core
+    (BENCH/BASELINE.md §6), so 50k spans ≈ 1-2s — about the p99 task
+    wall of a healthy stage; anything bigger is a straggler. The salt
+    + merge exchanges are paid ONLY by the giant tail (the corpus-wide
+    salting of §6 is why whole-corpus salting loses on uniform docs).
+
+    ``giant_spans=None`` — or a streaming input, where the salted
+    branch's groupBy is unavailable and micro-batches already bound
+    per-task work — degrades to the pure fused plan.
+    """
+    if giant_spans is None or docs.isStreaming:
+        return assemble_fused(docs, partitions)
+    from pyspark.sql import functions as F
+
+    from .salted import assemble_salted
+    n = F.size("spans")
+    normal = assemble_fused(docs.where(n <= giant_spans), partitions)
+    giants = assemble_salted(docs.where(n > giant_spans), chunk_spans)
+    return normal.unionByName(giants)

@@ -262,24 +262,36 @@ FROM ordered
 """
 
 
+_FONT_CYCLE = ("helvetica", "Arial-BoldMT", "Times-Italic",
+               "Courier-Oblique", "Arial-Black", "georgia")
+
+
 def q_font_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2+C4 — formatting-aware priority (src/data_structurer.py:110-144,
-    text_extractor.pyc:178-227): a font-bearing span corpus flows through
-    the REAL schema-tolerant plan path (explode_spans picks the optional
-    bold/underlined span attrs up; absent attrs fall back to the fontless
-    S4 constant-False), then bold wins 'high' and underlined wins
-    'medium' ahead of the keyword tiers."""
+    text_extractor.pyc:178-207): a font-bearing span corpus flows through
+    the REAL schema-tolerant plan path. explode_spans picks the optional
+    bold/underlined/font/size attrs up (absent attrs fall back to the
+    fontless S4 constant-False) and derives the full detect_formatting
+    rule — bold from the explicit attr OR a bold/black font name OR
+    size > 12pt, italic from an italic/oblique font name — then bold
+    wins 'high' and underlined wins 'medium' ahead of the keyword
+    tiers. The synthetic corpus cycles six real font names and sizes
+    8..15pt so every C2 sub-branch fires."""
     from .plans.extraction import explode_spans
 
     lines = derived_lines(spark, sf_dir)
     k = F.col("k")
+    fonts = F.array(*[F.lit(f) for f in _FONT_CYCLE])
     span = F.struct(
         k.cast("int").alias("offset"),
         F.lit("text").alias("kind"),
         F.col("text").alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         (F.pmod(k, F.lit(7)) == 0).alias("bold"),
-        (F.pmod(k, F.lit(5)) == 0).alias("underlined"))
+        (F.pmod(k, F.lit(5)) == 0).alias("underlined"),
+        F.element_at(fonts, F.pmod(k, F.lit(6)).cast("int") + 1)
+        .alias("font"),
+        (F.pmod(k, F.lit(8)) + 8.0).alias("size"))
     docs = (lines.select("doc_id", span.alias("s"))
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list("s")).alias("spans")))
@@ -290,18 +302,23 @@ def q_font_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(off, F.lit(4)) == 2, F.lit("D"))
     return ex.select(
         "doc_id", off.cast("long").alias("line_key"),
-        "bold", "underlined",
+        "bold", "italic", "underlined",
         priority_col(F.lower(F.col("text")), status,
                      bold=F.col("bold"),
                      underlined=F.col("underlined")).alias("priority"))
 
 
+# bold: explicit attr (k%7=0) OR bold/black font (k%6 in 1,4) OR size>12
+# (8 + k%8 > 12); italic: italic/oblique font (k%6 in 2,3)
+_SQL_BOLD = "(k % 7 = 0 OR CAST(k % 6 AS INT) IN (1, 4) OR k % 8 + 8 > 12)"
 SQL_FONT_PRIORITY = f"""
 WITH {SQL_LINES_CTE}
 SELECT doc_id, k AS line_key,
-  k % 7 = 0 AS bold, k % 5 = 0 AS underlined,
+  {_SQL_BOLD} AS bold,
+  CAST(k % 6 AS INT) IN (2, 3) AS italic,
+  k % 5 = 0 AS underlined,
   CASE
-    WHEN k % 7 = 0 THEN 'high'
+    WHEN {_SQL_BOLD} THEN 'high'
     WHEN {_sql_like_any('lower(text)', rules.HIGH_PRIORITY_KEYWORDS)} THEN 'high'
     WHEN k % 5 = 0 THEN 'medium'
     WHEN {_sql_like_any('lower(text)', rules.MEDIUM_PRIORITY_KEYWORDS)} THEN 'medium'

@@ -254,3 +254,43 @@ def test_bbox_attrs_aggregate_per_section(spark):
     blocks = build_blocks(track_sections(classify_spans(explode_spans(plain))))
     for r in section_bboxes(blocks).collect():
         assert (r["x0"], r["y0"], r["x1"], r["y1"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_font_size_and_italic_branches(spark):
+    """C2 sub-branches (detect_formatting, text_extractor.pyc:178-207):
+    bold derives from a bold/black FONT NAME or a SIZE above 12pt even
+    with no explicit bold attr; italic derives from italic/oblique font
+    names; a plain font at <=12pt stays unformatted."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.sections import track_sections
+    from pdf_extraction_spark.plans.extraction import (build_blocks,
+                                                       classify_spans,
+                                                       explode_spans)
+
+    def sp(offset, text, font=None, size=None):
+        return Row(kind="text", text=text, media_ref=None, offset=offset,
+                   font=font, size=size)
+
+    docs = spark.createDataFrame([
+        ("d1", [
+            sp(0, "water heater relief valve leaking", "Helvetica", 10.0),
+            sp(1, "minor drywall crack", "Arial-BoldMT", 10.0),
+            sp(2, "caulk gap at window", "Arial-Black", 9.0),
+            sp(3, "hairline slab crack", "Times-Italic", 11.0),
+            sp(4, "door rubs at frame", "Courier-Oblique", 10.5),
+            sp(5, "handrail loose at stairs", "Georgia", 14.0),  # >12pt
+            sp(6, "paint scuff at hallway", None, None),
+        ]),
+    ], "doc_id string, spans array<struct<kind string, text string, "
+       "media_ref string, offset int, font string, size double>>")
+    blocks = build_blocks(track_sections(classify_spans(explode_spans(docs))))
+    got = {r["offset"]: (r["bold"], r["italic"]) for r in blocks.collect()}
+    assert got[0] == (False, False)   # plain font, small size
+    assert got[1] == (True, False)    # 'bold' in font name
+    assert got[2] == (True, False)    # 'black' in font name
+    assert got[3] == (False, True)    # italic font
+    assert got[4] == (False, True)    # oblique font
+    assert got[5] == (True, False)    # size > 12 -> bold
+    assert got[6] == (False, False)   # null attrs -> fontless default
