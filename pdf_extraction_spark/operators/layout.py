@@ -103,10 +103,16 @@ def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
 
 def cluster_blocks(lines: DataFrame, gap_tol: float = 10.0) -> DataFrame:
     """Assign ``block_id`` (0-based per doc) to lines: a new block starts
-    where the whitespace gap (this line's top minus the previous line's
-    bottom) exceeds ``gap_tol``."""
+    where the whitespace gap (this line's top minus the RUNNING MAX of
+    all previous lines' bottoms) exceeds ``gap_tol``.
+
+    Running max, not lag(y1): a tall line (dropped cap, inline image
+    glyph) followed by short lines must not split a block that still
+    geometrically overlaps the tall line — interval-merge semantics
+    (round-3 ADVICE)."""
     w = Window.partitionBy("doc_id").orderBy("y0", "x0", "line_id")
-    prev_bottom = F.lag("y1").over(w)
+    prev_bottom = F.max("y1").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
     new_block = F.when(prev_bottom.isNull(), F.lit(1)) \
         .when(F.col("y0") - prev_bottom > gap_tol, F.lit(1)) \
         .otherwise(F.lit(0))

@@ -18,6 +18,21 @@ parts can't later match the number patterns; phone before IPv4 so a
 dotted phone (3 groups) is never half-eaten by the IP rule (4 groups
 can't overlap 3-group matches, but the fixed order makes the contract
 explicit and engine-independent).
+
+Precision/recall limits (a consequence of the tri-engine parity
+constraint above — do NOT read n_email/n_phone/n_ipv4 as exact PII
+prevalence): the IPv4 rule redacts any dotted quad, including
+out-of-range octets (999.999.999.999) and software version strings
+(1.2.3.4) — over-redaction that is the safe direction for a training
+scrub; the phone rule covers only the bare NNN-NNN-NNNN shapes
+(space/dot/dash separators) and misses parenthesized or +1-prefixed
+forms like (713) 555-0102 — validating octet ranges or alternate phone
+layouts needs alternation/lookaround that Java regex, RE2 and python
+``re`` do not share bit-for-bit. Audits needing exact prevalence should
+treat these columns as a lower bound (phones) / upper bound (IPs).
+
+NULL text rows pass through as NULL with zero counts and
+``has_pii = false``.
 """
 
 from __future__ import annotations
@@ -50,8 +65,12 @@ def pii_count_columns(text: Column) -> list[Column]:
     """
     cols = []
     for name, pat, token in PII_RULES:
+        # greatest(.., 0): a NULL text propagates NULL through the regex
+        # chain and size(NULL) is -1 under Spark's default sizeOfNull —
+        # a NULL doc has zero detections, not negative ones
         cols.append(
-            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            F.greatest(F.size(F.regexp_extract_all(text, F.lit(pat), 0)),
+                       F.lit(0))
             .cast("long").alias(f"n_{name}"))
         text = F.regexp_replace(text, pat, token)
     return cols

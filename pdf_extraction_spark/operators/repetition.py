@@ -47,7 +47,10 @@ def line_stats_columns(text: Column) -> list[Column]:
     # textstats.quality_columns)
     dup = (n - F.size(F.array_distinct(lines))).cast("long")
     return [
-        n.cast("long").alias("n_lines"),
+        # greatest(.., 0): size(NULL) = -1 under default sizeOfNull; a
+        # NULL text has zero lines (the > 0 guard below already maps its
+        # dup ppm to 0)
+        F.greatest(n, F.lit(0)).cast("long").alias("n_lines"),
         F.when(n > 0, F.floor(dup * F.lit(1_000_000) / n))
         .otherwise(F.lit(0)).cast("long").alias("dup_line_ppm"),
     ]
@@ -67,7 +70,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # any scale, vs caching the full token arrays corpus-wide
     base = docs.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        # NULL text -> 0 tokens, not size(NULL) = -1
+        F.greatest(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         *line_stats_columns(text),
         toks.alias("_toks"))
 

@@ -122,7 +122,14 @@ def pack_shards(docs: DataFrame, token_budget: int,
     part = sample_hash_col(F.col(key_col), "pack") % n_partitions
     staged = docs.withColumn("doc_tokens", tok) \
         .withColumn("pack_partition", part)
-    w = Window.partitionBy("pack_partition").orderBy(key_col) \
+    # key_col SHOULD be unique, but the window order must be total even
+    # when it is not: duplicate keys under a partial sort make the
+    # running sum — and so every later doc's shard — nondeterministic
+    # across runs/engines, silently breaking the module's
+    # bit-reproducibility contract. doc_tokens + content hash break ties
+    # deterministically (mirrored in the SQL oracle).
+    w = Window.partitionBy("pack_partition") \
+        .orderBy(key_col, "doc_tokens", F.md5(F.col(text_col))) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum("doc_tokens").over(w)
     local = F.floor((cum - F.col("doc_tokens")) / F.lit(token_budget))

@@ -411,10 +411,25 @@ def _build_outputs(doc_ids: np.ndarray, bounds: np.ndarray,
         rng = range(lo, hi)
 
         # ---- W2/W3 segmentation + A4 raw sections (one fold) ----
+        # Accumulators are LISTS joined once at close, and the growing
+        # description's length is tracked as an int: string-append into
+        # a dict slot re-copies the whole prefix per line (no refcount-1
+        # in-place concat for dict items), turning a 100k-span giant doc
+        # into O(n^2) work — measured 14s for ONE 50k-span doc before,
+        # linear after. page_numbers relies on offsets being sorted per
+        # doc (they are — _sort_flat), so "new page" is a last-element
+        # compare, not a list scan.
         issues: list[dict[str, Any]] = []
-        raw_sections: dict[str, str] = {}
+        raw_sections: dict[str, list[str]] = {}
         cur: dict[str, Any] | None = None
+        cur_parts: list[str] = []
+        cur_len = 0
         counter = 0
+
+        def _close_issue(cur: dict[str, Any]) -> dict[str, Any]:
+            cur["description"] = "\n".join(cur_parts)
+            return cur
+
         for i in rng:
             if not is_block[i]:
                 continue
@@ -424,15 +439,15 @@ def _build_outputs(doc_ids: np.ndarray, bounds: np.ndarray,
             st = status[i]
 
             key = f"{sec} > {sub}" if sub else sec
-            raw_sections[key] = raw_sections.get(key, "") + content + "\n"
+            raw_sections.setdefault(key, []).append(content)
 
             start = (st == "D" or is_kw[i]
                      or (cur is not None and sub != cur["subsection"]
-                         and len(cur["description"]) > rules.SUBSECTION_CHANGE_MIN_LEN)
+                         and cur_len > rules.SUBSECTION_CHANGE_MIN_LEN)
                      or (cur is not None and sec != cur["section"]))
             if start:
                 if cur is not None:
-                    issues.append(cur)
+                    issues.append(_close_issue(cur))
                     counter += 1
                 priority = ("high" if is_high[i] else
                             "medium" if is_med[i] else
@@ -443,16 +458,20 @@ def _build_outputs(doc_ids: np.ndarray, bounds: np.ndarray,
                     "section": sec, "subsection": sub,
                     "status": st or "I", "priority": priority,
                     "title": rules.extract_title(content),
-                    "description": content,
+                    "description": None,
                     "page_numbers": [int(page[i])],
                     "estimated_cost": None,
                 }
+                cur_parts = [content]
+                cur_len = len(content)
             elif cur is not None:
-                cur["description"] += "\n" + content
-                if int(page[i]) not in cur["page_numbers"]:
-                    cur["page_numbers"].append(int(page[i]))
+                cur_parts.append(content)
+                cur_len += 1 + len(content)
+                pg = int(page[i])
+                if cur["page_numbers"][-1] != pg:
+                    cur["page_numbers"].append(pg)
         if cur is not None:
-            issues.append(cur)
+            issues.append(_close_issue(cur))
 
         # ---- S5/C6/W5 tables from contiguous table_row runs ----
         page_section: dict[int, str] = {}
@@ -512,7 +531,8 @@ def _build_outputs(doc_ids: np.ndarray, bounds: np.ndarray,
 
         all_issues.append(issues)
         all_tables.append(tables)
-        all_rawsec.append(list(raw_sections.items()))
+        all_rawsec.append([(k, "\n".join(v) + "\n")
+                           for k, v in raw_sections.items()])
         all_summary.append({
             "total_issues": len(issues),
             "deficient": sum(1 for x in issues if x["status"] == "D"),

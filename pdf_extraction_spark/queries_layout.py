@@ -106,11 +106,13 @@ lines AS (
     max(size) AS max_size, count(*) AS n_runs
   FROM lid GROUP BY doc_id, line_id),
 bc AS (
-  SELECT *, CASE WHEN lag(y1) OVER w2 IS NULL
-                   OR y0 - lag(y1) OVER w2 > 10.0
+  -- running max of previous bottoms (interval-merge), not lag(y1)
+  SELECT *, CASE WHEN max(y1) OVER w2 IS NULL
+                   OR y0 - max(y1) OVER w2 > 10.0
             THEN 1 ELSE 0 END AS nb
   FROM lines
-  WINDOW w2 AS (PARTITION BY doc_id ORDER BY y0, x0, line_id)),
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY y0, x0, line_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 bid AS (
   SELECT *, SUM(nb) OVER (PARTITION BY doc_id ORDER BY y0, x0, line_id
                           ROWS UNBOUNDED PRECEDING) - 1 AS block_id

@@ -90,11 +90,13 @@ WITH t AS (
   SELECT doc_id,
     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
       AS doc_tokens,
-    {_sql_hash("pack")} % {PACK_PARTS} AS pack_partition
+    {_sql_hash("pack")} % {PACK_PARTS} AS pack_partition,
+    md5(text) AS content_hash
   FROM documents),
 c AS (
   SELECT *, SUM(doc_tokens) OVER (
-      PARTITION BY pack_partition ORDER BY doc_id
+      PARTITION BY pack_partition
+      ORDER BY doc_id, doc_tokens, content_hash
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM t)
 SELECT doc_id, doc_tokens, pack_partition,
