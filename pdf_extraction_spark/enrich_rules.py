@@ -39,6 +39,17 @@ OPTIONAL_FIELDS: dict[str, tuple[type, Any]] = {
 }
 
 
+# the per-field fill plan, resolved once: (field, expected, default,
+# mutable) — mutable defaults get a fresh copy per issue, immutable ones
+# are shared (identical semantics to type(default)(default) per call,
+# without re-dispatching isinstance on every issue; validate_schema runs
+# per issue in the enrichment hot loop)
+_REQ_ITEMS = tuple(REQUIRED_FIELDS.items())
+_OPT_ITEMS = tuple(
+    (f, exp, default, isinstance(default, (list, dict)))
+    for f, (exp, default) in OPTIONAL_FIELDS.items())
+
+
 def validate_schema(issue: dict) -> tuple[dict, bool]:
     """F2 (schema_validator.py:66-174): required-field presence, type
     coercion, optional-field defaulting. Returns (cleaned, is_valid);
@@ -46,24 +57,25 @@ def validate_schema(issue: dict) -> tuple[dict, bool]:
     (schema_validator.py:200-202)."""
     errors = 0
     cleaned = dict(issue)
-    for field, expected in REQUIRED_FIELDS.items():
-        if field not in issue:
+    for field, expected in _REQ_ITEMS:
+        v = issue.get(field)
+        if v is None:
             errors += 1
-        elif issue[field] is None or (
-                isinstance(issue[field], str) and not issue[field].strip()):
-            errors += 1
-        elif not isinstance(issue[field], expected):
+        elif isinstance(v, expected):
+            if expected is str and not v.strip():
+                errors += 1
+        else:
             try:
-                cleaned[field] = expected(issue[field])
+                cleaned[field] = expected(v)
             except Exception:  # noqa: BLE001
                 errors += 1
-    for field, (expected, default) in OPTIONAL_FIELDS.items():
-        if field not in cleaned or cleaned[field] is None:
-            cleaned[field] = default if not isinstance(default, (list, dict)) \
-                else type(default)(default)
-        elif not isinstance(cleaned[field], expected):
+    for field, expected, default, mutable in _OPT_ITEMS:
+        v = cleaned.get(field)
+        if v is None:
+            cleaned[field] = type(default)(default) if mutable else default
+        elif not isinstance(v, expected):
             try:
-                cleaned[field] = expected(cleaned[field]) if cleaned[field] else default
+                cleaned[field] = expected(v) if v else default
             except Exception:  # noqa: BLE001
                 cleaned[field] = default
     is_valid = errors == 0
@@ -150,30 +162,47 @@ def _clean_text_impl(text: str, preserve_case: bool) -> str:
     return text.strip()
 
 
+_DESC_CACHE: dict[str, str] = {}
+
+
 def clean_description(description: str) -> str:
-    """T2+T3 (text_cleaner.py:236-273)."""
+    """T2+T3 (text_cleaner.py:236-273). Memoized (pure; boilerplate
+    descriptions recur heavily across issues and documents)."""
     if not description:
         return ""
+    cached = _DESC_CACHE.get(description)
+    if cached is not None:
+        return cached
     text = clean_text(description)
-    if not text:
-        return text
-    if text[0].islower():
-        text = text[0].upper() + text[1:]
-    if text[-1] not in ".!?":
-        text += "."
-    return re.sub(r"([.!?])\s+([a-z])",
-                  lambda m: m.group(1) + " " + m.group(2).upper(), text)
+    if text:
+        if text[0].islower():
+            text = text[0].upper() + text[1:]
+        if text[-1] not in ".!?":
+            text += "."
+        text = re.sub(r"([.!?])\s+([a-z])",
+                      lambda m: m.group(1) + " " + m.group(2).upper(), text)
+    if len(_DESC_CACHE) < 200_000:
+        _DESC_CACHE[description] = text
+    return text
+
+
+_ITEM_CACHE: dict[str, str] = {}
 
 
 def clean_item_name(item: str) -> str:
-    """T4 (text_cleaner.py:211-234)."""
+    """T4 (text_cleaner.py:211-234). Memoized (pure)."""
     if not item:
         return ""
-    item = clean_text(item, preserve_case=True).title()
+    cached = _ITEM_CACHE.get(item)
+    if cached is not None:
+        return cached
+    out = clean_text(item, preserve_case=True).title()
     for term in rules.TITLE_CASE_ITEMS:
-        item = re.sub(r"\b" + term + r"\b", term.upper(), item,
-                      flags=re.IGNORECASE)
-    return item
+        out = re.sub(r"\b" + term + r"\b", term.upper(), out,
+                     flags=re.IGNORECASE)
+    if len(_ITEM_CACHE) < 200_000:
+        _ITEM_CACHE[item] = out
+    return out
 
 
 _DUP_NORM_CACHE: dict[str, tuple[str, Counter]] = {}
