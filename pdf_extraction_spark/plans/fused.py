@@ -657,24 +657,27 @@ def assemble_fused(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     return docs.mapInArrow(run, schema=OUTPUT_SCHEMA)
 
 
-def assemble_auto(docs: DataFrame, giant_spans: int | None = 50_000,
-                  chunk_spans: int = 4096,
+def assemble_auto(docs: DataFrame, giant_spans: int | None = 500_000,
+                  chunk_spans: int = 16_384,
                   partitions: int | None = None) -> DataFrame:
     """Skew-adaptive extraction: ONE entry point for mixed corpora.
 
     Docs with ``size(spans) <= giant_spans`` run the zero-shuffle fused
     plan; the giant tail is routed through the chunked+salted plan
-    (plans/salted.py) IN THE SAME JOB and unioned back — so an
-    adversarial 500k-span doc parallelizes across ~n/chunk_spans tasks
-    instead of pinning one task for minutes while its stage idles
-    (round-3 verdict item 3; both plans are output-identical, golden
-    seam-carry tests).
+    (plans/salted.py) IN THE SAME JOB and unioned back, so an extreme
+    doc parallelizes its classification stage across ~n/chunk_spans
+    tasks instead of pinning one task while its stage idles (round-3
+    verdict item 3; both plans are output-identical, golden seam-carry
+    tests). The salt + merge exchanges are paid ONLY by the giant tail
+    (BENCH/BASELINE.md §6: corpus-wide salting loses on uniform docs).
 
-    Threshold: fused single-task cost is ~25-40k spans/sec/core
-    (BENCH/BASELINE.md §6), so 50k spans ≈ 1-2s — about the p99 task
-    wall of a healthy stage; anything bigger is a straggler. The salt
-    + merge exchanges are paid ONLY by the giant tail (the corpus-wide
-    salting of §6 is why whole-corpus salting loses on uniform docs).
+    Threshold (measured, local[16], BENCH/BASELINE.md §22): after the
+    round-4 de-quadratic fold fix the fused kernel runs ~100k spans/s
+    per core, so 400k-span docs are ~4s single-task — giants-only
+    fused 9.7s vs salted 9.6s (break-even); at 1.5M spans salted wins
+    27.9s vs 34.7s, and the gap widens on a wide cluster where one
+    pinned task idles a whole stage. 500k spans ≈ a 40 MB document —
+    tasks above ~5s route to the salted path.
 
     ``giant_spans=None`` — or a streaming input, where the salted
     branch's groupBy is unavailable and micro-batches already bound

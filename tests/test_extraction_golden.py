@@ -294,3 +294,29 @@ def test_font_size_and_italic_branches(spark):
     assert got[4] == (False, True)    # oblique font
     assert got[5] == (True, False)    # size > 12 -> bold
     assert got[6] == (False, False)   # null attrs -> fontless default
+
+
+def test_auto_plan_matches_fused_on_mixed_corpus(spark):
+    """assemble_auto is the ONE skew-adaptive entry point: normal docs
+    take the zero-shuffle fused branch, docs over the giant threshold
+    take the chunked+salted branch in the same job, and the unioned
+    output is row-identical to running everything fused."""
+    from pdf_extraction_spark.plans.fused import assemble_auto
+
+    docs = corpus.generate_docs(spark, 9, giant_every=3, partitions=2).persist()
+    # low threshold so the synthetic giants really route to the salted
+    # branch (production default is 500k spans)
+    a = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_auto(docs, giant_spans=1000,
+                                chunk_spans=256).collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True)
+         for r in assemble_fused(docs).collect()}
+    assert set(a) == set(b) and len(a) == 9
+    for doc_id in a:
+        for key in ("spans", "issues", "tables", "raw_sections",
+                    "metadata", "summary"):
+            assert a[doc_id][key] == b[doc_id][key], f"{doc_id}.{key}"
+    # threshold None or a streaming-free corpus under the bar: pure fused
+    small = assemble_auto(docs.limit(2), giant_spans=None)
+    assert small.count() == 2
+    docs.unpersist()

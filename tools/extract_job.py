@@ -27,7 +27,11 @@ def main() -> None:
                          "identifier (catalog.db.table) on a cluster "
                          "with the Iceberg runtime configured")
     ap.add_argument("--warmup", type=int, default=2048)
-    ap.add_argument("--plan", default="fused", choices=["fused", "salted"])
+    ap.add_argument("--plan", default="auto",
+                    choices=["auto", "fused", "salted"],
+                    help="auto = fused with the giant-doc tail routed "
+                         "through the salted plan in the same job "
+                         "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline"],
                     help="extract = fused/salted extraction only; "
@@ -40,10 +44,13 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
 
     from pdf_extraction_spark.plans.enrichment import enrich_extracted
-    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.plans.fused import assemble_auto, assemble_fused
     from pdf_extraction_spark.plans.salted import assemble_salted
 
-    if args.plan == "fused":
+    if args.plan == "auto":
+        def extract(d):
+            return assemble_auto(d)
+    elif args.plan == "fused":
         def extract(d):
             return assemble_fused(d)
     else:
