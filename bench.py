@@ -109,6 +109,35 @@ def main() -> None:
     timed("k_minhash_incremental",
           lambda: noop(dd.minhash_dedup_incremental(inc_batch, inc_sigs)))
     inc_sigs.unpersist()
+
+    # growth-ratio evidence (VERDICT r3 item 6): the SAME batch ingested
+    # against a corpus:batch = 100:1 store and a 4x larger one — per-
+    # ingest wall must track the batch, not the corpus (the store is
+    # scanned map-side twice and shuffled never; plan-asserted in
+    # tests/test_plan_shapes.py::test_incremental_dedup_never_shuffles_corpus)
+    def synth_sigs(n: int, tag: str):
+        toks = [F.md5(F.concat(F.lit(f"{tag}:{k}:"),
+                               F.col("id").cast("string")))
+                for k in range(24)]
+        sdocs = spark.range(n).select(
+            F.concat(F.lit(tag), F.col("id").cast("string"))
+            .alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"))
+        s = dd.minhash_signatures_arrow(sdocs).persist()
+        s.count()
+        return s
+
+    growth_batch = dtab.limit(200).persist()
+    growth_batch.count()
+    sigs_c = synth_sigs(20_000, "gc_")
+    timed("k_incremental_corpus100x",
+          lambda: noop(dd.minhash_dedup_incremental(growth_batch, sigs_c)))
+    sigs_c.unpersist()
+    sigs_4c = synth_sigs(80_000, "g4_")
+    timed("k_incremental_corpus400x",
+          lambda: noop(dd.minhash_dedup_incremental(growth_batch, sigs_4c)))
+    sigs_4c.unpersist()
+    growth_batch.unpersist()
     timed("k_jaccard_pairs", lambda: noop(dd.jaccard_pairs(dtab)))
     sigs = dd.simhash(dtab)
     timed("k_simhash_pairs", lambda: noop(dd.simhash_pairs(sigs,
@@ -157,6 +186,13 @@ def main() -> None:
         "layout_runs": n_runs,
         "extract_docs_per_sec": round(n_docs / timings["extract_corpus"], 2),
         "enrich_docs_per_sec": round(n_docs / timings["enrich_corpus"], 2),
+        # 4x the stored corpus, same batch: ratio << 4.0 means the only
+        # corpus-sized term left is the shuffle-free map-side store scan
+        # (embarrassingly parallel at cluster width); all shuffle and
+        # verification volume scales with the batch
+        "incremental_corpus_growth_wall_ratio": round(
+            timings["k_incremental_corpus400x"]
+            / timings["k_incremental_corpus100x"], 2),
     }))
 
 

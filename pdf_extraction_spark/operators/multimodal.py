@@ -68,22 +68,29 @@ def _fake_decode(ref: str, content: bytes) -> np.ndarray:
     return (hist / max(len(arr), 1)).astype(np.float32)
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(media: DataFrame, fake: bool = False,
+                 decoder=None) -> DataFrame:
     """Decode + feature-extract: binary content -> fixed-dim float feature.
 
     Real decoding (Pillow / torchaudio / ffmpeg) is not available in this
-    environment — pass fake=True to run the deterministic stand-in. The
-    batching, schema, and partition behavior are identical either way.
+    environment — pass fake=True to run the deterministic stand-in, or pass
+    ``decoder`` (a ``(media_ref, content) -> np.ndarray[FEATURE_DIM]``
+    callable) to plug a real codec in. The batching, schema, and partition
+    behavior are identical on every path — the output schema is fixed by
+    FEATURES_SCHEMA regardless of which decoder runs, so swapping the codec
+    in on a cluster is not a schema migration (contract-tested in
+    tests/test_training_data_ops.py::test_media_decoder_schema_contract).
     """
+    fn = decoder if decoder is not None else (_fake_decode if fake else None)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if fn is None:
                 raise NotImplementedError(
                     "real media decode requires an image/audio codec "
                     "library; re-run with fake=True for the deterministic "
-                    "stand-in decoder")
-            feats = [_fake_decode(r, c).tolist()
+                    "stand-in decoder, or pass decoder=<callable>")
+            feats = [fn(r, c).tolist()
                      for r, c in zip(pdf["media_ref"], pdf["content"])]
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],

@@ -159,3 +159,77 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path, emb):
             for r in ivf_topk(emb, q, dim=64, k=10, n_list=8,
                               nprobe=2).collect()]
     assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
+
+
+def _walk_jvm_plan(node):
+    """Yield every node of a JVM SparkPlan tree (py4j)."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_jvm_plan(children.apply(i))
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark, tmp_path):
+    """minhash_dedup_incremental's 100 TB contract: the persisted corpus
+    signature table is SCANNED (map-side, twice) but never enters a
+    shuffle or broadcast Exchange — every Exchange in the plan carries
+    only batch-derived rows, so per-ingest cost scales with the batch,
+    not the corpus (VERDICT r3 item 6)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    store = str(tmp_path / "corpus_sig_store")
+    dedup.minhash_signatures_arrow(
+        docs.where(F.col("doc_id").cast("long") % 2 == 0)) \
+        .write.parquet(store)
+    corpus_sigs = spark.read.parquet(store)
+    batch = docs.where(F.col("doc_id").cast("long") % 2 == 1).limit(50)
+
+    # Plan the verdict with AQE off so Exchange nodes sit in the walkable
+    # tree (AQE wraps them behind AdaptiveSparkPlanExec stages).
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        verdict = dedup.minhash_dedup_incremental(batch, corpus_sigs)
+        jplan = verdict._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    def is_corpus_scan(n):
+        if "FileSourceScan" not in n.getClass().getSimpleName():
+            return False
+        paths = n.relation().location().rootPaths()
+        return any("corpus_sig_store" in str(paths.apply(i))
+                   for i in range(paths.size()))
+
+    # RAW corpus rows must never CROSS an exchange (shuffled OR
+    # broadcast): between any Exchange and the corpus scan there must be
+    # a BroadcastHashJoin consuming the corpus on its STREAMED side — a
+    # map-side probe whose output is batch-bounded. Corpus-*derived*
+    # rows above such a boundary (the candidate set) may shuffle or
+    # broadcast freely; they scale with the batch, not the store.
+    found = {"scans": 0}
+
+    def walk(node, exchange_above_unbounded):
+        name = node.getClass().getSimpleName()
+        if is_corpus_scan(node):
+            found["scans"] += 1
+            assert not exchange_above_unbounded, (
+                "corpus rows reach an Exchange with no broadcast-join "
+                "boundary in between — the store itself is being "
+                "shuffled or broadcast")
+            return
+        flag = exchange_above_unbounded or "Exchange" in name
+        children = node.children()
+        if name == "BroadcastHashJoinExec":
+            build_left = "BuildLeft" in node.buildSide().toString()
+            streamed = children.apply(1 if build_left else 0)
+            build = children.apply(0 if build_left else 1)
+            walk(streamed, False)  # corpus probed map-side: bounded
+            walk(build, flag)
+            return
+        for i in range(children.size()):
+            walk(children.apply(i), flag)
+
+    walk(jplan, False)
+    # sanity: the corpus IS scanned (twice: band probe + sig attach)
+    assert found["scans"] == 2, found["scans"]

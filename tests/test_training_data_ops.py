@@ -1,6 +1,8 @@
 """Training-data operators: dedup tiers, similarity search, multimodal
 plumbing. Deterministic micro-fixtures + behavioural invariants."""
 
+import hashlib
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -180,6 +182,45 @@ def test_multimodal_plumbing(spark):
     # determinism: same refs -> same features
     feats2 = multimodal.decode_media(media, fake=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_media_decoder_schema_contract(spark):
+    """Swapping the stub decoder for a real codec must NOT be a schema
+    migration: the output schema is pinned by FEATURES_SCHEMA / FRAMES_SCHEMA
+    and must be byte-identical between the fake path and any plugged-in
+    decoder obeying the (media_ref, content) -> float[FEATURE_DIM] contract
+    (VERDICT r3 item 7)."""
+    import struct as _struct
+    from pyspark.sql.types import _parse_datatype_string
+
+    refs = spark.createDataFrame([("img://c/0",), ("img://c/1",)],
+                                 "media_ref string")
+    media = multimodal.synthesize_media(spark, refs)
+
+    fake_df = multimodal.decode_media(media, fake=True)
+    # The documented contract string IS the schema the job produces.
+    assert fake_df.schema == _parse_datatype_string(multimodal.FEATURES_SCHEMA)
+
+    # A stand-in "real" decoder: different values, same contract.
+    def real_decoder(ref: str, content: bytes):
+        seed = _struct.unpack("<Q", hashlib.md5(
+            (ref or "").encode()).digest()[:8])[0]
+        rng = np.random.default_rng(seed)
+        return rng.random(multimodal.FEATURE_DIM).astype(np.float32)
+
+    real_df = multimodal.decode_media(media, decoder=real_decoder)
+    assert real_df.schema == fake_df.schema
+    real_rows = {r["media_ref"]: r for r in real_df.collect()}
+    fake_rows = {r["media_ref"]: r for r in fake_df.collect()}
+    assert set(real_rows) == set(fake_rows)
+    for ref in real_rows:
+        assert len(real_rows[ref]["feature"]) == multimodal.FEATURE_DIM
+        # values may differ (different codec); schema + shape may not
+        assert real_rows[ref]["mime"] == fake_rows[ref]["mime"]
+        assert real_rows[ref]["width"] == fake_rows[ref]["width"]
+
+    frames_df = multimodal.sample_frames(media, every_ms=80, fake=True)
+    assert frames_df.schema == _parse_datatype_string(multimodal.FRAMES_SCHEMA)
 
 def test_short_and_empty_docs_survive_ansi(spark):
     """Docs with fewer tokens than the shingle width used to throw

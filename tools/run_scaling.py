@@ -80,19 +80,38 @@ def main() -> None:
                     choices=["extract", "pipeline"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
+    ap.add_argument("--runs", type=int, default=3,
+                    help="submits per cluster size; best run is scored")
     args = ap.parse_args()
 
     generate_corpus(args.data, args.docs)
     zpath = make_zip("/tmp")
 
-    small = run_submit(args.n, zpath, args.data, args.plan, args.stage)
-    large = run_submit(args.n * 4, zpath, args.data, args.plan, args.stage)
+    # Best-of-N per cluster size, with per-run walls in "spread" and the
+    # host loadavg captured around the campaign — same self-diagnosing
+    # annotations as bench.py, so a steal-hit scaling run is visible in
+    # the artifact instead of reading as a regression.
+    load_before = [round(x, 1) for x in os.getloadavg()]
+    spread: dict[str, list[float]] = {}
+
+    def best_of(cores: int, tag: str) -> dict:
+        runs = [run_submit(cores, zpath, args.data, args.plan, args.stage)
+                for _ in range(args.runs)]
+        spread[tag] = [r["wall_sec"] for r in runs]
+        return max(runs, key=lambda r: r["docs_per_sec"])
+
+    small = best_of(args.n, f"N={args.n}")
+    large = best_of(args.n * 4, f"4N={args.n * 4}")
     eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
 
     result = {"N": args.n, "4N": args.n * 4, "plan": args.plan,
               "stage": args.stage,
               "run_N": small, "run_4N": large,
-              "scaling_efficiency": round(eff, 3)}
+              "scaling_efficiency": round(eff, 3),
+              "runs_per_size": args.runs,
+              "spread": spread,
+              "loadavg": [load_before,
+                          [round(x, 1) for x in os.getloadavg()]]}
     print(json.dumps(result))
 
     os.makedirs(args.out, exist_ok=True)
