@@ -170,7 +170,14 @@ def enrich_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def enrich_extracted(extracted: DataFrame) -> DataFrame:
-    """extracted (plans/fused.py output) -> one enriched row per doc."""
+    """extracted (plans/fused.py output) -> one enriched row per doc.
+
+    Zero-shuffle map pass. Giant docs need no dispatch branch here
+    (unlike plans/fused.assemble_auto): the enrichment kernel is
+    output-sensitive linear after the relationship-index fix, so the
+    wall is work-bound, not straggler-bound — a measured giant-isolation
+    union variant came out 50% SLOWER (its second stage serializes giant
+    tasks behind the normal wave; BENCH/BASELINE.md §23)."""
     docs = extracted.select("doc_id", "issues")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -136,9 +136,18 @@ def _ctx_entry(text: str, issue_txt: str) -> tuple[list, set, bool, bool]:
 
 class _Ctx:
     """Precomputed per-issue pattern matches: turns the O(n² · patterns)
-    chain scan into O(n²) set intersections with identical output."""
+    chain scan into output-sensitive index probes with identical output.
+
+    ``effect_index`` inverts effect_sets (effect -> ascending issue
+    indices), so a cause pattern touches only the issues that match one
+    of its effects instead of scanning all n. ``water_idx`` /
+    ``structural_idx`` / ``ws_idx`` pre-filter the location tier by its
+    plausibility gate (an implausible pair never appends, so skipping it
+    is exact). Per-issue frozensets are built once per document, not per
+    (cause, other) pair."""
 
     def __init__(self, issues: list[dict]):
+        self.issues = issues
         self.ids = [issue_id(i) for i in issues]
         entries = [_ctx_entry(_searchable_text(i),
                               str(i.get("issue", "")).lower())
@@ -148,6 +157,23 @@ class _Ctx:
         self.locs = [i.get("location", "").lower() for i in issues]
         self.water = [e[2] for e in entries]
         self.structural = [e[3] for e in entries]
+        self.effect_index: dict[str, list[int]] = {}
+        for oi, effs in enumerate(self.effect_sets):
+            for e in effs:
+                self.effect_index.setdefault(e, []).append(oi)
+        self.water_idx = [oi for oi, w in enumerate(self.water) if w]
+        self.structural_idx = [oi for oi, s in enumerate(self.structural)
+                               if s]
+        self.ws_idx = [oi for oi in range(len(issues))
+                       if self.water[oi] or self.structural[oi]]
+        self._fz: list[frozenset | None] = [None] * len(issues)
+
+    def frozen(self, i: int) -> frozenset:
+        fz = self._fz[i]
+        if fz is None:
+            fz = frozenset(self.issues[i].items())
+            self._fz[i] = fz
+        return fz
 
 
 def _caused_indices(ci: int, issues: list[dict], ctx: _Ctx) -> list[int]:
@@ -158,24 +184,33 @@ def _caused_indices(ci: int, issues: list[dict], ctx: _Ctx) -> list[int]:
     caused: list[int] = []
     cause_id = ctx.ids[ci]
     for pattern in ctx.cause_masks[ci]:
-        effects = set(CAUSAL_RELATIONSHIPS[pattern])
-        for oi in range(len(issues)):
-            if ctx.ids[oi] == cause_id:
-                continue
-            if ctx.effect_sets[oi] & effects:
+        cand: set[int] = set()
+        for e in CAUSAL_RELATIONSHIPS[pattern]:
+            cand.update(ctx.effect_index.get(e, ()))
+        for oi in sorted(cand):
+            if ctx.ids[oi] != cause_id:
                 caused.append(oi)
     cause_loc = ctx.locs[ci]
-    if cause_loc:
+    if cause_loc and (ctx.water[ci] or ctx.structural[ci]):
         # the reference dedups with dict EQUALITY (`other not in caused`),
         # so an equal-but-distinct issue dict also blocks the append
-        caused_frozen = {frozenset(issues[i].items()) for i in caused}
-        for oi in range(len(issues)):
+        caused_frozen = {ctx.frozen(i) for i in caused}
+        # plausibility requires the pair to share water or structural
+        # context; scanning only issues with the cause's context(s) is
+        # exact (an implausible other never appends or mutates state)
+        if ctx.water[ci] and ctx.structural[ci]:
+            scan = ctx.ws_idx
+        elif ctx.water[ci]:
+            scan = ctx.water_idx
+        else:
+            scan = ctx.structural_idx
+        for oi in scan:
             if ctx.ids[oi] == cause_id:
                 continue
             other_loc = ctx.locs[oi]
             if other_loc and cause_loc in other_loc \
                     or other_loc in cause_loc:
-                fz = frozenset(issues[oi].items())
+                fz = ctx.frozen(oi)
                 if fz not in caused_frozen:
                     plausible = ((ctx.water[ci] and ctx.water[oi])
                                  or (ctx.structural[ci]
