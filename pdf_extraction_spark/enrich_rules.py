@@ -96,6 +96,12 @@ _DUP_PHRASE_RES = [
 ]  # text_cleaner.py:184-186
 
 
+# Memo admission gate: entry-count caps alone let a stream of unique
+# multi-KB giant-doc strings permanently pin executor memory with ~zero
+# hit rate (and then block the short boilerplate strings the caches
+# exist for). Long strings take the uncached path.
+_MEMO_MAX_LEN = 4096
+
 _CLEAN_CACHE: dict[tuple[str, bool], str] = {}
 
 
@@ -110,7 +116,7 @@ def clean_text(text: str, preserve_case: bool = False) -> str:
     if cached is not None:
         return cached
     result = _clean_text_impl(text, preserve_case)
-    if len(_CLEAN_CACHE) < 200_000:
+    if len(_CLEAN_CACHE) < 200_000 and len(text) <= _MEMO_MAX_LEN:
         _CLEAN_CACHE[key] = result
     return result
 
@@ -181,7 +187,7 @@ def clean_description(description: str) -> str:
             text += "."
         text = re.sub(r"([.!?])\s+([a-z])",
                       lambda m: m.group(1) + " " + m.group(2).upper(), text)
-    if len(_DESC_CACHE) < 200_000:
+    if len(_DESC_CACHE) < 200_000 and len(description) <= _MEMO_MAX_LEN:
         _DESC_CACHE[description] = text
     return text
 
@@ -200,7 +206,7 @@ def clean_item_name(item: str) -> str:
     for term in rules.TITLE_CASE_ITEMS:
         out = re.sub(r"\b" + term + r"\b", term.upper(), out,
                      flags=re.IGNORECASE)
-    if len(_ITEM_CACHE) < 200_000:
+    if len(_ITEM_CACHE) < 200_000 and len(item) <= _MEMO_MAX_LEN:
         _ITEM_CACHE[item] = out
     return out
 
@@ -237,7 +243,8 @@ class DuplicateTracker:
         if cached is None:
             normalized = clean_text(text.lower())
             cached = (normalized, Counter(normalized))
-            if len(_DUP_NORM_CACHE) < _DUP_CACHE_MAX:
+            if len(_DUP_NORM_CACHE) < _DUP_CACHE_MAX \
+                    and len(text) <= _MEMO_MAX_LEN:
                 _DUP_NORM_CACHE[text] = cached
         normalized, cn = cached
         if normalized in self.seen_set:
@@ -270,10 +277,13 @@ class DuplicateTracker:
                     if r is None:
                         sm.set_seq1(normalized)
                         r = sm.ratio()
-                        if len(_PAIR_RATIO_CACHE) < _DUP_CACHE_MAX:
+                        if len(_PAIR_RATIO_CACHE) < _DUP_CACHE_MAX \
+                                and len(normalized) + len(seen) \
+                                <= 2 * _MEMO_MAX_LEN:
                             _PAIR_RATIO_CACHE[pair] = r
                     verdict = r >= threshold
-            if memo_ok and len(_PAIR_VERDICT_CACHE) < _DUP_CACHE_MAX:
+            if memo_ok and len(_PAIR_VERDICT_CACHE) < _DUP_CACHE_MAX \
+                    and len(normalized) + len(seen) <= 2 * _MEMO_MAX_LEN:
                 _PAIR_VERDICT_CACHE[pair] = verdict
             if verdict:
                 return True
@@ -284,7 +294,8 @@ class DuplicateTracker:
             # are single-threaded, and set_seq1 does not touch b2j)
             sm = SequenceMatcher()
             sm.set_seq2(normalized)
-            if len(_MATCHER_CACHE) < _DUP_CACHE_MAX:
+            if len(_MATCHER_CACHE) < _DUP_CACHE_MAX \
+                    and len(normalized) <= _MEMO_MAX_LEN:
                 _MATCHER_CACHE[normalized] = sm
         self.seen.append((normalized, ln, cn, sm))
         self.seen_set.add(normalized)

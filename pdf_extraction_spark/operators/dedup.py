@@ -376,9 +376,17 @@ def minhash_dedup_incremental(new_docs: DataFrame, corpus_sigs: DataFrame,
     corpus+batch members — web boilerplate with millions of stored
     near-copies — is pruned to two hub rows (its minimum corpus id and
     minimum new id) before the probe join, so a batch doc probing it
-    emits O(1) candidates instead of O(bucket). The traded-away pairs
-    are non-hub partners inside one degenerate bucket; the keeper rule
-    only consumes the MINIMUM verified partner, which the hubs are.
+    emits O(1) candidates instead of O(bucket). This is an APPROXIMATION,
+    not an exact rewrite: the hubs are the bucket's minimum ids, not its
+    minimum *verified* partners, so a batch doc whose only true partner
+    is a pruned non-hub member of a degenerate bucket — and which shares
+    no other band with it — is missed (recall loss confined to hot
+    buckets; precision is unaffected since every emitted pair is still
+    signature-verified). The trade is deliberate: an unguarded
+    10^6-member boilerplate bucket makes the probe join quadratic, and
+    the members of such a bucket are near-copies of the hub in the
+    overwhelming case. Pass ``max_bucket=None`` for exact candidates on
+    corpora known not to have degenerate buckets.
     Costs one extra map-side corpus scan (bucket counts, restricted to
     buckets the batch actually probes, aggregated map-side before a
     batch-bounded shuffle) — the corpus still shuffles never.

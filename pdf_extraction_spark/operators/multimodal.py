@@ -90,8 +90,18 @@ def decode_media(media: DataFrame, fake: bool = False,
                     "real media decode requires an image/audio codec "
                     "library; re-run with fake=True for the deterministic "
                     "stand-in decoder, or pass decoder=<callable>")
-            feats = [fn(r, c).tolist()
-                     for r, c in zip(pdf["media_ref"], pdf["content"])]
+            feats = []
+            for r, c in zip(pdf["media_ref"], pdf["content"]):
+                vec = np.asarray(fn(r, c))
+                # fail fast at the contract boundary: a decoder that
+                # returns the wrong shape would otherwise fill the
+                # list<float> column with silently ragged vectors
+                if vec.shape != (FEATURE_DIM,):
+                    raise ValueError(
+                        f"decoder returned shape {vec.shape} for "
+                        f"{r!r}; the FEATURES_SCHEMA contract requires "
+                        f"({FEATURE_DIM},)")
+                feats.append(vec.astype(np.float32).tolist())
             yield pd.DataFrame({
                 "media_ref": pdf["media_ref"],
                 "mime": [m["mime"] for m in pdf["meta"]],

@@ -118,7 +118,12 @@ def pack_shards(docs: DataFrame, token_budget: int,
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
-    tok = F.size(tokens_col(F.col(text_col))).cast("long")
+    # coalesce: a NULL text would make doc_tokens/md5 NULL, and the two
+    # engines disagree on NULL sort position (Spark first, DuckDB last)
+    # — exactly the cross-engine nondeterminism the tie-break exists to
+    # prevent. '' keeps identical semantics in both (1 token, md5('')).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    tok = F.size(tokens_col(txt)).cast("long")
     part = sample_hash_col(F.col(key_col), "pack") % n_partitions
     staged = docs.withColumn("doc_tokens", tok) \
         .withColumn("pack_partition", part)
@@ -129,7 +134,7 @@ def pack_shards(docs: DataFrame, token_budget: int,
     # bit-reproducibility contract. doc_tokens + content hash break ties
     # deterministically (mirrored in the SQL oracle).
     w = Window.partitionBy("pack_partition") \
-        .orderBy(key_col, "doc_tokens", F.md5(F.col(text_col))) \
+        .orderBy(key_col, "doc_tokens", F.md5(txt)) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum("doc_tokens").over(w)
     local = F.floor((cum - F.col("doc_tokens")) / F.lit(token_budget))

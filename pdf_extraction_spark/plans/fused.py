@@ -688,7 +688,10 @@ def assemble_auto(docs: DataFrame, giant_spans: int | None = 500_000,
     from pyspark.sql import functions as F
 
     from .salted import assemble_salted
-    n = F.size("spans")
+    # coalesce: size(NULL) is NULL under ANSI mode, which would fail
+    # BOTH branch predicates and silently drop the doc — assemble_fused
+    # emits a row for a NULL spans column, so the dispatch must too
+    n = F.coalesce(F.size("spans"), F.lit(0))
     normal = assemble_fused(docs.where(n <= giant_spans), partitions)
     giants = assemble_salted(docs.where(n > giant_spans), chunk_spans)
     return normal.unionByName(giants)

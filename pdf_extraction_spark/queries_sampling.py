@@ -88,10 +88,10 @@ def _sql_pack_shards() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-      AS doc_tokens,
+    CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+'))
+      AS BIGINT) AS doc_tokens,
     {_sql_hash("pack")} % {PACK_PARTS} AS pack_partition,
-    md5(text) AS content_hash
+    md5(COALESCE(text, '')) AS content_hash
   FROM documents),
 c AS (
   SELECT *, SUM(doc_tokens) OVER (

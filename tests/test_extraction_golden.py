@@ -320,3 +320,21 @@ def test_auto_plan_matches_fused_on_mixed_corpus(spark):
     small = assemble_auto(docs.limit(2), giant_spans=None)
     assert small.count() == 2
     docs.unpersist()
+
+
+def test_auto_plan_keeps_null_spans_docs(spark):
+    """A doc with a NULL spans column must not vanish from the auto
+    dispatch: size(NULL) is NULL under ANSI mode, which fails both
+    branch predicates unless coalesced — assemble_fused emits a row for
+    it, so assemble_auto must too."""
+    from pdf_extraction_spark.plans.fused import assemble_auto
+
+    base = corpus.generate_docs(spark, 3, partitions=1)
+    schema = base.schema
+    nulled = spark.createDataFrame(
+        [("doc_null", None)], schema).unionByName(base)
+    got = assemble_auto(nulled, giant_spans=1000).collect()
+    assert len(got) == 4
+    fused_ids = {r["doc_id"] for r in assemble_fused(nulled).collect()}
+    assert {r["doc_id"] for r in got} == fused_ids
+    assert "doc_null" in fused_ids

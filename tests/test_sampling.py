@@ -96,6 +96,31 @@ def test_pack_shards_matches_sequential_twin(docs):
         assert shard == p * 1_000_000 + start // 1500, (p, doc_id)
 
 
+def test_pack_shards_null_text_deterministic(spark):
+    """NULL text must not enter the window order as NULL (Spark sorts
+    NULLs first, DuckDB last — a cross-engine divergence on duplicate
+    keys): it is coalesced to '' (1 token, md5('')) in both the
+    operator and the SQL oracle."""
+    rows = [("d1", "five tokens of real text"), ("d1", None),
+            ("d2", None), ("d3", "x " * 30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_shards(df, 10, n_partitions=2) \
+        .select("doc_id", "doc_tokens", "shard_id").collect()
+    assert len(out) == 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.doc_tokens, r.shard_id))
+    # NULL text counts as 1 token ('' -> ['']), never NULL
+    assert sorted(by_doc["d1"])[0][0] == 1
+    assert by_doc["d2"][0][0] == 1
+    assert all(t is not None and s is not None
+               for docs_ in by_doc.values() for t, s in docs_)
+    # deterministic across runs (total order despite the duplicate key)
+    again = pack_shards(df, 10, n_partitions=2) \
+        .select("doc_id", "doc_tokens", "shard_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_pack_shards_overfill_bound(docs):
     """Every shard holds < budget + max_doc_tokens tokens (first-fit
     over-fills by at most the straddling document)."""
