@@ -37,6 +37,10 @@ def main() -> None:
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain)")
+    ap.add_argument("--walls", type=int, default=6,
+                    help="timed steady-state repetitions (best is scored); "
+                         "lower for long-corpus scaling runs where one "
+                         "wall is already minutes")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -73,7 +77,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     walls = []
-    for _ in range(6):
+    for _ in range(args.walls):
         t0 = time.time()
         plan(docs).write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)

@@ -31,7 +31,7 @@ def make_zip(tmp: str) -> str:
     return zpath
 
 
-def generate_corpus(path: str, n_docs: int) -> None:
+def generate_corpus(path: str, n_docs: int, partitions: int = 128) -> None:
     if os.path.exists(path):
         return
     from pdf_extraction_spark import corpus
@@ -40,16 +40,27 @@ def generate_corpus(path: str, n_docs: int) -> None:
     spark = get_spark(app_name="scaling-corpus")
     spark.sparkContext.setLogLevel("ERROR")
     corpus.generate_docs(spark, n_docs, giant_every=997,
-                         partitions=128).write.parquet(path)
+                         partitions=partitions).write.parquet(path)
     spark.stop()
 
 
 def run_submit(cores: int, zpath: str, input_path: str, plan: str,
-               stage: str = "extract") -> dict:
+               stage: str = "extract", max_part_bytes: str = "256k",
+               open_cost_bytes: str = "64k", walls: int = 6,
+               pin_cores: bool = True) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or "/usr/bin/pyspark"),
         "spark-submit")
-    cmd = [
+    # Pin the WHOLE submit (JVM + python workers) to `cores` host CPUs.
+    # Without this, local[N] on a 32-core host is not an N-core cluster:
+    # the scan/Arrow-serialization JVM threads and the python workers
+    # overflow onto the 32-N idle cores, so the small-N run gets free
+    # compute a real N-core executor host would not have, and the
+    # measured N -> 4N "efficiency" is biased low. taskset emulates the
+    # per-size core budget the cluster's cgroup would enforce.
+    pin = ([shutil.which("taskset"), "-c", f"0-{cores - 1}"]
+           if pin_cores and shutil.which("taskset") else [])
+    cmd = pin + [
         spark_submit, "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
         "--conf", "spark.sql.adaptive.enabled=true",
@@ -57,10 +68,21 @@ def run_submit(cores: int, zpath: str, input_path: str, plan: str,
         "--conf", "spark.executor.memory=24g",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",
         "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
-        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        # Split granularity is the one knob that differs from a real
+        # 100 TB run: there, default 128 MB splits give O(10^5) tasks
+        # and wave balance is automatic.  This benchmark corpus is
+        # ~12 MB in 128 tiny files, and the default 4 MB per-file open
+        # cost packs it into ~33 splits — a single ragged wave at 32
+        # cores, so the slowest task gates the whole job and the
+        # measured "scaling" is just that task.  Shrink the open cost
+        # and split cap so the file count (128) becomes the task count:
+        # >=4 waves at 4N=32 cores, same job spec at both sizes.
+        "--conf", f"spark.sql.files.maxPartitionBytes={max_part_bytes}",
+        "--conf", f"spark.sql.files.openCostInBytes={open_cost_bytes}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "extract_job.py"),
         "--input", input_path, "--plan", plan, "--stage", stage,
+        "--walls", str(walls),
     ]
     print("+", " ".join(cmd), file=sys.stderr)
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -82,9 +104,23 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
                     help="submits per cluster size; best run is scored")
+    ap.add_argument("--max-part-bytes", default="256k",
+                    help="spark.sql.files.maxPartitionBytes for the job")
+    ap.add_argument("--open-cost-bytes", default="64k",
+                    help="spark.sql.files.openCostInBytes for the job")
+    ap.add_argument("--walls", type=int, default=6,
+                    help="timed repetitions inside each submit")
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset CPU pinning of each submit "
+                         "(pinning is what makes local[N] a faithful "
+                         "N-core-cluster stand-in on a bigger host)")
+    ap.add_argument("--corpus-partitions", type=int, default=128,
+                    help="files in the generated corpus == max map "
+                         "tasks; keep >= 8-16x the 4N core count so "
+                         "the last wave's straggler tail is amortized")
     args = ap.parse_args()
 
-    generate_corpus(args.data, args.docs)
+    generate_corpus(args.data, args.docs, args.corpus_partitions)
     zpath = make_zip("/tmp")
 
     # Best-of-N per cluster size, with per-run walls in "spread" and the
@@ -95,7 +131,9 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
 
     def best_of(cores: int, tag: str) -> dict:
-        runs = [run_submit(cores, zpath, args.data, args.plan, args.stage)
+        runs = [run_submit(cores, zpath, args.data, args.plan, args.stage,
+                           args.max_part_bytes, args.open_cost_bytes,
+                           args.walls, not args.no_pin)
                 for _ in range(args.runs)]
         spread[tag] = [r["wall_sec"] for r in runs]
         return max(runs, key=lambda r: r["docs_per_sec"])
@@ -109,6 +147,7 @@ def main() -> None:
               "run_N": small, "run_4N": large,
               "scaling_efficiency": round(eff, 3),
               "runs_per_size": args.runs,
+              "cpu_pinned": not args.no_pin,
               "spread": spread,
               "loadavg": [load_before,
                           [round(x, 1) for x in os.getloadavg()]]}
