@@ -63,7 +63,9 @@ _DRIVER_WINDOW = [
     "metadata_enrich", "normalize_unicode", "boilerplate",
     "checkpoint_cache", "classification", "cosine_topk", "knn_vote",
     "media_features", "severity_normalize", "strategy", "taxonomy",
-    "topn_urgency", "ann_topk", "priority",
+    "topn_urgency",
+    # new in round 4 (never scored; displace two r03-green fillers)
+    "html_main", "html_blocks",
 ]
 
 
@@ -86,12 +88,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_sampling import QUERIES_SAMPLING
     from pdf_extraction_spark.queries_quality import QUERIES_QUALITY
     from pdf_extraction_spark.queries_layout import QUERIES_LAYOUT
+    from pdf_extraction_spark.queries_html import QUERIES_HTML
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
-         **QUERIES_QUALITY, **QUERIES_LAYOUT})
+         **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -106,9 +109,10 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_sampling import ORACLES_SAMPLING
     from pdf_extraction_spark.queries_quality import ORACLES_QUALITY
     from pdf_extraction_spark.queries_layout import ORACLES_LAYOUT
+    from pdf_extraction_spark.queries_html import ORACLES_HTML
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
-         **ORACLES_QUALITY, **ORACLES_LAYOUT})
+         **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML})

@@ -1,0 +1,208 @@
+"""HTML main-content extraction: boilerplate strip + DOM-heuristic
+block classification, as pure Spark column expressions.
+
+The north rule names "HTML boilerplate strip, DOM heuristics" as part
+of main-content extraction (BASELINE.json north_rule; the reference's
+own boilerplate handling is keyphrase-based, see
+reference/src/validation/data_quality_validator.py:376-409 / SURVEY F5
+— this operator adds the web-document counterpart a 100 TB crawl
+corpus needs).
+
+Pipeline (all JVM-side, zero shuffle, zero UDF — the whole chain is
+``regexp_replace`` → ``split`` → higher-order ``transform`` /
+``filter`` / ``aggregate`` over the per-document block array, so it
+evaluates inside the scan stage and adds no stage boundary at 100 TB):
+
+1. scrub sentinels, drop ``<!--…-->`` comments, ``<script>``/``<style>``
+   elements and the whole ``<head>``;
+2. rewrite every block-level tag boundary (``p div h1..h6 li table tr
+   td nav header footer aside …``) to ``\\x01<tag>\\x02`` (openings)
+   or ``\\x01\\x02`` (closings), then split on ``\\x01`` — each array
+   element is one DOM block with its introducing tag;
+3. per block (inside ``F.transform``): strip remaining inline tags,
+   decode the five basic entities (&amp; last, so ``&amp;lt;`` decodes
+   once), collapse ASCII whitespace, measure text length, anchor-text
+   length (``<a …>…</a>`` contents) and tag count;
+4. classify jusText/Arc90-style: ``nav`` if the introducing tag is a
+   navigation container (nav/header/footer/aside), ``empty`` if the
+   block has no visible text (structural segments between adjacent
+   tags), ``short`` if the text is under ``min_text_len`` chars,
+   ``link`` if anchor text exceeds ``max_link_pct``% of the text
+   (integer math — no float divergence across engines), else
+   ``content``;
+5. main text = the content blocks joined in document order.
+
+Heuristic honesty: this is a regex tokenizer, not an HTML5 tree
+builder — attributes containing a raw ``>``, unclosed ``<a`` elements
+and block tags nested inside anchors are classified from the text the
+regex sees.  The patterns are restricted to the Java-regex/RE2/python
+``re`` common subset ((?is) flags, non-greedy, no lookaround, no
+backreference) so the DuckDB oracle can replay the chain bit-for-bit
+(tri-engine parity notes: BENCH/BASELINE.md §18).
+
+NULL html → zero blocks, empty main text (inputs are coalesced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# block-level elements whose opening/closing tags delimit text blocks;
+# longest-first so leftmost-first alternation never prefix-shadows
+# (e.g. 'pre' before 'p') in any of the three regex engines.
+BLOCK_TAGS = sorted(
+    ["p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+     "dl", "dt", "dd", "table", "thead", "tbody", "tr", "td", "th",
+     "article", "section", "header", "footer", "nav", "aside", "main",
+     "blockquote", "pre", "figure", "figcaption", "form", "fieldset",
+     "hr", "br"],
+    key=len, reverse=True)
+
+# tags whose blocks are site chrome, not content (DOM heuristic)
+NAV_TAGS = ("nav", "header", "footer", "aside")
+
+SENT_A = "\x01"   # block boundary
+SENT_B = "\x02"   # tag/body separator inside a block
+
+MIN_TEXT_LEN = 25       # jusText-style short-block cutoff (chars)
+MAX_LINK_PCT = 33       # boilerplate if anchor chars > 33% of text
+
+_ALT = "|".join(BLOCK_TAGS)
+# fixed rewrite order — comments first (may contain tags), then the
+# three container drops, then closings, then openings
+DROP_PATTERNS = [
+    f"[{SENT_A}{SENT_B}]",                      # pre-existing sentinels
+    "(?is)<!--.*?-->",
+    "(?i)<!DOCTYPE[^>]*>",
+    r"(?is)<script(\s[^>]*)?>.*?</script>",
+    r"(?is)<style(\s[^>]*)?>.*?</style>",
+    r"(?is)<head(\s[^>]*)?>.*?</head>",
+]
+CLOSE_PATTERN = rf"(?i)</({_ALT})\s*>"
+OPEN_PATTERN = rf"(?i)<({_ALT})([\s/][^>]*)?>"
+ANCHOR_PATTERN = r"(?is)<a(\s[^>]*)?>(.*?)</a>"
+TAG_PATTERN = "</?[A-Za-z][^>]*>"
+WS_PATTERN = "[ \t\r\n\x0c]+"
+
+# (entity, replacement) — &amp; LAST so double-escapes decode exactly once
+ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _plain_text(raw: Column) -> Column:
+    """Strip inline tags, decode basic entities, collapse whitespace."""
+    t = F.regexp_replace(raw, F.lit(TAG_PATTERN), F.lit(" "))
+    for ent, repl in ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(t, F.lit(WS_PATTERN), F.lit(" ")))
+
+
+def _block_struct(seg: Column) -> Column:
+    """One DOM block: introducing tag, visible text, anchor text, tag
+    count, boilerplate class."""
+    parts = F.split(seg, SENT_B, 2)
+    tagged = F.size(parts) == 2
+    tag = F.lower(F.when(tagged, F.get(parts, 0)).otherwise(F.lit("")))
+    body = F.when(tagged, F.get(parts, 1)).otherwise(F.get(parts, 0))
+    text = _plain_text(body)
+    anchor = _plain_text(
+        F.array_join(
+            F.regexp_extract_all(body, F.lit(ANCHOR_PATTERN), 2),
+            " "))
+    text_len = F.length(text)
+    anchor_len = F.length(anchor)
+    n_tags = F.size(F.regexp_extract_all(body, F.lit(TAG_PATTERN), 0))
+    cls = (F.when(tag.isin(*NAV_TAGS), F.lit("nav"))
+            .when(text_len == 0, F.lit("empty"))
+            .when(text_len < MIN_TEXT_LEN, F.lit("short"))
+            .when(anchor_len * 100 > text_len * MAX_LINK_PCT,
+                  F.lit("link"))
+            .otherwise(F.lit("content")))
+    return F.struct(tag.alias("tag"), text.alias("text"),
+                    text_len.alias("text_len"),
+                    anchor_len.alias("anchor_len"),
+                    n_tags.alias("n_tags"), cls.alias("cls"))
+
+
+def html_blocks_col(html: Column) -> Column:
+    """``array<struct<tag,text,text_len,anchor_len,n_tags,cls>>`` of
+    classified DOM blocks, in document order."""
+    cleaned = F.coalesce(html, F.lit(""))
+    for pat in DROP_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(""))
+    cleaned = F.regexp_replace(cleaned, F.lit(CLOSE_PATTERN),
+                               F.lit(SENT_A + SENT_B))
+    cleaned = F.regexp_replace(cleaned, F.lit(OPEN_PATTERN),
+                               F.lit(SENT_A + "$1" + SENT_B))
+    return F.transform(F.split(cleaned, SENT_A), _block_struct)
+
+
+def extract_main_content(docs: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document main content + block census.  Zero shuffle: narrow
+    projections only, so at 100 TB this runs entirely in the scan stage
+    of whatever plan consumes it.
+
+    Plan shape matters here: the block array is built ONCE behind an
+    alias (9 naive per-stat copies of the regex chain measured 7× the
+    wall — CollapseProject keeps the alias because a non-cheap producer
+    referenced more than once is never inlined), and all seven counters
+    fold in ONE ``aggregate`` traversal because Catalyst's higher-order
+    lambdas are interpreted, not codegen'd — per-stat ``filter`` passes
+    measured ~4× slower on 1k-block documents."""
+    bl = F.col("__html_blocks")
+
+    def _count(acc: Column, b: Column) -> Column:
+        def one(cond: Column) -> Column:
+            return F.when(cond, F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            (acc["n_blocks"] + one(b["text_len"] > 0)).alias("n_blocks"),
+            (acc["n_content"] + one(b["cls"] == "content"))
+            .alias("n_content"),
+            (acc["n_nav"] + one(b["cls"] == "nav")).alias("n_nav"),
+            (acc["n_short"] + one(b["cls"] == "short")).alias("n_short"),
+            (acc["n_link"] + one(b["cls"] == "link")).alias("n_link"),
+            (acc["main_chars"] + F.when(b["cls"] == "content",
+                                        b["text_len"].cast("long"))
+             .otherwise(F.lit(0).cast("long"))).alias("main_chars"),
+            (acc["anchor_chars"] + b["anchor_len"].cast("long"))
+            .alias("anchor_chars"))
+
+    zeros = F.struct(*[F.lit(0).cast("long").alias(n)
+                       for n in ("n_blocks", "n_content", "n_nav",
+                                 "n_short", "n_link", "main_chars",
+                                 "anchor_chars")])
+    stats = F.aggregate(bl, zeros, _count)
+    main_text = F.array_join(
+        F.transform(F.filter(bl, lambda b: b["cls"] == "content"),
+                    lambda b: b["text"]), " ")
+    staged = docs.select(
+        F.col(id_col), html_blocks_col(F.col(html_col)).alias(
+            "__html_blocks")) \
+        .select(F.col(id_col), main_text.alias("main_text"),
+                stats.alias("__stats"))
+    return staged.select(
+        id_col, "main_text",
+        *[F.col("__stats")[n].alias(n)
+          for n in ("n_blocks", "n_content", "n_nav", "n_short",
+                    "n_link", "main_chars", "anchor_chars")])
+
+
+def html_block_table(docs: DataFrame, html_col: str = "html",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exploded per-block view (doc_id, block_idx, tag, cls, text_len,
+    n_tags, text).  ``posexplode`` is a narrow transform — no shuffle;
+    consumers that re-aggregate per doc should prefer the array form
+    above instead of paying a groupBy."""
+    blocks = html_blocks_col(F.col(html_col))
+    e = docs.select(F.col(id_col),
+                    F.posexplode(blocks).alias("block_idx", "b"))
+    return e.select(
+        id_col,
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("b.tag").alias("tag"), F.col("b.cls").alias("cls"),
+        F.col("b.text_len").cast("long").alias("text_len"),
+        F.col("b.n_tags").cast("long").alias("n_tags"),
+        F.col("b.text").alias("text"))

@@ -1,0 +1,186 @@
+"""Gate queries for the HTML main-content operators
+(``operators/html.py``).
+
+The ``documents`` test table is plain text, so both engines first build
+the SAME deterministic HTML page around each document's text (header,
+nav with links, headings, paragraphs, a share-bar of anchors, a
+doc_id-dependent aside/table, footer — one expression evaluated
+identically by Spark SQL and DuckDB), then the Spark side runs the real
+operator while the oracle replays the documented rewrite chain in
+DuckDB's list/lambda dialect.  Entity escapes (``&amp; &lt; &gt;``) are
+planted in one paragraph so the decode order is gate-checked too.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.html import (ANCHOR_PATTERN, CLOSE_PATTERN,
+                             DROP_PATTERNS, ENTITIES, MAX_LINK_PCT,
+                             MIN_TEXT_LEN, NAV_TAGS, OPEN_PATTERN,
+                             TAG_PATTERN, extract_main_content,
+                             html_block_table)
+
+_S1, _S2 = "\x01", "\x02"
+_WS_SQL = "[ \t\r\n\x0c]+"          # same class the operator collapses
+
+
+def _html_expr(id_str: str) -> str:
+    """Deterministic HTML page from (doc_id, text) — identical SQL for
+    both engines except the string cast spelled by ``id_str``."""
+    return f"""
+  '<!DOCTYPE html><html><head><title>D' || {id_str} ||
+  '</title><style>p{{margin:0}}</style><script>var x=1;</script></head><body>'
+  || '<header><h1>' || substr(t, 1, 24) || '</h1></header>'
+  || '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">'
+  || substr(t, 1, 12) || '</a></li></ul></nav>'
+  || '<main><article>'
+  || '<h2>' || substr(t, 25, 40) || '</h2>'
+  || '<p>' || substr(t, 65, 300) || ' &amp; more &lt;stuff&gt;</p>'
+  || '<p>' || substr(t, 365, 300) || '</p>'
+  || '<div class="share"><a href="s">' || substr(t, 13, 10)
+  || '</a> <a href="t">' || substr(t, 23, 8) || '</a></div>'
+  || CASE WHEN doc_id % 3 = 0 THEN '<aside><p>' || substr(t, 5, 60)
+       || '</p></aside>' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '<table><tr><td>'
+       || substr(t, 10, 30) || '</td><td>k</td></tr></table>'
+       ELSE '' END
+  || '</article></main>'
+  || '<footer><p>(c) 2026 ' || substr(t, 1, 6)
+  || ' <a href="/p">Privacy</a> <a href="/c">Cookies</a></p></footer>'
+  || '</body></html>'
+""".strip()
+
+
+def _spark_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id",
+                F.expr(_html_expr("CAST(doc_id AS STRING)"))
+                 .alias("html"))
+
+
+def q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction: per-doc boilerplate-stripped text plus
+    the block census (operators/html.py — zero shuffle, zero UDF)."""
+    return extract_main_content(_spark_pages(spark, sf_dir)) \
+        .orderBy("doc_id")
+
+
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classified DOM-block table (tag, class, sizes) for every block
+    of every synthesized page."""
+    return html_block_table(_spark_pages(spark, sf_dir)) \
+        .orderBy("doc_id", "block_idx")
+
+
+def _sql_plain(expr: str) -> str:
+    t = f"regexp_replace({expr}, '{TAG_PATTERN}', ' ', 'g')"
+    for ent, repl in ENTITIES:
+        t = f"replace({t}, '{ent}', '{repl.replace(chr(39), chr(39)*2)}')"
+    return f"trim(regexp_replace({t}, '{_WS_SQL}', ' ', 'g'))"
+
+
+def _sql_blocks_cte() -> str:
+    """CTE chain html → classified block list (mirrors the operator's
+    documented rewrite order)."""
+    cleaned = f"({_html_expr('CAST(doc_id AS VARCHAR)')})"
+    for pat in DROP_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '', 'g')"
+    cleaned = (f"regexp_replace({cleaned}, '{CLOSE_PATTERN}', "
+               f"'{_S1}{_S2}', 'g')")
+    # \\1 in the replacement is RE2's group ref (Spark spells it $1)
+    cleaned = (f"regexp_replace({cleaned}, '{OPEN_PATTERN}', "
+               f"'{_S1}\\1{_S2}', 'g')")
+    nav_list = ", ".join(f"'{t}'" for t in NAV_TAGS)
+    return f"""
+pages AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+segs AS (
+  SELECT doc_id, string_split({cleaned}, '{_S1}') AS seg FROM pages),
+b1 AS (
+  SELECT doc_id, list_transform(seg, s -> struct_pack(
+      tag := CASE WHEN len(string_split(s, '{_S2}')) = 2
+                  THEN lower(string_split(s, '{_S2}')[1]) ELSE '' END,
+      body := CASE WHEN len(string_split(s, '{_S2}')) = 2
+                   THEN string_split(s, '{_S2}')[2] ELSE s END)) AS bl
+  FROM segs),
+b2 AS (
+  SELECT doc_id, list_transform(bl, r -> struct_pack(
+      tag := r.tag,
+      text := {_sql_plain('r.body')},
+      anchor := {_sql_plain(
+          f"array_to_string(regexp_extract_all(r.body, "
+          f"'{ANCHOR_PATTERN}', 2), ' ')")},
+      n_tags := CAST(len(regexp_extract_all(r.body, '{TAG_PATTERN}', 0))
+                     AS BIGINT))) AS bl
+  FROM b1),
+blocks AS (
+  SELECT doc_id, list_transform(bl, r -> struct_pack(
+      tag := r.tag, text := r.text,
+      text_len := CAST(length(r.text) AS BIGINT),
+      anchor_len := CAST(length(r.anchor) AS BIGINT),
+      n_tags := r.n_tags,
+      cls := CASE WHEN r.tag IN ({nav_list}) THEN 'nav'
+                  WHEN length(r.text) = 0 THEN 'empty'
+                  WHEN length(r.text) < {MIN_TEXT_LEN} THEN 'short'
+                  WHEN length(r.anchor) * 100
+                       > length(r.text) * {MAX_LINK_PCT} THEN 'link'
+                  ELSE 'content' END)) AS bl
+  FROM b2)
+""".strip()
+
+
+def _sql_html_main() -> str:
+    return f"""
+WITH {_sql_blocks_cte()}
+SELECT doc_id,
+  COALESCE(array_to_string(list_transform(
+      list_filter(bl, b -> b.cls = 'content'), b -> b.text), ' '), '')
+    AS main_text,
+  CAST(len(list_filter(bl, b -> b.text_len > 0)) AS BIGINT) AS n_blocks,
+  CAST(len(list_filter(bl, b -> b.cls = 'content')) AS BIGINT)
+    AS n_content,
+  CAST(len(list_filter(bl, b -> b.cls = 'nav')) AS BIGINT) AS n_nav,
+  CAST(len(list_filter(bl, b -> b.cls = 'short')) AS BIGINT) AS n_short,
+  CAST(len(list_filter(bl, b -> b.cls = 'link')) AS BIGINT) AS n_link,
+  COALESCE(list_sum(list_transform(
+      list_filter(bl, b -> b.cls = 'content'), b -> b.text_len)), 0)
+    AS main_chars,
+  COALESCE(list_sum(list_transform(bl, b -> b.anchor_len)), 0)
+    AS anchor_chars
+FROM blocks
+ORDER BY doc_id
+"""
+
+
+def _sql_html_blocks() -> str:
+    return f"""
+WITH {_sql_blocks_cte()},
+ex AS (
+  SELECT doc_id, unnest(list_transform(bl, (b, i) -> struct_pack(
+      block_idx := CAST(i - 1 AS BIGINT), tag := b.tag, cls := b.cls,
+      text_len := b.text_len, n_tags := b.n_tags, text := b.text)))
+    AS u
+  FROM blocks)
+SELECT doc_id, u.block_idx AS block_idx, u.tag AS tag, u.cls AS cls,
+       u.text_len AS text_len, u.n_tags AS n_tags, u.text AS text
+FROM ex
+ORDER BY doc_id, block_idx
+"""
+
+
+QUERIES_HTML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "html_main": q_html_main,
+    "html_blocks": q_html_blocks,
+}
+
+ORACLES_HTML: dict[str, str] = {
+    "html_main": _sql_html_main(),
+    "html_blocks": _sql_html_blocks(),
+}

@@ -1,0 +1,124 @@
+"""HTML main-content extraction (operators/html.py): hand-built
+adversarial pages with known block classifications, entity/comment/
+script semantics, NULL handling, and plan shape (zero exchange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.html import (extract_main_content,
+                                                 html_block_table)
+
+LONG = "these twelve ordinary words make the paragraph long enough ok"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def _main(spark, rows):
+    return {r.doc_id: r
+            for r in extract_main_content(_pages(spark, rows)).collect()}
+
+
+def test_content_vs_chrome(spark):
+    out = _main(spark, [(1,
+        "<html><head><title>T</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        f"<p>{LONG}</p>"
+        f"<footer>{LONG}</footer>"
+        "</body></html>")])
+    r = out[1]
+    assert r.main_text == LONG          # head+nav+footer all stripped
+    assert (r.n_content, r.n_nav) == (1, 2)   # nav and footer blocks
+    assert r.main_chars == len(LONG)
+
+
+def test_script_style_comment_dropped(spark):
+    out = _main(spark, [(1,
+        f"<p>{LONG}</p>"
+        "<script type='x'>var p = '<p>fake</p>';</script>"
+        "<style>p { color: red }</style>"
+        f"<!-- <p>{LONG}</p> -->"
+        f"<P CLASS='y'>{LONG}</P>")])       # uppercase tag
+    r = out[1]
+    assert r.main_text == f"{LONG} {LONG}"
+    assert r.n_content == 2
+
+
+def test_entities_decode_once(spark):
+    out = _main(spark, [(1,
+        f"<p>{LONG} &amp;lt; A&amp;B &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>")])
+    # &amp;lt; -> &lt; (one decode, not '<'); planted entities decode
+    assert out[1].main_text == \
+        f'{LONG} &lt; A&B <tag> "q" \'s\' x y'
+
+
+def test_link_density_boilerplate(spark):
+    linkful = (f"<div><a href='1'>{LONG}</a> and <a href='2'>{LONG}</a>"
+               " tiny glue</div>")
+    out = _main(spark, [(1, linkful + f"<p>{LONG} {LONG}</p>")])
+    r = out[1]
+    assert (r.n_link, r.n_content) == (1, 1)
+    assert r.main_text == f"{LONG} {LONG}"
+    assert r.anchor_chars == 2 * len(LONG) + 1   # join space
+
+
+def test_anchor_with_inline_markup(spark):
+    out = _main(spark, [(1,
+        f"<div><a href='x'><b>{LONG}</b></a></div>")])
+    r = out[1]
+    # anchor text is measured after inline-tag strip
+    assert r.anchor_chars == len(LONG)
+    assert r.n_link == 1
+
+
+def test_short_blocks_and_br(spark):
+    out = _main(spark, [(1, f"<p>tiny</p><p>{LONG}<br/>{LONG}</p>")])
+    r = out[1]
+    assert (r.n_short, r.n_content) == (1, 2)   # br splits the block
+    assert r.main_text == f"{LONG} {LONG}"
+
+
+def test_null_and_empty_and_tagless(spark):
+    out = _main(spark, [(1, None), (2, ""), (3, "no tags at all " * 4)])
+    assert (out[1].main_text, out[1].n_blocks) == ("", 0)
+    assert (out[2].main_text, out[2].n_blocks) == ("", 0)
+    # tagless text is one untagged block, content if long enough
+    assert out[3].n_content == 1
+    assert out[3].main_text == ("no tags at all " * 4).strip()
+
+
+def test_sentinel_bytes_scrubbed(spark):
+    out = _main(spark, [(1, f"<p>\x01evil\x02 {LONG}</p>")])
+    assert out[1].main_text == f"evil {LONG}"
+    assert out[1].n_content == 1
+
+
+def test_nested_blocks_and_table(spark):
+    rows = {(r.block_idx): r for r in html_block_table(_pages(spark, [
+        (1, f"<table><tr><td>{LONG}</td><td>ok</td></tr></table>")
+    ])).collect()}
+    tags = [rows[i].tag for i in sorted(rows)]
+    assert tags[:4] == ["", "table", "tr", "td"]
+    cells = [r for r in rows.values() if r.tag == "td"]
+    assert {c.cls for c in cells} == {"content", "short"}
+
+
+def test_block_table_matches_main(spark):
+    page = (f"<header><h1>{LONG}</h1></header><p>{LONG}</p>"
+            f"<aside>{LONG}</aside>")
+    tbl = html_block_table(_pages(spark, [(1, page)]))
+    agg = tbl.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("cls") == "content", 1).otherwise(0))
+         .alias("n_content")).collect()[0]
+    main = _main(spark, [(1, page)])[1]
+    # h1 inside header is its own block and long enough -> content;
+    # aside is chrome by tag
+    assert agg.n_content == main.n_content == 2
+    assert main.n_nav == 2
+
+
+def test_plan_zero_exchange(spark):
+    df = extract_main_content(_pages(spark, [(1, "<p>x</p>")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
