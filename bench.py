@@ -164,6 +164,12 @@ def main() -> None:
     runs = _runs_media_corpus(spark, sf_dir).persist()
     n_runs = runs.count()
     timed("k_layout_spans", lambda: noop(spans_from_runs(runs)))
+    from pdf_extraction_spark.operators.html import extract_main_content
+    from pdf_extraction_spark.queries_html import _spark_pages
+    pages = _spark_pages(spark, sf_dir).persist()
+    pages.count()
+    timed("k_html_main", lambda: noop(extract_main_content(pages)))
+    pages.unpersist()
     runs.unpersist()
     dtab.unpersist()
     etab.unpersist()

@@ -86,10 +86,20 @@ def _sql_plain(expr: str) -> str:
     return f"trim(regexp_replace({t}, '{_WS_SQL}', ' ', 'g'))"
 
 
-def _sql_blocks_cte() -> str:
+_GATE_PAGES = ("SELECT doc_id, ({expr}) AS page FROM "
+               "(SELECT doc_id, COALESCE(text, '') AS t FROM documents)")
+
+
+def sql_blocks_cte(pages_sql: str | None = None) -> str:
     """CTE chain html → classified block list (mirrors the operator's
-    documented rewrite order)."""
-    cleaned = f"({_html_expr('CAST(doc_id AS VARCHAR)')})"
+    documented rewrite order).  ``pages_sql`` must select
+    ``(doc_id, page)``; defaults to the gate's synthetic page builder
+    over ``documents`` — the differential fuzz harness passes its own
+    raw-HTML corpus here."""
+    if pages_sql is None:
+        pages_sql = _GATE_PAGES.format(
+            expr=_html_expr("CAST(doc_id AS VARCHAR)"))
+    cleaned = "page"
     for pat in DROP_PATTERNS:
         cleaned = f"regexp_replace({cleaned}, '{pat}', '', 'g')"
     cleaned = (f"regexp_replace({cleaned}, '{CLOSE_PATTERN}', "
@@ -99,8 +109,7 @@ def _sql_blocks_cte() -> str:
                f"'{_S1}\\1{_S2}', 'g')")
     nav_list = ", ".join(f"'{t}'" for t in NAV_TAGS)
     return f"""
-pages AS (
-  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+pages AS ({pages_sql}),
 segs AS (
   SELECT doc_id, string_split({cleaned}, '{_S1}') AS seg FROM pages),
 b1 AS (
@@ -136,9 +145,9 @@ blocks AS (
 """.strip()
 
 
-def _sql_html_main() -> str:
+def sql_html_main(pages_sql: str | None = None) -> str:
     return f"""
-WITH {_sql_blocks_cte()}
+WITH {sql_blocks_cte(pages_sql)}
 SELECT doc_id,
   COALESCE(array_to_string(list_transform(
       list_filter(bl, b -> b.cls = 'content'), b -> b.text), ' '), '')
@@ -149,19 +158,19 @@ SELECT doc_id,
   CAST(len(list_filter(bl, b -> b.cls = 'nav')) AS BIGINT) AS n_nav,
   CAST(len(list_filter(bl, b -> b.cls = 'short')) AS BIGINT) AS n_short,
   CAST(len(list_filter(bl, b -> b.cls = 'link')) AS BIGINT) AS n_link,
-  COALESCE(list_sum(list_transform(
+  CAST(COALESCE(list_sum(list_transform(
       list_filter(bl, b -> b.cls = 'content'), b -> b.text_len)), 0)
-    AS main_chars,
-  COALESCE(list_sum(list_transform(bl, b -> b.anchor_len)), 0)
-    AS anchor_chars
+    AS BIGINT) AS main_chars,
+  CAST(COALESCE(list_sum(list_transform(bl, b -> b.anchor_len)), 0)
+    AS BIGINT) AS anchor_chars
 FROM blocks
 ORDER BY doc_id
 """
 
 
-def _sql_html_blocks() -> str:
+def sql_html_blocks(pages_sql: str | None = None) -> str:
     return f"""
-WITH {_sql_blocks_cte()},
+WITH {sql_blocks_cte(pages_sql)},
 ex AS (
   SELECT doc_id, unnest(list_transform(bl, (b, i) -> struct_pack(
       block_idx := CAST(i - 1 AS BIGINT), tag := b.tag, cls := b.cls,
@@ -181,6 +190,6 @@ QUERIES_HTML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_HTML: dict[str, str] = {
-    "html_main": _sql_html_main(),
-    "html_blocks": _sql_html_blocks(),
+    "html_main": sql_html_main(),
+    "html_blocks": sql_html_blocks(),
 }
