@@ -63,9 +63,8 @@ _DRIVER_WINDOW = [
     "metadata_enrich", "normalize_unicode", "boilerplate",
     "checkpoint_cache", "classification", "cosine_topk", "knn_vote",
     "media_features", "severity_normalize", "strategy", "taxonomy",
-    "topn_urgency",
-    # new in round 4 (never scored; displace two r03-green fillers)
-    "html_main", "html_blocks",
+    # new in round 4 (never scored; displace three r03-green fillers)
+    "html_main", "html_blocks", "html_curation",
 ]
 
 

@@ -68,6 +68,60 @@ def curate_corpus(docs: DataFrame, text_col: str = "text", *,
         keeper.alias("keeper_id"), verdict.alias("verdict"))
 
 
+def curate_web_corpus(docs: DataFrame, html_col: str = "html", *,
+                      min_tokens: int = 5, max_tokens: int = 100_000,
+                      allowed_langs: Sequence[str] = ("en",),
+                      min_stop_ppm: int = 0) -> DataFrame:
+    """The web-ingest composition the north rule describes: HTML
+    boilerplate strip (operators.html) feeding the standard curation
+    chain over the EXTRACTED main content, as one declarative plan.
+
+    Same cost shape as :func:`curate_corpus` — the HTML strip and every
+    filter are scan-stage projections, the exact-dedup keeper window is
+    the chain's single shuffle.  Verdict ladder adds one web tier ahead
+    of the text rules: ``no_content`` when boilerplate stripping leaves
+    zero content blocks (chrome-only / parked pages).  Dedup hashes the
+    extracted main text, so two pages that differ only in chrome
+    (nav/footer/ads) deduplicate — the behavior a crawl corpus needs.
+
+    Returns (doc_id, n_content, main_chars, anchor_chars, n_tokens,
+    stop_ratio_ppm, pred_lang, content_hash, keeper_id, verdict).
+    """
+    from .html import extract_main_content
+
+    main = extract_main_content(docs, html_col=html_col)
+    text = F.col("main_text")
+    base = main.select(
+        "doc_id", "n_content", "main_chars", "anchor_chars",
+        *quality_columns(text),
+        *lang_id_columns(text),
+        F.md5(text).alias("content_hash"))
+
+    no_content = F.col("n_content") == 0
+    n_tok = F.col("n_tokens")
+    passes = (
+        ~no_content
+        & (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        & F.col("pred_lang").isin(*allowed_langs)
+        & (F.col("stop_ratio_ppm") >= min_stop_ppm))
+    keeper = F.min(F.when(passes, F.col("doc_id"))).over(
+        Window.partitionBy("content_hash"))
+
+    verdict = (
+        F.when(no_content, F.lit("no_content"))
+         .when(n_tok < min_tokens, F.lit("too_short"))
+         .when(n_tok > max_tokens, F.lit("too_long"))
+         .when(~F.col("pred_lang").isin(*allowed_langs), F.lit("language"))
+         .when(F.col("stop_ratio_ppm") < min_stop_ppm, F.lit("low_quality"))
+         .when(F.col("doc_id") != keeper, F.lit("duplicate"))
+         .otherwise(F.lit("kept")))
+
+    return base.select(
+        "doc_id", "n_content", "main_chars", "anchor_chars", "n_tokens",
+        "stop_ratio_ppm", "pred_lang", "content_hash",
+        keeper.alias("keeper_id"), verdict.alias("verdict"))
+
+
 def curated(docs: DataFrame, text_col: str = "text",
             verdicts: DataFrame | None = None, **kwargs) -> DataFrame:
     """The surviving corpus: input rows whose verdict is 'kept'. Pass

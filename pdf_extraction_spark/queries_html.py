@@ -184,12 +184,104 @@ ORDER BY doc_id, block_idx
 """
 
 
+# web-curation gate: thresholds sized so every verdict tier fires on the
+# synthetic pages; every 10th doc re-injected under doc_id+1000000 —
+# its page differs in chrome (the %3 aside flips) but not in main text,
+# so the dedup tier proves chrome-insensitive content hashing.
+WCUR_MIN_TOK, WCUR_MAX_TOK, WCUR_MIN_STOP_PPM = 15, 90, 20_000
+
+_WCUR_SOURCE = ("SELECT doc_id, text FROM documents UNION ALL "
+                "SELECT doc_id + 1000000, text FROM documents "
+                "WHERE doc_id % 10 = 0")
+
+
+def q_html_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingest composition: HTML strip -> quality/lang filters ->
+    chrome-insensitive exact dedup (operators/curation.py
+    curate_web_corpus — one shuffle total)."""
+    from .operators.curation import curate_web_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    dups = d.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pages = d.unionByName(dups).select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id",
+                F.expr(_html_expr("CAST(doc_id AS STRING)")).alias("html"))
+    return curate_web_corpus(
+        pages, min_tokens=WCUR_MIN_TOK, max_tokens=WCUR_MAX_TOK,
+        allowed_langs=("en",), min_stop_ppm=WCUR_MIN_STOP_PPM)
+
+
+def _sql_html_curation() -> str:
+    from .operators.textstats import EN_FUNCTION_WORDS, EN_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    fn = ", ".join(f"'{w}'" for w in EN_FUNCTION_WORDS)
+    pages_sql = _GATE_PAGES.format(
+        expr=_html_expr("CAST(doc_id AS VARCHAR)")).replace(
+        "FROM documents", f"FROM ({_WCUR_SOURCE})")
+    return rf"""
+WITH {sql_blocks_cte(pages_sql)},
+m AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(list_transform(
+        list_filter(bl, b -> b.cls = 'content'), b -> b.text), ' '), '')
+      AS main_text,
+    CAST(len(list_filter(bl, b -> b.cls = 'content')) AS BIGINT)
+      AS n_content,
+    CAST(COALESCE(list_sum(list_transform(
+        list_filter(bl, b -> b.cls = 'content'), b -> b.text_len)), 0)
+      AS BIGINT) AS main_chars,
+    CAST(COALESCE(list_sum(list_transform(bl, b -> b.anchor_len)), 0)
+      AS BIGINT) AS anchor_chars
+  FROM blocks),
+sig AS (
+  SELECT doc_id, n_content, main_chars, anchor_chars,
+    md5(main_text) AS content_hash,
+    string_split_regex(trim(lower(main_text)), '\s+') AS toks
+  FROM m),
+q AS (
+  SELECT doc_id, n_content, main_chars, anchor_chars, content_hash,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(floor(len(list_filter(toks, x -> x IN ({stop})))
+               * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_ppm,
+    CASE WHEN len(list_filter(toks, x -> x IN ({fn}))) * 100 >= len(toks)
+         THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM sig),
+flt AS (
+  SELECT *,
+    (n_content > 0
+     AND n_tokens BETWEEN {WCUR_MIN_TOK} AND {WCUR_MAX_TOK}
+     AND pred_lang = 'en'
+     AND stop_ratio_ppm >= {WCUR_MIN_STOP_PPM}) AS passes
+  FROM q),
+k AS (
+  SELECT *, min(CASE WHEN passes THEN doc_id END)
+              OVER (PARTITION BY content_hash) AS keeper_id
+  FROM flt)
+SELECT doc_id, n_content, main_chars, anchor_chars, n_tokens,
+  stop_ratio_ppm, pred_lang, content_hash, keeper_id,
+  CASE WHEN n_content = 0 THEN 'no_content'
+       WHEN n_tokens < {WCUR_MIN_TOK} THEN 'too_short'
+       WHEN n_tokens > {WCUR_MAX_TOK} THEN 'too_long'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN stop_ratio_ppm < {WCUR_MIN_STOP_PPM} THEN 'low_quality'
+       WHEN doc_id <> keeper_id THEN 'duplicate'
+       ELSE 'kept' END AS verdict
+FROM k
+"""
+
+
 QUERIES_HTML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main": q_html_main,
     "html_blocks": q_html_blocks,
+    "html_curation": q_html_curation,
 }
 
 ORACLES_HTML: dict[str, str] = {
     "html_main": sql_html_main(),
     "html_blocks": sql_html_blocks(),
+    "html_curation": _sql_html_curation(),
 }

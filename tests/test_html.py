@@ -122,3 +122,39 @@ def test_plan_zero_exchange(spark):
     df = extract_main_content(_pages(spark, [(1, "<p>x</p>")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# rich in the operator's 8-word stopword set (textstats.EN_STOPWORDS)
+STOPPY = "the tide and the wind is one of the ways to see in an hour"
+
+
+def test_web_curation_tiers_and_chrome_dedup(spark):
+    from pdf_extraction_spark.operators.curation import curate_web_corpus
+    body = f"<p>{STOPPY}</p>"
+    pages = [
+        (1, f"<nav><a href=x>only chrome here</a></nav>"),   # no_content
+        (2, f"<p>{STOPPY} extra words</p>"),                 # kept
+        # same main text as 2, different chrome -> duplicate
+        (3, f"<header><h1>Other Site</h1></header><p>{STOPPY} extra"
+            f" words</p><footer><a>Imprint</a></footer>"),
+        (4, "<p>" + "word " * 30 + STOPPY + "</p>"),         # too_long
+        (5, f"<p>{'zz ' * 20}this text has no stopword densitee"
+            "</p>"),                                          # low_quality
+    ]
+    out = {r.doc_id: r for r in curate_web_corpus(
+        _pages(spark, pages), min_tokens=10, max_tokens=40,
+        min_stop_ppm=200_000).collect()}
+    assert out[1].verdict == "no_content"
+    assert out[2].verdict == "kept"
+    assert out[3].verdict == "duplicate"
+    assert out[3].keeper_id == 2
+    assert out[3].content_hash == out[2].content_hash
+    assert out[4].verdict == "too_long"
+    assert out[5].verdict in ("low_quality", "language")
+
+
+def test_web_curation_single_shuffle(spark):
+    from pdf_extraction_spark.operators.curation import curate_web_corpus
+    df = curate_web_corpus(_pages(spark, [(1, "<p>x</p>")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1      # only the keeper window
