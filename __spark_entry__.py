@@ -62,9 +62,9 @@ _DRIVER_WINDOW = [
     "events_window", "group_discount", "calibration", "dedup_doc",
     "metadata_enrich", "normalize_unicode", "boilerplate",
     "checkpoint_cache", "classification", "cosine_topk", "knn_vote",
-    "media_features", "severity_normalize", "strategy", "taxonomy",
-    # new in round 4 (never scored; displace three r03-green fillers)
+    # new in round 4 (never scored; displace seven r03-green fillers)
     "html_main", "html_blocks", "html_curation",
+    "html_links", "url_normalize", "host_stats", "html_head",
 ]
 
 
@@ -88,12 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_quality import QUERIES_QUALITY
     from pdf_extraction_spark.queries_layout import QUERIES_LAYOUT
     from pdf_extraction_spark.queries_html import QUERIES_HTML
+    from pdf_extraction_spark.queries_links import QUERIES_LINKS
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
-         **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML})
+         **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
+         **QUERIES_LINKS})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -109,9 +111,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_quality import ORACLES_QUALITY
     from pdf_extraction_spark.queries_layout import ORACLES_LAYOUT
     from pdf_extraction_spark.queries_html import ORACLES_HTML
+    from pdf_extraction_spark.queries_links import ORACLES_LINKS
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
-         **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML})
+         **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
+         **ORACLES_LINKS})

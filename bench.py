@@ -169,6 +169,14 @@ def main() -> None:
     pages = _spark_pages(spark, sf_dir).persist()
     pages.count()
     timed("k_html_main", lambda: noop(extract_main_content(pages)))
+    from pdf_extraction_spark.operators.links import (host_stats,
+                                                      link_table)
+    from pdf_extraction_spark.queries_links import _pages_spark
+    lpages = _pages_spark(spark, sf_dir).persist()
+    lpages.count()
+    timed("k_html_links", lambda: noop(
+        host_stats(link_table(lpages, carry=("page_host",)))))
+    lpages.unpersist()
     pages.unpersist()
     runs.unpersist()
     dtab.unpersist()
