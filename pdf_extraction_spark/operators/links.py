@@ -205,26 +205,39 @@ def sql_url_parts(u: str) -> dict[str, str]:
 # --- per-host rollup --------------------------------------------------
 
 def host_stats(links: DataFrame, page_host_col: str = "page_host",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               exact_distinct: bool = True) -> DataFrame:
     """Per-host link rollup over an exploded link table that carries the
     linking page's own host: inlink count, distinct linking pages and
     hosts, internal-link count (self-references and relative links).
 
-    The ONE shuffle in this module: hash exchange on ``host`` with
-    map-side partial aggregation (count/count-distinct partials), so
-    per-executor traffic is bounded by the distinct-host count, not the
-    edge count.  At crawl scale the host key is Zipf-skewed; AQE's
-    skew handling (enabled session-wide, session.py) splits the
-    straggler post-shuffle partitions, and a pre-salted two-level
-    rollup is the documented escalation if a single host exceeds one
-    executor's memory (same playbook as operators/dedup.py's
-    hot-bucket guard)."""
+    Shuffle shape (plan-asserted, tests/test_plan_shapes.py): with
+    ``exact_distinct=True`` the two count-distincts plan as Spark's
+    standard Expand + two hash exchanges on host — exact, and what the
+    DuckDB gate compares.  At crawl scale that Expand triples the edge
+    list through the first shuffle, so the 100 TB default is
+    ``exact_distinct=False``: ``approx_count_distinct`` (HyperLogLog++,
+    default 5% rsd) keeps the rollup a SINGLE hash exchange on ``host``
+    with map-side partials — per-executor traffic bounded by the
+    distinct-host count, not the edge count, and domain allow/deny
+    decisions don't need exact page counts.  The host key is
+    Zipf-skewed; AQE's skew handling (enabled session-wide,
+    session.py) splits the straggler post-shuffle partitions, and a
+    pre-salted two-level rollup is the documented escalation if a
+    single host exceeds one executor's memory (same playbook as
+    operators/dedup.py's hot-bucket guard)."""
     internal = (F.col("host") == "") | \
         (F.col("host") == F.col(page_host_col))
+    if exact_distinct:
+        n_pages = F.countDistinct(id_col)
+        n_hosts = F.countDistinct(page_host_col)
+    else:
+        n_pages = F.approx_count_distinct(id_col)
+        n_hosts = F.approx_count_distinct(page_host_col)
     return links.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_links"),
-        F.countDistinct(id_col).alias("n_pages"),
-        F.countDistinct(page_host_col).alias("n_linking_hosts"),
+        n_pages.alias("n_pages"),
+        n_hosts.alias("n_linking_hosts"),
         F.sum(F.when(internal, 1).otherwise(0)).cast("long")
          .alias("n_internal"),
         F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))

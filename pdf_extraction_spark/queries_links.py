@@ -93,10 +93,13 @@ FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
 """.strip()
 
 
-def _sql_links_cte() -> str:
+def _sql_links_cte(pages_sql: str | None = None) -> str:
     """CTE chain page → exploded link rows (href, anchor_text) — the
-    oracle twin of operators/links.links_col + link_table."""
-    pages = _PAGES_SQL.format(
+    oracle twin of operators/links.links_col + link_table.
+    ``pages_sql`` must select ``(doc_id, page, page_host)``; defaults to
+    the gate's synthetic link-page builder over ``documents`` — the
+    differential fuzz harness passes its own raw-HTML corpus here."""
+    pages = pages_sql if pages_sql is not None else _PAGES_SQL.format(
         expr=_link_page_expr("CAST(doc_id AS VARCHAR)")
         .format(it="VARCHAR"))
     qn = "page"
@@ -133,11 +136,11 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "link_idx")
 
 
-def sql_html_links() -> str:
+def sql_html_links(pages_sql: str | None = None) -> str:
     p = sql_url_parts("href")
     cols = ",\n  ".join(f"{p[n]} AS {n}" for n in _URL_COLS)
     return f"""
-WITH {_sql_links_cte()}
+WITH {_sql_links_cte(pages_sql)}
 SELECT doc_id, link_idx, href, anchor_text,
   {cols}
 FROM links
@@ -195,10 +198,10 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats(links).orderBy("host")
 
 
-def sql_host_stats() -> str:
+def sql_host_stats(pages_sql: str | None = None) -> str:
     p = sql_url_parts("href")
     return f"""
-WITH {_sql_links_cte()},
+WITH {_sql_links_cte(pages_sql)},
 parsed AS (
   SELECT doc_id, page_host, {p['host']} AS host,
          {p['scheme']} AS scheme

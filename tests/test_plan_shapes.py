@@ -233,3 +233,35 @@ def test_incremental_dedup_never_shuffles_corpus(spark, tmp_path):
     walk(jplan, False)
     # sanity: the corpus IS scanned (twice: band probe + sig attach)
     assert found["scans"] == 2, found["scans"]
+
+
+def test_link_family_plan_shapes(spark):
+    """link_table is a narrow scan-stage pass (zero Exchange).  The
+    host rollup: exact count-distincts plan as Spark's Expand + two
+    exchanges (the gate path); the approx (HLL) 100 TB path is a
+    SINGLE hash exchange on host with a map-side partial aggregate
+    below it (operators/links.py scale notes)."""
+    from pdf_extraction_spark.operators.links import (host_stats,
+                                                      link_table)
+    from pdf_extraction_spark.queries_links import _pages_spark
+
+    links = link_table(_pages_spark(spark, SF_DIR),
+                       carry=("page_host",))
+    assert "Exchange" not in _plan(links)
+    exact = _plan(host_stats(links))
+    assert exact.count("Exchange hashpartitioning") == 2
+    approx = _plan(host_stats(links, exact_distinct=False))
+    assert approx.count("Exchange hashpartitioning") == 1
+    # partial aggregate below the exchange == map-side combine survived
+    assert "partial_" in approx
+
+
+def test_html_extraction_zero_shuffle(spark):
+    """HTML main-content extraction evaluates inside the scan stage —
+    no Exchange, no BatchEvalPython (zero UDF)."""
+    from pdf_extraction_spark.operators.html import extract_main_content
+    from pdf_extraction_spark.queries_html import _spark_pages
+
+    plan = _plan(extract_main_content(_spark_pages(spark, SF_DIR)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
