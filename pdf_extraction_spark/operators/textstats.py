@@ -20,15 +20,43 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java-regex/RE2/python-re
+# common subset: explicit ASCII whitespace class (the three engines'
+# \s sets differ on \x0b, see rules.re2) and NO negative lookahead —
+# GPT-2's \s+(?!\S) "leave the last space for the next word" rule is
+# dropped, so a multi-space run counts as ONE whitespace token instead
+# of splitting; contraction suffixes ('s 't 're 've 'm 'll 'd) bind
+# first, then space-prefixed letter / digit / punctuation runs.
+# Token COUNTS from this pattern approximate a BPE tokenizer's
+# pre-split granularity (the shard-packing budget signal), not any
+# specific vocab's piece count.
+_BPE_WS = " \\t\\n\\r\\f\\x0b"
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    f"| ?[^A-Za-z0-9{_BPE_WS}]+"
+    f"|[{_BPE_WS}]+")
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization: the token pieces, in order."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: totals, uniques, char counts."""
+    """Token counting: whitespace totals, uniques, chars, BPE-ish
+    pre-tokenizer count (the budget signal shard packing uses when a
+    corpus is priced in model tokens rather than words)."""
     toks = tokens_col(F.col(text_col))
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
-        .cast("long").alias("n_chars_nospace"))
+        .cast("long").alias("n_chars_nospace"),
+        F.size(bpe_tokens_col(F.col(text_col))).cast("long")
+        .alias("n_bpe_tokens"))
 
 
 def quality_columns(text: Column) -> list[Column]:

@@ -589,23 +589,35 @@ FROM documents GROUP BY md5(text)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (training-data op): whitespace tokens, uniques, chars."""
+    """Token counting (training-data op): whitespace tokens, uniques,
+    chars, BPE-ish pre-tokenizer count (operators/textstats.py)."""
+    from .operators.textstats import bpe_tokens_col
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_chars_nospace"))
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_chars_nospace"),
+        F.size(bpe_tokens_col(F.col("text"))).alias("n_bpe_tokens"))
 
 
-SQL_TOKEN_STATS = r"""
+def _sql_token_stats() -> str:
+    from .operators.textstats import BPE_TOKEN_PATTERN
+
+    bpe = BPE_TOKEN_PATTERN.replace("'", "''")
+    return rf"""
 SELECT doc_id,
   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
   len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique,
-  length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace
+  length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace,
+  len(regexp_extract_all(text, '{bpe}')) AS n_bpe_tokens
 FROM documents
 """
+
+
+SQL_TOKEN_STATS = _sql_token_stats()
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

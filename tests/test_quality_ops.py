@@ -88,3 +88,48 @@ def test_pii_scrub_zero_shuffle(spark):
     plan = scrub_pii(_docs(spark, [(1, "a")]))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_pretokenizer_known_pieces(spark):
+    """Contractions bind first; space-prefixed letter/digit/punct runs;
+    multi-space runs are ONE whitespace piece (documented deviation
+    from GPT-2's lookahead rule)."""
+    from pdf_extraction_spark.operators.textstats import bpe_tokens_col
+
+    df = spark.createDataFrame(
+        [("don't stop, it's 42%  done!",)], "text string")
+    pieces = df.select(bpe_tokens_col(F.col("text")).alias("p")) \
+        .collect()[0].p
+    assert pieces == ["don", "'t", " stop", ",", " it", "'s", " 42",
+                      "%", "  ", "done", "!"]
+
+
+def test_bpe_pretokenizer_tri_engine_parity(spark):
+    """The pattern is in the Java/RE2/python common subset: all three
+    engines must produce identical pieces on the whitespace zoo and
+    punctuation edges (incl. \\x0b, which the engines' \\s classes
+    disagree on — the reason the pattern spells its class explicitly)."""
+    import re
+
+    import duckdb
+
+    from pdf_extraction_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN, bpe_tokens_col)
+
+    samples = ["a\x0bb", "tab\there", "  lead", "trail  ", "x\r\ny",
+               "'''", "it'll we've I'm", "a1b2", "3.14", "-5",
+               "\x0c\x0b \t", "naive—word", "", "Don'T"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    spark_out = [r.p for r in
+                 sdf.select(bpe_tokens_col(F.col("text")).alias("p"))
+                 .collect()]
+    con = duckdb.connect()
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    duck_out = [
+        con.sql(f"SELECT regexp_extract_all(?, '{pat}')",
+                params=[s]).fetchone()[0]
+        for s in samples]
+    py_out = [re.findall(BPE_TOKEN_PATTERN, s) and
+              [m.group(0) for m in re.finditer(BPE_TOKEN_PATTERN, s)]
+              or [] for s in samples]
+    assert spark_out == duck_out == py_out
