@@ -15,21 +15,23 @@ evaluates inside the scan stage and adds no stage boundary at 100 TB):
 
 1. scrub sentinels, drop ``<!--…-->`` comments, ``<script>``/``<style>``
    elements and the whole ``<head>``;
-2. rewrite every block-level tag boundary (``p div h1..h6 li table tr
-   td nav header footer aside …``) to ``\\x01<tag>\\x02`` (openings)
+2. rewrite every ``<img src>`` to a standalone ``img`` block (the src
+   as body) so interleaved media survive segmentation in document
+   order, then every block-level tag boundary (``p div h1..h6 li table
+   tr td nav header footer aside …``) to ``\\x01<tag>\\x02`` (openings)
    or ``\\x01\\x02`` (closings), then split on ``\\x01`` — each array
    element is one DOM block with its introducing tag;
 3. per block (inside ``F.transform``): strip remaining inline tags,
    decode the five basic entities (&amp; last, so ``&amp;lt;`` decodes
    once), collapse ASCII whitespace, measure text length, anchor-text
    length (``<a …>…</a>`` contents) and tag count;
-4. classify jusText/Arc90-style: ``nav`` if the introducing tag is a
-   navigation container (nav/header/footer/aside), ``empty`` if the
-   block has no visible text (structural segments between adjacent
-   tags), ``short`` if the text is under ``min_text_len`` chars,
-   ``link`` if anchor text exceeds ``max_link_pct``% of the text
-   (integer math — no float divergence across engines), else
-   ``content``;
+4. classify jusText/Arc90-style: ``media`` if the block is a rewritten
+   ``<img>``, ``nav`` if the introducing tag is a navigation container
+   (nav/header/footer/aside), ``empty`` if the block has no visible
+   text (structural segments between adjacent tags), ``short`` if the
+   text is under ``min_text_len`` chars, ``link`` if anchor text
+   exceeds ``max_link_pct``% of the text (integer math — no float
+   divergence across engines), else ``content``;
 5. main text = the content blocks joined in document order.
 
 Heuristic honesty: this is a regex tokenizer, not an HTML5 tree
@@ -89,6 +91,18 @@ WS_PATTERN = "[ \t\r\n\x0c]+"
 ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
+# <img> elements become standalone media blocks so the north rule's
+# interleaved media spans survive block segmentation in document order
+# (html_to_spans below).  Quote-normalization first (same contract as
+# operators/links.py QUOTE_NORM); an <img> without a src contributes
+# nothing (stripped later with the other inline tags).
+IMG_QUOTE_NORM = [
+    (r"(?is)(<img(?:\s[^>]*?)?\ssrc\s*=\s*)'([^']*)'", '$1"$2"'),
+    (r"(?is)(<img(?:\s[^>]*?)?\ssrc\s*=\s*)([^\"'\s>][^\s>]*)",
+     '$1"$2"'),
+]
+IMG_PATTERN = r'(?is)<img(?:\s[^>]*?)?\ssrc\s*=\s*"([^"]*)"[^>]*>'
+
 
 def _plain_text(raw: Column) -> Column:
     """Strip inline tags, decode basic entities, collapse whitespace."""
@@ -113,7 +127,8 @@ def _block_struct(seg: Column) -> Column:
     text_len = F.length(text)
     anchor_len = F.length(anchor)
     n_tags = F.size(F.regexp_extract_all(body, F.lit(TAG_PATTERN), 0))
-    cls = (F.when(tag.isin(*NAV_TAGS), F.lit("nav"))
+    cls = (F.when(tag == "img", F.lit("media"))
+            .when(tag.isin(*NAV_TAGS), F.lit("nav"))
             .when(text_len == 0, F.lit("empty"))
             .when(text_len < MIN_TEXT_LEN, F.lit("short"))
             .when(anchor_len * 100 > text_len * MAX_LINK_PCT,
@@ -131,6 +146,11 @@ def html_blocks_col(html: Column) -> Column:
     cleaned = F.coalesce(html, F.lit(""))
     for pat in DROP_PATTERNS:
         cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(""))
+    for pat, repl in IMG_QUOTE_NORM:
+        cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(repl))
+    cleaned = F.regexp_replace(
+        cleaned, F.lit(IMG_PATTERN),
+        F.lit(SENT_A + "img" + SENT_B + "$1" + SENT_A + SENT_B))
     cleaned = F.regexp_replace(cleaned, F.lit(CLOSE_PATTERN),
                                F.lit(SENT_A + SENT_B))
     cleaned = F.regexp_replace(cleaned, F.lit(OPEN_PATTERN),
@@ -164,6 +184,7 @@ def extract_main_content(docs: DataFrame, html_col: str = "html",
             (acc["n_nav"] + one(b["cls"] == "nav")).alias("n_nav"),
             (acc["n_short"] + one(b["cls"] == "short")).alias("n_short"),
             (acc["n_link"] + one(b["cls"] == "link")).alias("n_link"),
+            (acc["n_media"] + one(b["cls"] == "media")).alias("n_media"),
             (acc["main_chars"] + F.when(b["cls"] == "content",
                                         b["text_len"].cast("long"))
              .otherwise(F.lit(0).cast("long"))).alias("main_chars"),
@@ -172,8 +193,8 @@ def extract_main_content(docs: DataFrame, html_col: str = "html",
 
     zeros = F.struct(*[F.lit(0).cast("long").alias(n)
                        for n in ("n_blocks", "n_content", "n_nav",
-                                 "n_short", "n_link", "main_chars",
-                                 "anchor_chars")])
+                                 "n_short", "n_link", "n_media",
+                                 "main_chars", "anchor_chars")])
     stats = F.aggregate(bl, zeros, _count)
     main_text = F.array_join(
         F.transform(F.filter(bl, lambda b: b["cls"] == "content"),
@@ -187,7 +208,8 @@ def extract_main_content(docs: DataFrame, html_col: str = "html",
         id_col, "main_text",
         *[F.col("__stats")[n].alias(n)
           for n in ("n_blocks", "n_content", "n_nav", "n_short",
-                    "n_link", "main_chars", "anchor_chars")])
+                    "n_link", "n_media", "main_chars",
+                    "anchor_chars")])
 
 
 def html_block_table(docs: DataFrame, html_col: str = "html",
@@ -206,3 +228,35 @@ def html_block_table(docs: DataFrame, html_col: str = "html",
         F.col("b.text_len").cast("long").alias("text_len"),
         F.col("b.n_tags").cast("long").alias("n_tags"),
         F.col("b.text").alias("text"))
+
+
+def html_to_spans(docs: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Bridge a crawl-HTML corpus onto the pipeline's contract span
+    schema (BASELINE.json input_hint): content blocks become ``text``
+    spans, ``<img src>`` elements become ``media`` spans with the src
+    as ``media_ref``, both in document order with a gapless 0-based
+    ``offset`` — so the fused extraction plan (plans/fused.py
+    assemble_fused) and everything downstream of it runs unchanged on
+    web documents.  Media spans are preserved unconditionally in
+    extraction order (the north rule's invariant); filtering chrome
+    images is downstream policy, not extraction's call.
+
+    Zero shuffle: the whole bridge is the html_blocks_col regex chain
+    plus a filter/transform over the per-doc block array, so at crawl
+    scale it fuses into the scan stage of the extraction job it feeds.
+    """
+    bl = html_blocks_col(F.col(html_col))
+    keep = F.filter(bl, lambda b: b["cls"].isin("content", "media"))
+    spans = F.transform(
+        keep,
+        lambda b, i: F.struct(
+            F.when(b["cls"] == "media", F.lit("media"))
+             .otherwise(F.lit("text")).alias("kind"),
+            F.when(b["cls"] == "media", F.lit(""))
+             .otherwise(b["text"]).alias("text"),
+            F.when(b["cls"] == "media", b["text"])
+             .otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset")))
+    return docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       spans.alias("spans"))

@@ -19,10 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.html import (ANCHOR_PATTERN, CLOSE_PATTERN,
-                             DROP_PATTERNS, ENTITIES, MAX_LINK_PCT,
+                             DROP_PATTERNS, ENTITIES, IMG_PATTERN,
+                             IMG_QUOTE_NORM, MAX_LINK_PCT,
                              MIN_TEXT_LEN, NAV_TAGS, OPEN_PATTERN,
                              TAG_PATTERN, extract_main_content,
-                             html_block_table)
+                             html_block_table, html_to_spans)
 
 _S1, _S2 = "\x01", "\x02"
 _WS_SQL = "[ \t\r\n\x0c]+"          # same class the operator collapses
@@ -102,6 +103,12 @@ def sql_blocks_cte(pages_sql: str | None = None) -> str:
     cleaned = "page"
     for pat in DROP_PATTERNS:
         cleaned = f"regexp_replace({cleaned}, '{pat}', '', 'g')"
+    for pat, _repl in IMG_QUOTE_NORM:
+        cleaned = (f"regexp_replace({cleaned}, "
+                   f"'{pat.replace(chr(39), chr(39)*2)}', "
+                   f"'\\1\"\\2\"', 'g')")
+    cleaned = (f"regexp_replace({cleaned}, '{IMG_PATTERN}', "
+               f"'{_S1}img{_S2}\\1{_S1}{_S2}', 'g')")
     cleaned = (f"regexp_replace({cleaned}, '{CLOSE_PATTERN}', "
                f"'{_S1}{_S2}', 'g')")
     # \\1 in the replacement is RE2's group ref (Spark spells it $1)
@@ -135,7 +142,8 @@ blocks AS (
       text_len := CAST(length(r.text) AS BIGINT),
       anchor_len := CAST(length(r.anchor) AS BIGINT),
       n_tags := r.n_tags,
-      cls := CASE WHEN r.tag IN ({nav_list}) THEN 'nav'
+      cls := CASE WHEN r.tag = 'img' THEN 'media'
+                  WHEN r.tag IN ({nav_list}) THEN 'nav'
                   WHEN length(r.text) = 0 THEN 'empty'
                   WHEN length(r.text) < {MIN_TEXT_LEN} THEN 'short'
                   WHEN length(r.anchor) * 100
@@ -158,6 +166,7 @@ SELECT doc_id,
   CAST(len(list_filter(bl, b -> b.cls = 'nav')) AS BIGINT) AS n_nav,
   CAST(len(list_filter(bl, b -> b.cls = 'short')) AS BIGINT) AS n_short,
   CAST(len(list_filter(bl, b -> b.cls = 'link')) AS BIGINT) AS n_link,
+  CAST(len(list_filter(bl, b -> b.cls = 'media')) AS BIGINT) AS n_media,
   CAST(COALESCE(list_sum(list_transform(
       list_filter(bl, b -> b.cls = 'content'), b -> b.text_len)), 0)
     AS BIGINT) AS main_chars,
@@ -274,14 +283,83 @@ FROM k
 """
 
 
+# --- html -> contract spans bridge gate -------------------------------
+
+def _media_page_expr(id_str: str) -> str:
+    """Deterministic page interleaving text paragraphs with <img>
+    elements in all three quote forms — the bridge gate's input."""
+    return f"""
+  '<html><body><h2>' || substr(t, 1, 40) || '</h2>'
+  || '<img src="img://' || {id_str} || '/0" alt="a">'
+  || '<p>' || substr(t, 41, 200) || '</p>'
+  || '<p><img src=''img://' || {id_str} || '/1''></p>'
+  || '<p>' || substr(t, 241, 200) || '</p>'
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<img src=img://' || {id_str} || '/2 width=4>' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '<img alt="no-src">' ELSE '' END
+  || '<footer><img src="chrome.png"> (c) site</footer>'
+  || '</body></html>'
+""".strip()
+
+
+def q_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> contract span arrays: content blocks as text spans,
+    <img src> as interleaved media spans, gapless document-order
+    offsets (operators/html.py html_to_spans — the bridge that runs
+    the fused extraction pipeline on crawl pages)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = d.select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id",
+                F.expr(_media_page_expr("CAST(doc_id AS STRING)"))
+                 .alias("html"))
+    spans = html_to_spans(pages)
+    # the bridge emits the contract's doc_id:string; compare numerically
+    e = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("idx", "s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+def sql_html_spans() -> str:
+    pages_sql = _GATE_PAGES.format(
+        expr=_media_page_expr("CAST(doc_id AS VARCHAR)"))
+    return f"""
+WITH {sql_blocks_cte(pages_sql)},
+keep AS (
+  SELECT doc_id,
+         list_filter(bl, b -> b.cls IN ('content', 'media')) AS kb
+  FROM blocks),
+sp AS (
+  SELECT doc_id, unnest(list_transform(kb, (b, i) -> struct_pack(
+      off := CAST(i - 1 AS BIGINT),
+      kind := CASE WHEN b.cls = 'media' THEN 'media' ELSE 'text' END,
+      text := CASE WHEN b.cls = 'media' THEN '' ELSE b.text END,
+      media_ref := CASE WHEN b.cls = 'media' THEN b.text
+                        ELSE '' END))) AS u
+  FROM keep)
+SELECT doc_id, u.off AS "offset", u.kind AS kind, u.text AS text,
+       u.media_ref AS media_ref
+FROM sp
+ORDER BY doc_id, u.off
+"""
+
+
 QUERIES_HTML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main": q_html_main,
     "html_blocks": q_html_blocks,
     "html_curation": q_html_curation,
+    "html_spans": q_html_spans,
 }
 
 ORACLES_HTML: dict[str, str] = {
     "html_main": sql_html_main(),
     "html_blocks": sql_html_blocks(),
     "html_curation": _sql_html_curation(),
+    "html_spans": sql_html_spans(),
 }

@@ -158,3 +158,55 @@ def test_web_curation_single_shuffle(spark):
     df = curate_web_corpus(_pages(spark, [(1, "<p>x</p>")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1      # only the keeper window
+
+
+IMG_PAGE = (
+    '<html><body>'
+    '<h1>A substantial heading over twenty-five chars</h1>'
+    '<img src="img://d/0" alt="x">'
+    '<p>First paragraph long enough to classify as real content.</p>'
+    "<p><img src='img://d/1'></p>"
+    '<img src=img://d/2 width=3>'
+    '<img alt="no src, no span">'
+    '<footer><img src="chrome.png">(c)</footer>'
+    '</body></html>')
+
+
+def test_html_to_spans_interleaves_media_in_order(spark):
+    from pdf_extraction_spark.operators.html import html_to_spans
+
+    docs = spark.createDataFrame([("d", IMG_PAGE)],
+                                 "doc_id string, html string")
+    spans = html_to_spans(docs).collect()[0].spans
+    assert [s.kind for s in spans] == \
+        ["text", "media", "text", "media", "media", "media"]
+    assert [s.media_ref for s in spans if s.kind == "media"] == \
+        ["img://d/0", "img://d/1", "img://d/2", "chrome.png"]
+    assert [s.offset for s in spans] == list(range(6))  # gapless
+    assert all(s.text == "" for s in spans if s.kind == "media")
+    assert all(s.media_ref == "" for s in spans if s.kind == "text")
+
+
+def test_html_to_spans_feeds_fused_extraction(spark):
+    """The bridge output IS the contract input: the fused extraction
+    plan runs unchanged on crawl pages, and the north rule's media
+    pass-through invariant holds end to end (kind, media_ref, order)."""
+    from pdf_extraction_spark.operators.html import html_to_spans
+    from pdf_extraction_spark.plans.fused import assemble_fused
+
+    docs = spark.createDataFrame([("d", IMG_PAGE)],
+                                 "doc_id string, html string")
+    bridged = html_to_spans(docs)
+    out = assemble_fused(bridged).collect()[0]
+    in_spans = bridged.collect()[0].spans
+    # the north-rule span-sequence invariant (kind, media_ref, order):
+    # every input media span reappears in the output span sequence,
+    # same refs, same relative order, text '' (output kind is the
+    # oracle's KIND_MEDIA = 'media_ref' label)
+    out_media = [s for s in out.spans if s.kind == "media_ref"]
+    assert [s.media_ref for s in out_media] == \
+        [s.media_ref for s in in_spans if s.kind == "media"]
+    assert all(s.text == "" for s in out_media)
+    # and the output carries the standard extraction schema
+    assert {"doc_id", "metadata", "issues", "tables",
+            "raw_sections", "summary"} <= set(out.asDict().keys())

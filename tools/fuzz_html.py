@@ -64,7 +64,16 @@ def gen_html(rng: random.Random) -> str:
         elif r < 0.50:
             parts.append(f"<a href=x><b>{_words(rng, 1, 4)}</b>"
                          f"<{rng.choice(['p', 'div'])}>link-wrapped</a>")
-        elif r < 0.58:
+        elif r < 0.55:
+            src = rng.choice(["img://x/1", "a b", "", "i<j", "&amp;u",
+                              "'q'", "x.png"])
+            q = rng.choice(['"', "'", ""])
+            src_q = src if q else src.replace(" ", "").replace("'", "")
+            parts.append(rng.choice(
+                [f"<img src={q}{src_q}{q}{rng.choice(ATTRS)}>",
+                 f"<img{rng.choice(ATTRS)} src={q}{src_q}{q}/>",
+                 "<img alt=nosrc>", "<IMG SRC=UP.GIF>"]))
+        elif r < 0.60:
             parts.append(f"<!-- {_words(rng, 0, 4)} <p>{tag}</p> -->")
         elif r < 0.66:
             parts.append(rng.choice([
@@ -85,7 +94,8 @@ def gen_html(rng: random.Random) -> str:
 
 
 MAIN_COLS = ["doc_id", "main_text", "n_blocks", "n_content", "n_nav",
-             "n_short", "n_link", "main_chars", "anchor_chars"]
+             "n_short", "n_link", "n_media", "main_chars",
+             "anchor_chars"]
 BLOCK_COLS = ["doc_id", "block_idx", "tag", "cls", "text_len",
               "n_tags", "text"]
 PAGES = "SELECT doc_id, COALESCE(html, '') AS page FROM corpus"
