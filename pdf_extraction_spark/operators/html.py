@@ -37,7 +37,18 @@ evaluates inside the scan stage and adds no stage boundary at 100 TB):
 Heuristic honesty: this is a regex tokenizer, not an HTML5 tree
 builder — attributes containing a raw ``>``, unclosed ``<a`` elements
 and block tags nested inside anchors are classified from the text the
-regex sees.  The patterns are restricted to the Java-regex/RE2/python
+regex sees.
+
+Giant-page skew: per-page cost is linear in page bytes (measured
+~0.7 s/MB warm on an adversarial 6.3 MB / 50k-block page, local[8];
+typical crawl pages are 10-100 KB) and a page is one row, so the
+worst single task is bounded by the biggest page in a partition.
+There is no salting analog for one HTML string (the rewrite chain is
+order-dependent within the page) — at crawl scale, cap or truncate
+page bytes at ingest (as crawl archives already do) and size
+rows-per-partition so stragglers stay within the AQE task-retry
+budget; the text-side giant-doc dispatch (plans/salted.py) applies
+only AFTER html_to_spans, where a huge page has become many spans.  The patterns are restricted to the Java-regex/RE2/python
 ``re`` common subset ((?is) flags, non-greedy, no lookaround, no
 backreference) so the DuckDB oracle can replay the chain bit-for-bit
 (tri-engine parity notes: BENCH/BASELINE.md §18).

@@ -210,3 +210,25 @@ def test_html_to_spans_feeds_fused_extraction(spark):
     # and the output carries the standard extraction schema
     assert {"doc_id", "metadata", "issues", "tables",
             "raw_sections", "summary"} <= set(out.asDict().keys())
+
+
+def test_media_spans_chain_into_multimodal_decode(spark):
+    """Web images flow end to end: html_to_spans media refs ->
+    synthesize_media (the stand-in for a fetch/decode stage) ->
+    decode_media feature extraction — the multimodal plumbing accepts
+    the bridge's media_ref column unchanged."""
+    from pdf_extraction_spark.operators.html import html_to_spans
+    from pdf_extraction_spark.operators.multimodal import (decode_media,
+                                                           synthesize_media)
+
+    docs = spark.createDataFrame([("d", IMG_PAGE)],
+                                 "doc_id string, html string")
+    refs = html_to_spans(docs).select(
+        F.explode("spans").alias("s")) \
+        .where(F.col("s.kind") == "media") \
+        .select(F.col("s.media_ref").alias("media_ref"))
+    media = synthesize_media(spark, refs)
+    feats = decode_media(media, fake=True).collect()
+    assert {r.media_ref for r in feats} == \
+        {"img://d/0", "img://d/1", "img://d/2", "chrome.png"}
+    assert all(len(r.feature) > 0 for r in feats)
