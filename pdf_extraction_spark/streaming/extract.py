@@ -30,3 +30,28 @@ def extract_stream(spark: SparkSession, source_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return assemble_fused(reader.parquet(source_dir))
+
+
+HTML_SCHEMA = "doc_id string, html string"
+
+
+def web_extract_stream(spark: SparkSession, source_dir: str,
+                       schema: str = HTML_SCHEMA,
+                       max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+    """Crawl-HTML stream -> contract spans -> streaming extraction.
+
+    html_to_spans (operators/html.py) is a stateless narrow projection,
+    so the whole web-ingest path — boilerplate strip, media-span
+    bridging, fused extraction — runs unchanged as ONE Structured
+    Streaming query: new page files (or a Kafka/Iceberg-CDC source)
+    flow through the same zero-shuffle plan the batch job uses, with
+    checkpointLocation supplying exactly-once resume.  This is the
+    continuous-ingest twin of the batch crawl pipeline, same operators,
+    no reimplementation."""
+    from ..operators.html import html_to_spans
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return assemble_fused(html_to_spans(reader.parquet(source_dir)))

@@ -213,3 +213,44 @@ def test_stateful_dedup_survives_restart(spark, tmp_path):
     assert all(r["decision"] == "changed" for r in rows)
     assert len({r["doc_id"] for r in rows}) == 4
     assert len(spark.read.parquet(out).collect()) == 12
+
+
+def test_streaming_web_extraction_matches_batch(spark, tmp_path):
+    """The crawl path streams: HTML files -> html_to_spans ->
+    assemble_fused as one continuous query, equal to the batch twin
+    per doc (span count, media refs, issue count)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.html import html_to_spans
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.extract import web_extract_stream
+
+    page = ('<h1>A heading long enough to classify as content</h1>'
+            '<img src="img://{i}/0">'
+            '<p>Body paragraph number {i} with enough words to pass '
+            'the short-block cutoff easily.</p>')
+    rows = [(str(i), page.format(i=i)) for i in range(12)]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id string, html string") \
+        .repartition(3).write.parquet(src)
+
+    def key(r):
+        media = [s["media_ref"] for s in r["spans"]
+                 if s["kind"] == "media_ref"]
+        return (len(r["spans"]), tuple(media),
+                r["summary"]["total_issues"])
+
+    batch = {r["doc_id"]: key(r) for r in assemble_fused(
+        html_to_spans(spark.read.parquet(src))).collect()}
+
+    q = (web_extract_stream(spark, src, max_files_per_trigger=1)
+         .writeStream.format("memory").queryName("web_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: key(r)
+               for r in spark.sql("select * from web_stream").collect()}
+    finally:
+        q.stop()
+
+    assert got == batch and len(got) == 12
