@@ -64,10 +64,11 @@ _DRIVER_WINDOW = [
     "fingerprint", "langid", "quality_score", "title", "token_stats",
     "events_window", "group_discount", "calibration", "dedup_doc",
     "metadata_enrich", "normalize_unicode", "boilerplate",
-    "checkpoint_cache", "classification", "cosine_topk",
-    # new in round 4 (never scored; displace eight r03-green fillers)
+    "checkpoint_cache", "classification",
+    # new in round 4 (never scored; displace nine r03-green fillers)
     "html_main", "html_blocks", "html_curation", "html_spans",
     "html_links", "url_normalize", "host_stats", "html_head",
+    "host_denylist",
 ]
 
 

@@ -131,3 +131,51 @@ def curated(docs: DataFrame, text_col: str = "text",
         verdicts = curate_corpus(docs, text_col, **kwargs)
     return (docs.join(verdicts.where(F.col("verdict") == "kept")
                       .select("doc_id"), "doc_id"))
+
+
+def filter_hosts(docs: DataFrame, denylist: DataFrame | Sequence[str],
+                 url_col: str = "url") -> DataFrame:
+    """Domain deny-list filter — the URL-level curation stage crawl
+    pipelines (C4, RefinedWeb) run before any content work: drop every
+    page whose host equals a denied entry OR sits under one
+    (``example.com`` also blocks ``ads.example.com``).
+
+    Scale shape: the corpus side is NEVER shuffled or expanded.  For
+    each distinct label count L present in the (small, MB-scale) deny
+    table — found with one driver-side action on the deny side only —
+    the corpus does one broadcast LEFT ANTI join keyed on the last L
+    labels of the parsed host.  2-4 label counts in practice, so the
+    plan is scan → 2-4 stacked BroadcastHashJoin(anti) → project, all
+    in the scan stage; a shuffle anti-join here would hash-partition
+    10^12 pages to discard a fraction of them, and the naive
+    explode-suffixes formulation either shuffles a doc-level
+    aggregation or re-broadcasts a corpus-derived (unbounded) set."""
+    from .links import url_parts
+
+    spark = docs.sparkSession
+    if not isinstance(denylist, DataFrame):
+        denylist = spark.createDataFrame(
+            [(h,) for h in denylist], "host string")
+    deny = denylist.select(F.lower(F.col("host")).alias("deny_host"),
+                           F.size(F.split(F.lower(F.col("host")),
+                                          r"\.")).alias("n_labels"))
+    # deny side only: tiny table, one action
+    label_counts = sorted(
+        r.n_labels for r in deny.select("n_labels").distinct().collect())
+    host = url_parts(F.col(url_col))["host"]
+    out = docs.withColumn("__host", host)
+    labels = F.split(F.col("__host"), r"\.")
+    for n in label_counts:
+        if n < 1:
+            continue
+        key = F.when(
+            F.size(labels) >= n,
+            F.array_join(F.slice(labels, F.size(labels) - n + 1, n),
+                         ".")).otherwise(F.lit(None))
+        d_n = deny.where(F.col("n_labels") == n) \
+            .select(F.col("deny_host").alias(f"__deny_{n}"))
+        out = out.withColumn(f"__sfx_{n}", key).join(
+            F.broadcast(d_n),
+            F.col(f"__sfx_{n}") == F.col(f"__deny_{n}"),
+            "left_anti").drop(f"__sfx_{n}")
+    return out.drop("__host")

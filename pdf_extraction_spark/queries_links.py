@@ -277,11 +277,45 @@ ORDER BY doc_id
 """
 
 
+# deny entries exercising both label counts + a lookalike trap
+_DENY_HOSTS = ("example.com", "files.example.com", "host.org")
+
+
+def q_host_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain deny-list filter over the adversarial URL corpus: exact
+    and subdomain suffix matches dropped, lookalikes kept
+    (operators/curation.py filter_hosts — stacked broadcast anti-joins,
+    corpus never shuffled)."""
+    from .operators.curation import filter_hosts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.expr(_URL_CASE.format(id="CAST(doc_id AS STRING)"))
+    docs = d.select("doc_id", u.alias("url"))
+    return filter_hosts(docs, list(_DENY_HOSTS)).orderBy("doc_id")
+
+
+def sql_host_denylist() -> str:
+    p = sql_url_parts("url")
+    # suffix semantics: host == entry OR host ends with '.' || entry
+    cond = " AND ".join(
+        f"NOT (h = '{d}' OR h LIKE '%.{d}')" for d in _DENY_HOSTS)
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE.format(id="CAST(doc_id AS VARCHAR)")} AS url
+  FROM documents),
+h AS (SELECT doc_id, url, {p['host']} AS h FROM u)
+SELECT doc_id, url FROM h
+WHERE {cond}
+ORDER BY doc_id
+"""
+
+
 QUERIES_LINKS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_links": q_html_links,
     "url_normalize": q_url_normalize,
     "host_stats": q_host_stats,
     "html_head": q_html_head,
+    "host_denylist": q_host_denylist,
 }
 
 ORACLES_LINKS: dict[str, str] = {
@@ -289,4 +323,5 @@ ORACLES_LINKS: dict[str, str] = {
     "url_normalize": sql_url_normalize(),
     "host_stats": sql_host_stats(),
     "html_head": sql_html_head(),
+    "host_denylist": sql_host_denylist(),
 }

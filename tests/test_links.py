@@ -106,3 +106,32 @@ def test_head_meta_null_and_missing(spark):
     for r in rows.values():
         assert (r.title, r.meta_description, r.meta_keywords) == \
             ("", "", "")
+
+
+def test_filter_hosts_suffix_semantics_and_plan(spark):
+    """Deny-list drops exact hosts and subdomains of denied parents,
+    keeps lookalikes (notexample.com); the corpus side plans as stacked
+    broadcast anti-joins — zero Exchange, zero corpus shuffle."""
+    from pdf_extraction_spark.operators.curation import filter_hosts
+
+    docs = spark.createDataFrame(
+        [("a", "https://ads.example.com/x"),       # subdomain of denied
+         ("b", "https://example.com/y"),           # exact denied
+         ("c", "https://notexample.com/z"),        # lookalike survives
+         ("d", "https://good.org/w"),
+         ("e", "/relative/no-host"),               # host '' survives
+         ("f", "https://bad.co.uk/v")],            # 3-label deny entry
+        "doc_id string, url string")
+    kept = filter_hosts(docs, ["example.com", "bad.co.uk"])
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == ["c", "d", "e"] or ids == ["c", "d", "e", "f"]
+    # bad.co.uk is a 3-label entry: f must be dropped
+    assert "f" not in ids
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # deny side broadcasts; the corpus side never hash-partitions
+    # (post-collect the adaptive plan prints initial+final sections,
+    # so node counts are asserted as lower bounds)
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastExchange") >= 2   # one per label count
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan

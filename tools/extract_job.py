@@ -33,10 +33,13 @@ def main() -> None:
                          "through the salted plan in the same job "
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline"],
+                    choices=["extract", "pipeline", "web"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
-                         "(both map-only, the production chain)")
+                         "(both map-only, the production chain); "
+                         "web = crawl HTML corpus (doc_id, html) -> "
+                         "html_to_spans bridge -> extraction (the whole "
+                         "web-ingest path, still map-only)")
     ap.add_argument("--walls", type=int, default=6,
                     help="timed steady-state repetitions (best is scored); "
                          "lower for long-corpus scaling runs where one "
@@ -63,6 +66,11 @@ def main() -> None:
 
     if args.stage == "extract":
         plan = extract
+    elif args.stage == "web":
+        from pdf_extraction_spark.operators.html import html_to_spans
+
+        def plan(d):
+            return extract(html_to_spans(d))
     else:
         def plan(d):
             return enrich_extracted(extract(d))
@@ -70,7 +78,12 @@ def main() -> None:
     from pdf_extraction_spark.sources.catalog import load_docs
     docs = load_docs(spark, args.input)
     n_docs = docs.count()
-    n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
+    if args.stage == "web":
+        from pdf_extraction_spark.operators.html import html_to_spans
+        n_spans = html_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    else:
+        n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
 
     # warm-up: spin up python workers + JIT outside the timed region
     plan(docs.limit(args.warmup)) \

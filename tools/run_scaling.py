@@ -31,7 +31,8 @@ def make_zip(tmp: str) -> str:
     return zpath
 
 
-def generate_corpus(path: str, n_docs: int, partitions: int = 128) -> None:
+def generate_corpus(path: str, n_docs: int, partitions: int = 128,
+                    stage: str = "extract") -> None:
     if os.path.exists(path):
         return
     from pdf_extraction_spark import corpus
@@ -39,8 +40,28 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128) -> None:
 
     spark = get_spark(app_name="scaling-corpus")
     spark.sparkContext.setLogLevel("ERROR")
-    corpus.generate_docs(spark, n_docs, giant_every=997,
-                         partitions=partitions).write.parquet(path)
+    docs = corpus.generate_docs(spark, n_docs, giant_every=997,
+                                partitions=partitions)
+    if stage == "web":
+        # crawl-shaped input: rebuild each doc as an HTML page — the
+        # same deterministic chrome the html gates use, body text from
+        # the doc's spans, variant selectors from the numeric doc id
+        # (deterministic, partitioning-independent).
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.queries_html import _html_expr
+
+        expr = _html_expr("doc_id").replace(
+            "doc_id %", "CAST(regexp_extract(doc_id, '([0-9]+)', 1) "
+                        "AS BIGINT) %")
+        docs.select(
+            "doc_id",
+            F.array_join(F.transform(
+                F.col("spans"), lambda sp: sp["text"]), " ").alias("t")) \
+            .select("doc_id", F.expr(expr).alias("html")) \
+            .write.parquet(path)
+    else:
+        docs.write.parquet(path)
     spark.stop()
 
 
@@ -99,7 +120,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline"])
+                    choices=["extract", "pipeline", "web"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
@@ -120,7 +141,8 @@ def main() -> None:
                          "the last wave's straggler tail is amortized")
     args = ap.parse_args()
 
-    generate_corpus(args.data, args.docs, args.corpus_partitions)
+    generate_corpus(args.data, args.docs, args.corpus_partitions,
+                    args.stage)
     zpath = make_zip("/tmp")
 
     # Best-of-N per cluster size, with per-run walls in "spread" and the
