@@ -43,12 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # scored set == list(queries())[:50]). Rotation so every registered query
 # accumulates a driver-artifact row: positions 1-27 are the 26 queries
 # never scored in r01-r03 plus `summaries` (fixed after its r02 red,
-# rotated out before re-proof); then previously-green fillers; the tail
-# is the 7 round-4 additions (html/links families, never scored).
-# Once round 4's gate scores this window, EVERY registered query has a
-# driver row on record (r01-r03 scored sets + this list cover all 87).
-# Round-5 rotation: front-load the 37 names NOT in this list (all
-# r02/r03-green, unchanged) so each accumulates a second-round row.
+# rotated out before re-proof); then 14 previously-green fillers; the
+# tail is the 9 round-4 additions (html/links/spans families, never
+# scored).  Once round 4's gate scores this window, EVERY one of the 89
+# registered queries has a driver row on record (r01-r03 scored sets +
+# this list cover all 89 — verified by set arithmetic over
+# CORRECTNESS_r0{1,2,3}.json).  Round-5 rotation: front-load the 39
+# names NOT in this list (all r02/r03-green, unchanged) so each
+# accumulates a second-round row.
 _DRIVER_WINDOW = [
     # never driver-scored before round 4
     "span_sequence", "layout_blocks", "layout_text", "layout_spans",

@@ -102,16 +102,26 @@ WS_PATTERN = "[ \t\r\n\x0c]+"
 ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
+def attr_quote_patterns(tag: str, attr: str) -> list[tuple[str, str]]:
+    """The quote-normalization grammar, ONE definition for every
+    (tag, attr) extractor in the html/links family: rewrite
+    single-quoted then unquoted attribute values to double quotes
+    (the unquoted rule's value class excludes quote-initial values, so
+    an already-quoted attribute never re-matches).  Shared so the
+    href/src/meta extractors and their SQL oracles cannot drift."""
+    prefix = rf"(?is)(<{tag}(?:\s[^>]*?)?\s{attr}\s*=\s*)"
+    return [
+        (prefix + r"'([^']*)'", '$1"$2"'),
+        (prefix + r"([^\"'\s>][^\s>]*)", '$1"$2"'),
+    ]
+
+
 # <img> elements become standalone media blocks so the north rule's
 # interleaved media spans survive block segmentation in document order
-# (html_to_spans below).  Quote-normalization first (same contract as
-# operators/links.py QUOTE_NORM); an <img> without a src contributes
-# nothing (stripped later with the other inline tags).
-IMG_QUOTE_NORM = [
-    (r"(?is)(<img(?:\s[^>]*?)?\ssrc\s*=\s*)'([^']*)'", '$1"$2"'),
-    (r"(?is)(<img(?:\s[^>]*?)?\ssrc\s*=\s*)([^\"'\s>][^\s>]*)",
-     '$1"$2"'),
-]
+# (html_to_spans below).  Quote-normalization first; an <img> without
+# a src contributes nothing (stripped later with the other inline
+# tags).
+IMG_QUOTE_NORM = attr_quote_patterns("img", "src")
 IMG_PATTERN = r'(?is)<img(?:\s[^>]*?)?\ssrc\s*=\s*"([^"]*)"[^>]*>'
 
 

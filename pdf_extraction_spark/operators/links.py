@@ -45,17 +45,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .html import ENTITIES
+from .html import DROP_PATTERNS, ENTITIES, attr_quote_patterns
 
 # --- link extraction -------------------------------------------------
 
-# quote-normalization prepass, applied in order (unquoted rule excludes
-# quote-initial values, so an already-quoted href never re-matches)
-QUOTE_NORM: list[tuple[str, str]] = [
-    (r"(?is)(<a(?:\s[^>]*?)?\shref\s*=\s*)'([^']*)'", '$1"$2"'),
-    (r"(?is)(<a(?:\s[^>]*?)?\shref\s*=\s*)([^\"'\s>][^\s>]*)",
-     '$1"$2"'),
-]
+# quote-normalization prepass, applied in order (shared grammar:
+# operators/html.py attr_quote_patterns)
+QUOTE_NORM: list[tuple[str, str]] = attr_quote_patterns("a", "href")
 
 # one full <a href="...">...</a> element; group 1 = href, group 2 = body
 LINK_PATTERN = r'(?is)<a(?:\s[^>]*?)?\shref\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
@@ -84,10 +80,15 @@ def links_col(html: Column) -> Column:
     """``array<struct<href,text>>`` of anchor links in document order.
     href is entity-decoded and trimmed; text is the anchor's visible
     text (inner tags stripped, entities decoded, whitespace collapsed).
-    """
+    Comments, ``<script>``/``<style>`` bodies and the ``<head>`` are
+    dropped first (the same prepass block segmentation runs) — an
+    anchor inside a comment or a script string literal is not a link
+    and must not inflate the host rollup."""
     from .html import TAG_PATTERN, WS_PATTERN
 
     cleaned = F.coalesce(html, F.lit(""))
+    for pat in DROP_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(""))
     for pat, repl in QUOTE_NORM:
         cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(repl))
     anchors = F.regexp_extract_all(cleaned, F.lit(LINK_PATTERN), 0)
@@ -225,9 +226,21 @@ def host_stats(links: DataFrame, page_host_col: str = "page_host",
     session.py) splits the straggler post-shuffle partitions, and a
     pre-salted two-level rollup is the documented escalation if a
     single host exceeds one executor's memory (same playbook as
-    operators/dedup.py's hot-bucket guard)."""
-    internal = (F.col("host") == "") | \
-        (F.col("host") == F.col(page_host_col))
+    operators/dedup.py's hot-bucket guard).
+
+    Internal = a relative link (no host AND no scheme) or an absolute
+    link to the page's own host; scheme-only pseudo-links (mailto:,
+    tel:, javascript:) have an empty host but are NOT internal
+    navigation — they land in the '' host bucket as external."""
+    for col in ("host", "scheme", page_host_col, id_col):
+        if col not in links.columns:
+            raise ValueError(
+                f"host_stats needs column {col!r}; build the input "
+                "with link_table(docs, carry=('page_host',)) so the "
+                "page's own host rides along")
+    internal = ((F.col("host") == "") & (F.col("scheme") == "")) | \
+        ((F.col("host") != "") &
+         (F.col("host") == F.col(page_host_col)))
     if exact_distinct:
         n_pages = F.countDistinct(id_col)
         n_hosts = F.countDistinct(page_host_col)
@@ -247,6 +260,8 @@ def host_stats(links: DataFrame, page_host_col: str = "page_host",
 # --- <head> metadata --------------------------------------------------
 
 TITLE_PATTERN = "(?is)<title[^>]*>(.*?)</title>"
+META_QUOTE_NORM = (attr_quote_patterns("meta", "name")
+                   + attr_quote_patterns("meta", "content"))
 META_TAG_PATTERN = (r'(?is)<meta(?:\s[^>]*?)?\sname\s*=\s*"{name}"'
                     r"[^>]*>")
 META_CONTENT_PATTERN = r'(?is)\scontent\s*=\s*"([^"]*)"'
@@ -258,10 +273,14 @@ def head_meta(docs: DataFrame, html_col: str = "html",
     metadata from the ``<head>`` that operators/html.py deliberately
     drops before block segmentation.  Two-step meta extraction (find
     the tag, then its ``content`` attr) so attribute order never
-    matters.  Zero shuffle, zero UDF."""
+    matters.  Single-quoted and unquoted attribute values are
+    normalized first (same shared grammar as href/src).  Zero shuffle,
+    zero UDF."""
     from .html import TAG_PATTERN, WS_PATTERN
 
     h = F.coalesce(F.col(html_col), F.lit(""))
+    for pat, repl in META_QUOTE_NORM:
+        h = F.regexp_replace(h, F.lit(pat), F.lit(repl))
 
     def clean(c: Column) -> Column:
         return F.trim(F.regexp_replace(

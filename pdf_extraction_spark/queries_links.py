@@ -21,10 +21,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.html import ENTITIES, TAG_PATTERN, WS_PATTERN
-from .operators.links import (LINK_PATTERN, QUOTE_NORM, head_meta,
-                              host_stats, link_table, sql_url_parts,
-                              url_parts)
+from .operators.html import (DROP_PATTERNS, ENTITIES, TAG_PATTERN,
+                             WS_PATTERN)
+from .operators.links import (LINK_PATTERN, META_QUOTE_NORM, QUOTE_NORM,
+                              head_meta, host_stats, link_table,
+                              sql_url_parts, url_parts)
 
 _URL_COLS = ("scheme", "host", "port", "path", "query", "fragment",
              "url_norm")
@@ -68,6 +69,10 @@ def _link_page_expr(id_str: str) -> str:
        THEN '<a href="mailto:ops@example.net">mail</a>' ELSE '' END
   || CASE WHEN doc_id % 7 = 0
        THEN '<a data-href="trap.html">not a link</a>' ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+       THEN '<!-- <a href="http://ghost.example/old">dead promo</a> -->'
+            || '<script>var a = ''<a href="http://js.example/x">j</a>'';'
+            || '</script>' ELSE '' END
   || '<a href="page' || CAST(doc_id % 11 AS {{it}})
   || '.html#frag">next</a>'
   || '<a href="ftp://files.example.com:2121/pub/f.txt">ftp</a>'
@@ -103,6 +108,8 @@ def _sql_links_cte(pages_sql: str | None = None) -> str:
         expr=_link_page_expr("CAST(doc_id AS VARCHAR)")
         .format(it="VARCHAR"))
     qn = "page"
+    for pat in DROP_PATTERNS:
+        qn = f"regexp_replace({qn}, '{_q(pat)}', '', 'g')"
     for pat, _repl in QUOTE_NORM:
         # the Spark side's $1"$2" is RE2's \1"\2"
         qn = (f"regexp_replace({qn}, '{_q(pat)}', "
@@ -210,7 +217,8 @@ SELECT host,
   CAST(count(*) AS BIGINT) AS n_links,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
   CAST(count(DISTINCT page_host) AS BIGINT) AS n_linking_hosts,
-  CAST(sum(CASE WHEN host = '' OR host = page_host
+  CAST(sum(CASE WHEN (host = '' AND scheme = '')
+                  OR (host <> '' AND host = page_host)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
   CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_https
@@ -230,8 +238,8 @@ def _head_page_expr(id_str: str) -> str:
   || CASE WHEN doc_id % 2 = 0
        THEN '<meta name="description" content="' || substr(t, 1, 40)
             || ' &amp; more">'
-       ELSE '<meta content="' || substr(t, 1, 40)
-            || ' rev" name="description">' END
+       ELSE '<meta content=''' || substr(t, 1, 40)
+            || ' rev'' name=description>' END
   || CASE WHEN doc_id % 3 = 0 THEN ''
        ELSE '<meta name="keywords" content="k' || {id_str}
             || ',web,&lt;x&gt;">' END
@@ -264,10 +272,15 @@ def sql_html_head() -> str:
 
     title = _sql_text(
         f"regexp_extract(page, '{_q(TITLE_PATTERN)}', 1)")
+    raw = "raw"
+    for pat, _repl in META_QUOTE_NORM:
+        raw = (f"regexp_replace({raw}, '{_q(pat)}', "
+               f"'\\1\"\\2\"', 'g')")
     return f"""
-WITH pages AS (
-  SELECT doc_id, ({_head_page_expr("CAST(doc_id AS VARCHAR)")}) AS page
-  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents))
+WITH raw_pages AS (
+  SELECT doc_id, ({_head_page_expr("CAST(doc_id AS VARCHAR)")}) AS raw
+  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)),
+pages AS (SELECT doc_id, {raw} AS page FROM raw_pages)
 SELECT doc_id,
   {title} AS title,
   {meta("description")} AS meta_description,

@@ -86,8 +86,12 @@ def test_host_stats_rollup(spark):
     ex = stats["www.example.com"]
     assert (ex.n_links, ex.n_pages) == (2, 2)   # d1 abs + d2 self
     assert ex.n_internal == 2                   # both pages' own host
-    rel = stats[""]                             # relative + mailto-ish
-    assert rel.n_pages == 2 and rel.n_internal == rel.n_links
+    rel = stats[""]                             # relative + mailto
+    # mailto: has empty host but a scheme -> external pseudo-link;
+    # the true relative links ('/rel/page', 'x?a=1&b=2', '/local')
+    # count as internal
+    assert rel.n_pages == 2
+    assert rel.n_internal == rel.n_links - 1
 
 
 def test_head_meta_both_attribute_orders(spark):
@@ -135,3 +139,31 @@ def test_filter_hosts_suffix_semantics_and_plan(spark):
     assert plan.count("BroadcastExchange") >= 2   # one per label count
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftAnti" in plan
+
+
+def test_links_ignore_comments_scripts_and_head(spark):
+    """Anchors inside comments, script/style bodies, or the <head>
+    are not links — the same drop prepass block segmentation runs."""
+    page = ('<head><a href="http://head.example/h">h</a></head>'
+            '<!-- <a href="http://ghost.example/g">old</a> -->'
+            '<script>var s = \'<a href="http://js.example/j">x</a>\';'
+            '</script>'
+            '<style>a:after { content: \'<a href=c>\' }</style>'
+            '<p><a href="http://real.example/r">real</a></p>')
+    docs = spark.createDataFrame([("d", page)],
+                                 "doc_id string, html string")
+    rows = link_table(docs).collect()
+    assert [r.href for r in rows] == ["http://real.example/r"]
+
+
+def test_head_meta_single_quoted_and_unquoted_attrs(spark):
+    """Meta attribute values in single quotes or unquoted normalize to
+    the double-quoted grammar before extraction."""
+    page = ("<head><title>T</title>"
+            "<meta name='description' content='single quoted desc'>"
+            "<meta content=unqkw name=keywords></head>")
+    docs = spark.createDataFrame([("d", page)],
+                                 "doc_id string, html string")
+    r = head_meta(docs).collect()[0]
+    assert r.meta_description == "single quoted desc"
+    assert r.meta_keywords == "unqkw"

@@ -33,7 +33,17 @@ def make_zip(tmp: str) -> str:
 
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
+    want = "html" if stage == "web" else "spans"
     if os.path.exists(path):
+        # the cache is keyed by path only — make a stage mismatch a
+        # clear error here instead of an AnalysisException mid-benchmark
+        import pyarrow.dataset as ds
+        have = ds.dataset(path).schema.names
+        if want not in have:
+            raise SystemExit(
+                f"corpus at {path} has columns {have} but stage "
+                f"{stage!r} needs {want!r}; pass a different --data "
+                "path (corpora are cached per path, not per stage)")
         return
     from pdf_extraction_spark import corpus
     from pdf_extraction_spark.session import get_spark
