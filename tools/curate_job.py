@@ -63,6 +63,16 @@ def main() -> None:
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact email/phone/IPv4 in survivor text "
                          "before it reaches the signature store")
+    ap.add_argument("--html", action="store_true",
+                    help="input is a crawl-page table (doc_id, html"
+                         "[, url]): strip boilerplate to main text "
+                         "first (operators/html.extract_main_content), "
+                         "then run the same curation chain")
+    ap.add_argument("--deny-hosts", default=None,
+                    help="comma-separated denied domains (html mode, "
+                         "needs --url-col): drop pages on or under "
+                         "these hosts before any content work")
+    ap.add_argument("--url-col", default="url")
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -83,8 +93,24 @@ def main() -> None:
     from pdf_extraction_spark.operators.sampling import sample_corpus
     from pdf_extraction_spark.sources.catalog import get_store, load_docs
 
-    docs = load_docs(spark, args.input).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    raw = load_docs(spark, args.input)
+    n_denied = 0
+    if args.html:
+        from pdf_extraction_spark.operators.curation import filter_hosts
+        from pdf_extraction_spark.operators.html import \
+            extract_main_content
+
+        if args.deny_hosts:
+            n_before = raw.count()
+            raw = filter_hosts(raw, args.deny_hosts.split(","),
+                               url_col=args.url_col)
+            n_denied = n_before - raw.count()
+        docs = extract_main_content(raw).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("main_text").alias("text"))
+    else:
+        docs = raw.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text")
     store = get_store(spark, args.store)
 
     n_presample = None
@@ -141,6 +167,7 @@ def main() -> None:
     wall = t_curate + t_dedup
     print(json.dumps({
         "docs": n_docs,
+        "denied_hosts_dropped": n_denied,
         "presample_docs": n_presample,
         "by_verdict": by_verdict,
         "repetitive_dropped": n_repetitive,
