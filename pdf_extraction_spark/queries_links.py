@@ -259,7 +259,7 @@ def q_html_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head_meta(pages).orderBy("doc_id")
 
 
-def sql_html_head() -> str:
+def sql_html_head(pages_sql: str | None = None) -> str:
     from .operators.links import (META_CONTENT_PATTERN,
                                   META_TAG_PATTERN, TITLE_PATTERN)
 
@@ -276,10 +276,14 @@ def sql_html_head() -> str:
     for pat, _repl in META_QUOTE_NORM:
         raw = (f"regexp_replace({raw}, '{_q(pat)}', "
                f"'\\1\"\\2\"', 'g')")
+    if pages_sql is None:
+        pages_sql = (
+            "SELECT doc_id, ("
+            + _head_page_expr("CAST(doc_id AS VARCHAR)")
+            + ") AS raw FROM (SELECT doc_id, COALESCE(text, '') AS t"
+            + " FROM documents)")
     return f"""
-WITH raw_pages AS (
-  SELECT doc_id, ({_head_page_expr("CAST(doc_id AS VARCHAR)")}) AS raw
-  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)),
+WITH raw_pages AS ({pages_sql}),
 pages AS (SELECT doc_id, {raw} AS page FROM raw_pages)
 SELECT doc_id,
   {title} AS title,

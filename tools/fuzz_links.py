@@ -22,8 +22,9 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os")
 
 from pyspark.sql import functions as F
 
-from pdf_extraction_spark.operators.links import link_table, url_parts
-from pdf_extraction_spark.queries_links import (_URL_COLS,
+from pdf_extraction_spark.operators.links import (head_meta, link_table,
+                                                  url_parts)
+from pdf_extraction_spark.queries_links import (_URL_COLS, sql_html_head,
                                                 sql_html_links,
                                                 sql_url_parts)
 from pdf_extraction_spark.session import get_spark
@@ -108,6 +109,33 @@ LINK_COLS = ["doc_id", "link_idx", "href", "anchor_text",
              *_URL_COLS]
 PAGES = ("SELECT doc_id, COALESCE(html, '') AS page, "
          "'h.example' AS page_host FROM corpus")
+HEAD_PAGES = "SELECT doc_id, COALESCE(html, '') AS raw FROM corpus"
+HEAD_COLS = ["doc_id", "title", "meta_description", "meta_keywords"]
+
+META_NAMES = ["description", "keywords", "viewport", "author"]
+
+
+def gen_head(rng: random.Random) -> str:
+    parts = ["<head>"]
+    if rng.random() < 0.8:
+        parts.append(f"<title{rng.choice(ATTRS)}>{_words(rng, 0, 6)}"
+                     + ("</title>" if rng.random() < 0.9 else ""))
+    quotes = ['"', "'", ""]
+    for _ in range(rng.randint(0, 6)):
+        name = rng.choice(META_NAMES)
+        q1, q2 = rng.choice(quotes), rng.choice(quotes)
+        content = _words(rng, 0, 5)
+        if q2 != '"':
+            content = content.replace("'", "")
+        if not q2:
+            content = content.replace(" ", "_")
+        a = f"name={q1}{name}{q1}"
+        b = f"content={q2}{content}{q2}"
+        inner = f"{a} {b}" if rng.random() < 0.5 else f"{b} {a}"
+        extra = rng.choice(["", " data-x=1", " /"])
+        parts.append(f"<meta {inner}{extra}>")
+    parts.append("</head><body><p>x</p></body>")
+    return "".join(parts)
 
 
 def main() -> None:
@@ -148,9 +176,23 @@ def main() -> None:
             + " FROM urls ORDER BY doc_id").df() \
             .sort_values("doc_id").reset_index(drop=True)
 
+        hrows = [(i, gen_head(rng)) for i in range(25)]
+        if seed % 5 == 0:
+            hrows.append((len(hrows), None))
+        hpdf = pd.DataFrame(hrows, columns=["doc_id", "html"])
+        hs = spark.createDataFrame(hpdf.assign(
+            doc_id=hpdf.doc_id.astype("int64")))
+        s3 = head_meta(hs).toPandas()[HEAD_COLS] \
+            .sort_values("doc_id").reset_index(drop=True)
+        con.register("corpus_head", hpdf)
+        o3 = con.sql(sql_html_head(
+            HEAD_PAGES.replace("corpus", "corpus_head"))) \
+            .df()[HEAD_COLS].sort_values("doc_id").reset_index(drop=True)
+
         for label, sv, ov, src_df, src_col in (
                 ("links", s, o, pdf, "html"),
-                ("urls", s2, o2, updf, "u")):
+                ("urls", s2, o2, updf, "u"),
+                ("head", s3, o3, hpdf, "html")):
             if sv.equals(ov):
                 continue
             bad += 1
