@@ -92,10 +92,15 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
 
 def pack_shards(docs: DataFrame, token_budget: int,
                 n_partitions: int = 32, key_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                counter: str = "whitespace") -> DataFrame:
     """Assign each document to a training shard of ~``token_budget``
-    whitespace tokens: first-fit by cumulative token count within a
-    deterministic pack partition.
+    tokens: first-fit by cumulative token count within a deterministic
+    pack partition.  ``counter`` picks the budget unit: ``whitespace``
+    (word-priced corpora, the gate's contract) or ``bpe`` (the
+    textstats BPE-ish pre-tokenizer count — use when shards are priced
+    in model tokens; same plan shape, only the counting expression
+    changes).
 
     Layout contract (engine-portable, cluster-size-invariant):
       - ``pack_partition`` = key-hash mod ``n_partitions``,
@@ -123,7 +128,15 @@ def pack_shards(docs: DataFrame, token_budget: int,
     # — exactly the cross-engine nondeterminism the tie-break exists to
     # prevent. '' keeps identical semantics in both (1 token, md5('')).
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    tok = F.size(tokens_col(txt)).cast("long")
+    if counter == "whitespace":
+        tok = F.size(tokens_col(txt)).cast("long")
+    elif counter == "bpe":
+        from .textstats import bpe_tokens_col
+        tok = F.greatest(F.size(bpe_tokens_col(txt)), F.lit(0)) \
+            .cast("long")
+    else:
+        raise ValueError(f"unknown counter {counter!r}"
+                         " (expected 'whitespace' or 'bpe')")
     part = sample_hash_col(F.col(key_col), "pack") % n_partitions
     staged = docs.withColumn("doc_tokens", tok) \
         .withColumn("pack_partition", part)
