@@ -1,0 +1,412 @@
+"""PDF content-stream tokenization: batched byte-stream lexing + the
+text-object state machine -> positioned text/media runs.
+
+North-star surface: "vectorized pandas/Arrow UDFs perform batched
+byte-stream tokenization of PDF content streams, text-run
+reconstruction with x/y-position clustering into lines and blocks"
+(BASELINE.json north_star).  The reference gets tokenization for free
+from pdfplumber (`text_extractor.pyc:67-137` calls
+``page.extract_text`` / ``extract_words``; pdfplumber's pdfminer core
+runs this exact machine) — this module re-implements the public
+PDF 1.7 semantics (ISO 32000-1 §7.3 object syntax, §8.4 graphics
+state, §9.4 text objects) as a from-scratch Spark kernel so corpora
+that arrive as raw content-stream bytes enter the same
+runs -> lines -> blocks -> spans chain as every other source
+(`operators/layout.py`, `plans/fused.py`).
+
+Shape:
+
+  streams(doc_id, stream)
+    --mapInArrow(_tokenize_batches)-->            # ONE map-only pass
+  runs(doc_id, run_idx, kind, text, media_ref, font, size, x, y, w, h)
+    --runs_for_layout-->  layout-schema runs (y-down, x0/y0/x1/y1)
+    --layout.spans_from_runs-->  contract spans (kind,text,media_ref,offset)
+
+Supported operators (the text-positioning subset every real-world
+writer emits): ``BT ET Tf Td TD Tm T* TL Tc Tw Tz Tj TJ ' "`` plus
+graphics-state ``q Q cm`` and media placement ``Do`` (XObject
+invocations become ``media`` runs carrying the XObject name as
+``media_ref``, positioned by the CTM — the north rule's interleaved
+media-span invariant).  Literal strings handle the full escape set
+(\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
+continuations) and balanced unescaped parentheses; hex strings decode
+byte-pairwise; comments and inline dictionaries are skipped.  Unknown
+operators clear their operands and continue (the spec's prescription
+for compatibility sections).
+
+Glyph metrics honesty: without embedded font programs the advance
+width of a shown string is approximated as ``0.5 * size`` per
+character (the flat-width heuristic; Tc/Tw/Tz ARE applied exactly).
+Positions of run ORIGINS are exact per the spec; only the x-extent of
+a run (``w``) and the inter-segment advance inside one Tj/TJ chain are
+heuristic.  The layout stage clusters on origins and tolerances, so
+block/line structure is insensitive to the approximation; a metrics
+table can be plugged in via ``char_width``.
+
+Scale shape (100 TB / 10^12 docs): the kernel is ONE ``mapInArrow``
+pass — map-only, zero shuffle, linear in stream bytes; 1000 executors
+scale trivially.  A giant page is one row (same single-row-bounded
+contract as ``operators/html.py`` — cap page bytes at ingest); the
+downstream layout shuffle keys on doc_id and is the first exchange in
+the whole plan.  Lexing is a single compiled-regex scan (C speed) per
+stream; only the operator dispatch loop is per-token Python, bounded
+by token count, Arrow-batched on both edges.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------- lexer
+
+# one master scan: everything except literal strings (handled by
+# _scan_string for nesting) and stream-level noise
+_TOKEN_RE = re.compile(
+    r"""(?P<comment>%[^\r\n]*)
+      | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+      | (?P<name>/[^\s()<>\[\]{}/%]*)
+      | (?P<hex><[0-9A-Fa-f\s]*>)
+      | (?P<dopen><<)|(?P<dclose>>>)
+      | (?P<aopen>\[)|(?P<aclose>\])
+      | (?P<sopen>\()
+      | (?P<op>[^\s()<>\[\]{}/%]+)
+    """, re.X)
+
+_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+_OCTAL_RE = re.compile(r"[0-7]{1,3}")
+
+
+def _scan_string(s: str, i: int) -> tuple[str, int]:
+    """Decode a literal string starting at the ``(`` at ``s[i]``;
+    returns (text, index past the closing paren).  Handles the escape
+    table, octal escapes, backslash-newline continuations, and balanced
+    unescaped parentheses (ISO 32000-1 §7.3.4.2)."""
+    out: list[str] = []
+    depth = 1
+    i += 1
+    n = len(s)
+    while i < n and depth:
+        c = s[i]
+        if c == "\\":
+            i += 1
+            if i >= n:
+                break
+            e = s[i]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 1
+            elif e in "01234567":
+                m = _OCTAL_RE.match(s, i)
+                out.append(chr(int(m.group(0), 8) & 0xFF))
+                i = m.end()
+            elif e == "\n":
+                i += 1
+            elif e == "\r":
+                i += 2 if s[i:i + 2] == "\r\n" else 1
+            else:  # spec: backslash before anything else is dropped
+                out.append(e)
+                i += 1
+        elif c == "(":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == ")":
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), i
+
+
+def lex_content(stream: str) -> Iterator[tuple[str, Any]]:
+    """Tokenize one content stream into ('num', float) / ('str', str) /
+    ('name', str) / ('[', None) / (']', None) / ('op', str) tokens.
+    Inline dicts (``<< .. >>``) pass through as ignorable tokens."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in " \t\r\n\f\x00":
+            i += 1
+            continue
+        if c == "(":
+            text, i = _scan_string(stream, i)
+            yield ("str", text)
+            continue
+        m = _TOKEN_RE.match(stream, i)
+        if m is None:  # unlexable byte: skip (damage tolerance)
+            i += 1
+            continue
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        if kind == "num":
+            yield ("num", float(m.group(0)))
+        elif kind == "name":
+            yield ("name", m.group(0)[1:])
+        elif kind == "hex":
+            h = re.sub(r"\s", "", m.group(0)[1:-1])
+            if len(h) % 2:
+                h += "0"
+            yield ("str", "".join(chr(int(h[j:j + 2], 16))
+                                  for j in range(0, len(h), 2)))
+        elif kind == "aopen":
+            yield ("[", None)
+        elif kind == "aclose":
+            yield ("]", None)
+        elif kind in ("dopen", "dclose"):
+            yield ("op", m.group(0))  # ignored by the text machine
+        else:
+            yield ("op", m.group(0))
+
+
+# --------------------------------------------------- text state machine
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mult(m: tuple, n: tuple) -> tuple:
+    """Row-vector matrix product m x n (PDF convention: point . m . n)."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+
+
+def _translate(tx: float, ty: float) -> tuple:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+DEFAULT_CHAR_WIDTH = 0.5  # glyph-space width per char (no metrics table)
+
+
+def machine_runs(tokens: Iterator[tuple[str, Any]],
+                 char_width: float = DEFAULT_CHAR_WIDTH) -> list[tuple]:
+    """Run the §9.4 text-object machine over lexed tokens; returns
+    emitted runs as tuples
+    (kind, text, media_ref, font, size, x, y, w, h) in stream order.
+
+    x/y are the DEVICE-space origin of the run (text-space (0,0)
+    through Tm x CTM); w is the device-space advance consumed by the
+    shown text; h is the effective font size (size scaled by the
+    matrix d terms).  Media runs (``Do``) report the unit square
+    through the CTM: origin (e, f), w = a, h = d."""
+    ctm = _ID
+    stack: list[tuple] = []
+    tm = tlm = _ID
+    font, size = "", 0.0
+    tc = tw = tl = 0.0
+    tz = 100.0
+    operands: list[tuple[str, Any]] = []
+    runs: list[tuple] = []
+
+    def show(text: str) -> None:
+        nonlocal tm
+        trm = _mult(tm, ctm)
+        # advance in TEXT space (§9.4.4): per char
+        #   (w0*size + Tc + (Tw if space)) * Tz/100
+        n_sp = text.count(" ")
+        adv = ((char_width * size + tc) * len(text) + tw * n_sp) \
+            * (tz / 100.0)
+        h = size * abs(tm[3]) * abs(ctm[3])
+        w_dev = adv * abs(tm[0]) * abs(ctm[0])
+        runs.append(("text", text, None, font, h,
+                     trm[4], trm[5], w_dev, h))
+        tm = _mult(_translate(adv, 0.0), tm)
+
+    def td(tx: float, ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = _mult(_translate(tx, ty), tlm)
+        tm = tlm
+
+    for kind, val in tokens:
+        if kind != "op":
+            operands.append((kind, val))
+            continue
+        op = val
+        try:
+            if op == "q":
+                stack.append((ctm, font, size, tc, tw, tl, tz))
+            elif op == "Q":
+                if stack:
+                    ctm, font, size, tc, tw, tl, tz = stack.pop()
+            elif op == "cm":
+                nums = [v for k, v in operands if k == "num"][-6:]
+                ctm = _mult(tuple(nums), ctm)
+            elif op == "BT":
+                tm = tlm = _ID
+            elif op == "Tf":
+                size = [v for k, v in operands if k == "num"][-1]
+                names = [v for k, v in operands if k == "name"]
+                font = names[-1] if names else font
+            elif op == "Td":
+                a, b = [v for k, v in operands if k == "num"][-2:]
+                td(a, b)
+            elif op == "TD":
+                a, b = [v for k, v in operands if k == "num"][-2:]
+                tl = -b
+                td(a, b)
+            elif op == "Tm":
+                nums = [v for k, v in operands if k == "num"][-6:]
+                tm = tlm = tuple(nums)
+            elif op == "T*":
+                td(0.0, -tl)
+            elif op == "TL":
+                tl = [v for k, v in operands if k == "num"][-1]
+            elif op == "Tc":
+                tc = [v for k, v in operands if k == "num"][-1]
+            elif op == "Tw":
+                tw = [v for k, v in operands if k == "num"][-1]
+            elif op == "Tz":
+                tz = [v for k, v in operands if k == "num"][-1]
+            elif op == "Tj":
+                strs = [v for k, v in operands if k == "str"]
+                if strs:
+                    show(strs[-1])
+            elif op == "'":
+                td(0.0, -tl)
+                strs = [v for k, v in operands if k == "str"]
+                if strs:
+                    show(strs[-1])
+            elif op == '"':
+                nums = [v for k, v in operands if k == "num"][-2:]
+                if len(nums) == 2:
+                    tw, tc = nums
+                td(0.0, -tl)
+                strs = [v for k, v in operands if k == "str"]
+                if strs:
+                    show(strs[-1])
+            elif op == "TJ":
+                # operands hold the array contents: strings show,
+                # numbers kern by -n/1000 * size * Tz/100 in x
+                for k, v in operands:
+                    if k == "str":
+                        show(v)
+                    elif k == "num":
+                        shift = -v / 1000.0 * size * (tz / 100.0)
+                        tm = _mult(_translate(shift, 0.0), tm)
+            elif op == "Do":
+                names = [v for k, v in operands if k == "name"]
+                if names:
+                    runs.append(("media", None, names[-1], font, 0.0,
+                                 ctm[4], ctm[5], ctm[0], ctm[3]))
+            # every other operator (ET, gs, re, W, n, BDC/EMC, Tr, Ts,
+            # color/path ops, inline dicts) only clears its operands
+        except (IndexError, ValueError, TypeError):
+            pass  # malformed operand list: spec-prescribed skip
+        operands.clear()
+    return runs
+
+
+def extract_runs(stream: str,
+                 char_width: float = DEFAULT_CHAR_WIDTH) -> list[tuple]:
+    """Lex + run the machine over one content stream."""
+    return machine_runs(lex_content(stream), char_width)
+
+
+# ------------------------------------------------------- Spark kernel
+
+RUNS_SCHEMA = (
+    "doc_id string, run_idx int, kind string, text string, "
+    "media_ref string, font string, size double, "
+    "x double, y double, w double, h double")
+
+
+def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
+                     id_col: str = "doc_id",
+                     char_width: float = DEFAULT_CHAR_WIDTH) -> DataFrame:
+    """Batched byte-stream tokenization: (doc_id, stream) -> exploded
+    positioned runs, ONE map-only ``mapInArrow`` pass (Arrow batches on
+    both edges, no shuffle — the plan-shape test asserts zero
+    Exchange)."""
+    import pyarrow as pa
+
+    fields = [("doc_id", pa.string()), ("run_idx", pa.int32()),
+              ("kind", pa.string()), ("text", pa.string()),
+              ("media_ref", pa.string()), ("font", pa.string()),
+              ("size", pa.float64()), ("x", pa.float64()),
+              ("y", pa.float64()), ("w", pa.float64()),
+              ("h", pa.float64())]
+    out_schema = pa.schema(fields)
+
+    def _tokenize_batches(batches: Iterator["pa.RecordBatch"]
+                          ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            streams = batch.column(1).to_pylist()
+            cols: list[list] = [[] for _ in fields]
+            for doc_id, stream in zip(ids, streams):
+                for idx, run in enumerate(extract_runs(stream or "",
+                                                       char_width)):
+                    cols[0].append(doc_id)
+                    cols[1].append(idx)
+                    for j, v in enumerate(run, start=2):
+                        cols[j].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t) for c, (_, t) in zip(cols, fields)],
+                schema=out_schema)
+
+    sel = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.col(stream_col).alias("stream"))
+    return sel.mapInArrow(_tokenize_batches, schema=RUNS_SCHEMA)
+
+
+def runs_for_layout(runs: DataFrame,
+                    page_height: float = 792.0) -> DataFrame:
+    """Convert device-space runs (y-up, PDF user space) to the layout
+    operators' y-down schema: top = page_height - y - h, bottom =
+    page_height - y (`operators/layout.py` input contract).  Media runs
+    keep their media_ref; their box is the CTM-placed unit square."""
+    H = F.lit(page_height)
+    return runs.select(
+        "doc_id",
+        "text",
+        F.col("x").alias("x0"),
+        (H - F.col("y") - F.col("h")).alias("y0"),
+        (F.col("x") + F.col("w")).alias("x1"),
+        (H - F.col("y")).alias("y1"),
+        F.col("size"),
+        F.when(F.col("kind") == "media", F.col("media_ref"))
+        .alias("media_ref"))
+
+
+def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
+                 id_col: str = "doc_id", page_height: float = 792.0,
+                 y_tol: float = 3.0, gap_tol: float = 10.0) -> DataFrame:
+    """Bridge a content-stream corpus onto the contract span schema
+    (BASELINE.json input_hint), the exact analog of
+    ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
+    layout (lines/blocks) -> one 'text' span per block + interleaved
+    'media' spans, gapless 0-based offsets — so ``plans/fused.py
+    assemble_fused`` and everything downstream runs unchanged on raw
+    content streams.
+
+    Returns (doc_id, spans array<struct<kind,text,media_ref,offset>>).
+    Plan: one mapInArrow (tokenize) + the layout doc_id shuffle + the
+    final groupBy on the same key (one exchange end-to-end when AQE
+    reuses the partitioning)."""
+    from .layout import spans_from_runs
+
+    runs = runs_for_layout(
+        tokenize_streams(docs, stream_col, id_col), page_height)
+    span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol)
+    spans = F.array_sort(F.collect_list(F.struct(
+        "offset", "kind", "text", "media_ref")))
+    return (span_rows.groupBy("doc_id")
+            .agg(F.transform(
+                spans,
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.coalesce(s["text"], F.lit("")).alias("text"),
+                    F.coalesce(s["media_ref"], F.lit(""))
+                    .alias("media_ref"),
+                    s["offset"].cast("int").alias("offset")))
+                 .alias("spans")))

@@ -1,0 +1,256 @@
+"""PDF content-stream tokenizer: lexer/state-machine goldens, a
+differential fuzz harness against an independent renderer twin, and
+the Spark kernel + layout + contract-span bridge end-to-end."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.pdfstream import (
+    DEFAULT_CHAR_WIDTH, extract_runs, lex_content, pdf_to_spans,
+    runs_for_layout, tokenize_streams)
+
+# ------------------------------------------------------------- lexer
+
+
+def test_lexer_token_kinds():
+    toks = list(lex_content("/F1 10.5 -3 .5 Tf (a) <4142> [ ] BT % c\nET"))
+    assert toks == [("name", "F1"), ("num", 10.5), ("num", -3.0),
+                    ("num", 0.5), ("op", "Tf"), ("str", "a"),
+                    ("str", "AB"), ("[", None), ("]", None),
+                    ("op", "BT"), ("op", "ET")]
+
+
+def test_string_escapes_and_nesting():
+    assert next(lex_content(r"(a\(b\)c)"))[1] == "a(b)c"
+    assert next(lex_content("(a(nested)c)"))[1] == "a(nested)c"
+    assert next(lex_content(r"(tab\there)"))[1] == "tab\there"
+    assert next(lex_content(r"(\101\102\103)"))[1] == "ABC"
+    assert next(lex_content(r"(\61)"))[1] == "1"          # short octal
+    assert next(lex_content("(li\\\nne)"))[1] == "line"   # continuation
+    assert next(lex_content(r"(\q)"))[1] == "q"           # stray escape
+
+
+def test_hex_string_odd_length_pads():
+    assert next(lex_content("<48494>"))[1] == "HI@"
+
+
+def test_lexer_skips_comments_and_junk():
+    assert list(lex_content("% only a comment")) == []
+    # an unlexable raw byte is skipped, the rest survives
+    assert ("op", "Tj") in list(lex_content("\x80 (x) Tj"))
+
+
+# ----------------------------------------------------- state machine
+
+
+def test_positions_td_tm_tstar():
+    runs = extract_runs(
+        "BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj "
+        "0 -12 Td (b) Tj 14 TL T* (c) Tj ET")
+    assert [(r[1], r[5], r[6]) for r in runs] == [
+        ("a", 72.0, 700.0), ("b", 72.0, 688.0), ("c", 72.0, 674.0)]
+
+
+def test_tj_kerning_and_advance():
+    # advance = 0.5 * size per char; kern 200 -> -200/1000*10 = -2
+    runs = extract_runs(
+        "BT /F1 10 Tf 1 0 0 1 0 0 Tm [(abc) 200 (d)] TJ ET")
+    assert runs[0][5] == 0.0 and runs[0][7] == 15.0
+    assert runs[1][5] == 15.0 - 2.0
+
+
+def test_char_and_word_spacing_and_tz():
+    # Tc adds per char, Tw per space, Tz scales horizontally
+    runs = extract_runs(
+        "BT /F1 10 Tf 2 Tc 3 Tw 50 Tz 1 0 0 1 0 0 Tm (a b) Tj (x) Tj ET")
+    # adv = ((0.5*10 + 2)*3 + 3*1) * 0.5 = 12
+    assert runs[1][5] == 12.0
+
+
+def test_quote_operators_set_spacing_then_newline():
+    runs = extract_runs(
+        'BT /F1 10 Tf 12 TL 1 0 0 1 0 100 Tm (a) Tj 4 6 (b) " (c) \' ET')
+    assert [(r[1], r[6]) for r in runs] == [
+        ("a", 100.0), ("b", 88.0), ("c", 76.0)]
+    # " set Tw=4 Tc=6: c's predecessor advance = (5+6)*1 + 0 = 11
+    assert runs[2][5] == runs[1][5]
+
+
+def test_td_vs_TD_leading():
+    # TD sets leading = -ty, so a later T* repeats the hop
+    runs = extract_runs(
+        "BT /F1 10 Tf 0 -15 TD (a) Tj T* (b) Tj ET")
+    assert [(r[1], r[6]) for r in runs] == [("a", -15.0), ("b", -30.0)]
+
+
+def test_ctm_q_Q_and_media_do():
+    runs = extract_runs(
+        "q 2 0 0 3 10 20 cm BT /F1 10 Tf 0 0 Td (s) Tj ET /I1 Do Q /I2 Do")
+    s, i1, i2 = runs
+    assert (s[5], s[6], s[8]) == (10.0, 20.0, 30.0)   # scaled size
+    assert (i1[0], i1[2], i1[5], i1[6], i1[7], i1[8]) == \
+        ("media", "I1", 10.0, 20.0, 2.0, 3.0)
+    assert (i2[5], i2[6], i2[7], i2[8]) == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_tm_scale_scales_advance_and_size():
+    runs = extract_runs("BT /F1 10 Tf 2 0 0 2 0 0 Tm (ab) Tj (c) Tj ET")
+    assert runs[0][4] == 20.0          # effective size
+    assert runs[1][5] == 20.0          # advance 10 in text space, x2
+
+
+def test_unknown_ops_and_malformed_operands_are_skipped():
+    runs = extract_runs(
+        "BT /F1 10 Tf 0 0 1 RG (x) weird 0 0 Td (kept) Tj Tj TJ cm ET")
+    assert [r[1] for r in runs] == ["kept"]
+    assert extract_runs("(((") == []
+    assert extract_runs("") == []
+
+
+def test_inline_dict_is_ignored():
+    runs = extract_runs(
+        "BT /F1 10 Tf << /K (not text) >> 0 0 Td (real) Tj ET")
+    assert [r[1] for r in runs] == ["real"]
+
+
+# ------------------------------------------ differential fuzz (twin)
+
+
+def _render(spec: list[dict], rng: random.Random) -> str:
+    """Independent renderer: emits each line spec with a randomly
+    chosen positioning idiom (absolute Tm / relative Td / T*) and a
+    randomly chosen show idiom (Tj / split TJ with zero kerns)."""
+    out = ["BT /F1 10 Tf"]
+    prev = None
+    for s in spec:
+        x, y = s["x"], s["y"]
+        mode = rng.choice(["Tm", "Td", "T*"]) if prev else "Tm"
+        if mode == "Tm" or prev is None:
+            out.append(f"1 0 0 1 {x} {y} Tm")
+        elif mode == "Td":
+            out.append(f"{x - prev[0]} {y - prev[1]} Td")
+        else:  # T* only reaches same-x next line; force via TL
+            out.append(f"{x - prev[0]} {y - prev[1]} TD (z) Tj")
+            # TD already moved us; rewind the probe run below
+        text = s["text"]
+        if mode == "T*" and prev is not None:
+            # the probe run consumed the position; replace spec text
+            spec_text = text
+            out[-1] = out[-1].replace("(z) Tj", f"({spec_text}) Tj")
+        elif rng.random() < 0.5:
+            out.append(f"({text}) Tj")
+        else:
+            cut = rng.randrange(1, max(2, len(text)))
+            out.append(f"[({text[:cut]}) 0 ({text[cut:]})] TJ")
+        prev = (x, y)
+    out.append("ET")
+    return " ".join(out)
+
+
+def test_fuzz_roundtrip_against_twin():
+    rng = random.Random(20260819)
+    for _ in range(200):
+        n = rng.randrange(1, 12)
+        spec, y = [], 700
+        for i in range(n):
+            y -= rng.choice([12, 14, 40])
+            spec.append({"x": float(rng.randrange(0, 200)),
+                         "y": float(y),
+                         "text": "".join(rng.choice("abcdef gh")
+                                         for _ in range(rng.randrange(1, 12)))
+                         .strip() or "w"})
+        stream = _render(spec, rng)
+        runs = extract_runs(stream)
+        texts = []
+        for s in spec:
+            texts.append(s["text"])
+        got_texts = []
+        i = 0
+        # TJ splits produce 2 runs per line; rejoin by line origin y
+        by_y: dict[float, str] = {}
+        order: list[float] = []
+        for r in runs:
+            if r[6] not in by_y:
+                by_y[r[6]] = ""
+                order.append(r[6])
+            by_y[r[6]] += r[1]
+        got_texts = [by_y[y] for y in order]
+        assert got_texts == texts
+        # first run of each line sits exactly at the spec origin
+        firsts = {}
+        for r in runs:
+            firsts.setdefault(r[6], r[5])
+        assert [(firsts[s["y"]], s["y"]) for s in spec] == \
+            [(s["x"], s["y"]) for s in spec]
+
+
+# ------------------------------------------------------ Spark kernel
+
+
+STREAM_A = ("BT /F1 10 Tf 1 0 0 1 20 700 Tm (roof leak found) Tj "
+            "0 -40 Td (attic vent blocked) Tj ET "
+            "q 1 0 0 1 20 600 cm /ImgA Do Q "
+            "BT /F1 10 Tf 1 0 0 1 20 560 Tm (sump pump ok) Tj ET")
+
+
+@pytest.fixture(scope="module")
+def stream_docs(spark):
+    return spark.createDataFrame(
+        [("d1", STREAM_A),
+         ("d2", "BT /F1 14 Tf 1 0 0 1 10 700 Tm (HEADING) Tj "
+                "/F1 10 Tf 0 -12 Td (body one) Tj 0 -12 Td (body two) Tj "
+                "ET"),
+         ("d3", None)],
+        "doc_id string, stream string")
+
+
+def test_tokenize_streams_kernel(stream_docs):
+    rows = tokenize_streams(stream_docs).orderBy("doc_id", "run_idx") \
+        .collect()
+    d1 = [r for r in rows if r.doc_id == "d1"]
+    assert [r.kind for r in d1] == ["text", "text", "media", "text"]
+    assert d1[2].media_ref == "ImgA" and d1[2].y == 600.0
+    assert not [r for r in rows if r.doc_id == "d3"]
+
+
+def test_tokenize_plan_is_map_only(stream_docs):
+    plan = tokenize_streams(stream_docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_runs_feed_layout_blocks(spark, stream_docs):
+    from pdf_extraction_spark.operators.layout import reconstruct_blocks
+
+    runs = runs_for_layout(tokenize_streams(stream_docs)) \
+        .where(F.col("media_ref").isNull()).drop("media_ref")
+    blocks = reconstruct_blocks(runs).orderBy("doc_id", "block_id") \
+        .collect()
+    d1 = [b for b in blocks if b.doc_id == "d1"]
+    # 40pt hops -> every line its own block, reading order preserved
+    assert [b.text for b in d1] == [
+        "roof leak found", "attic vent blocked", "sump pump ok"]
+    assert [b.block_id for b in d1] == [0, 1, 2]
+    d2 = [b for b in blocks if b.doc_id == "d2"]
+    # 12pt leading with 10pt glyphs -> 2pt gaps: one block, and the
+    # 14pt first line is the heading over the 10pt modal body
+    assert [b.block_id for b in d2] == [0, 0, 0]
+    assert [b.is_heading for b in d2] == [True, False, False]
+
+
+def test_pdf_to_spans_contract_shape(stream_docs):
+    out = pdf_to_spans(stream_docs).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == ["d1", "d2"]
+    spans = out[0].spans
+    assert [s.offset for s in spans] == list(range(len(spans)))
+    kinds = [(s.kind, s.text or s.media_ref) for s in spans]
+    assert ("media", "ImgA") in kinds
+    # media span interleaves BETWEEN the text spans by position
+    assert kinds[0][0] == "text" and kinds[-1][0] == "text"
+    texts = [s.text for s in spans if s.kind == "text"]
+    assert texts == ["roof leak found", "attic vent blocked",
+                     "sump pump ok"]
