@@ -45,12 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # never scored in r01-r03 plus `summaries` (fixed after its r02 red,
 # rotated out before re-proof); then 14 previously-green fillers; the
 # tail is the 9 round-4 additions (html/links/spans families, never
-# scored).  Once round 4's gate scores this window, EVERY one of the 89
-# registered queries has a driver row on record (r01-r03 scored sets +
-# this list cover all 89 — verified by set arithmetic over
-# CORRECTNESS_r0{1,2,3}.json).  Round-5 rotation: front-load the 39
-# names NOT in this list (all r02/r03-green, unchanged) so each
-# accumulates a second-round row.
+# scored).  Once round 4's gate scores this window, EVERY query
+# registered at window-freeze time has a driver row on record (r01-r03
+# scored sets + this list cover all 89 — verified by set arithmetic over
+# CORRECTNESS_r0{1,2,3}.json).  pdf_runs/pdf_spans landed after the
+# freeze (local-exact only this round).  Round-5 rotation: front-load
+# the 39 names NOT in this list (all r02/r03-green, unchanged) plus the
+# pdf pair so each accumulates a driver row.
 _DRIVER_WINDOW = [
     # never driver-scored before round 4
     "span_sequence", "layout_blocks", "layout_text", "layout_spans",
@@ -95,13 +96,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_layout import QUERIES_LAYOUT
     from pdf_extraction_spark.queries_html import QUERIES_HTML
     from pdf_extraction_spark.queries_links import QUERIES_LINKS
+    from pdf_extraction_spark.queries_pdf import QUERIES_PDF
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
          **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
-         **QUERIES_LINKS})
+         **QUERIES_LINKS, **QUERIES_PDF})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -118,10 +120,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_layout import ORACLES_LAYOUT
     from pdf_extraction_spark.queries_html import ORACLES_HTML
     from pdf_extraction_spark.queries_links import ORACLES_LINKS
+    from pdf_extraction_spark.queries_pdf import ORACLES_PDF
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
          **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
-         **ORACLES_LINKS})
+         **ORACLES_LINKS, **ORACLES_PDF})

@@ -176,6 +176,12 @@ def main() -> None:
     lpages.count()
     timed("k_html_links", lambda: noop(
         host_stats(link_table(lpages, carry=("page_host",)))))
+    from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+    from pdf_extraction_spark.queries_pdf import _pdf_streams
+    streams = _pdf_streams(spark, sf_dir).persist()
+    streams.count()
+    timed("k_pdf_spans", lambda: noop(pdf_to_spans(streams)))
+    streams.unpersist()
     lpages.unpersist()
     pages.unpersist()
     runs.unpersist()

@@ -1,0 +1,194 @@
+"""Gate queries for the PDF content-stream tokenizer
+(``operators/pdfstream.py``): raw content-stream bytes -> positioned
+runs -> contract spans.
+
+The ``documents`` test table is plain text, so both engines first
+derive the SAME deterministic slices of each document's (padded) text;
+the Spark side renders them into a real PDF content stream (Td/TD/Tm/
+T*/TL positioning, Tf font switches, Tc/Tw/Tz spacing, a kerned TJ
+array, the ' and " show operators, literal-string escapes, a hex
+string, q/cm/Q graphics state and two XObject ``Do`` placements) and
+runs the actual lexer + §9.4 text-object machine over it, while the
+oracle computes the expected run table in closed form from the same
+slices — every coordinate, advance and effective size is DYADIC
+(0.5/5.5/7.5-style factors on integer lengths) so the driver's
+bit-exact float hash holds.
+
+``pdf_spans`` continues through ``pdf_to_spans`` (tokenize -> y-down
+conversion -> line/block clustering -> interleaved media spans); the
+synthetic page's geometry is chosen so the block structure is known
+analytically (heading block, a 3-line body block at 14pt leading, a
+two-run kerned line, a spaced paragraph, a trailer line, plus one
+unconditional and one doc_id%3-conditional figure), letting the oracle
+emit the expected span arrays directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.pdfstream import pdf_to_spans, tokenize_streams
+
+# constant tail so every slice below is non-empty for every doc (the
+# escape round-trip still sees the doc's own parens/backslashes first)
+_PAD = " the quick brown fox jumps over the lazy dog" * 5
+
+# 1-based (start, length) slices of the padded text, shared verbatim
+# by the stream builder and the oracle arithmetic
+_SLICES = {"h_t": (1, 24), "l1": (25, 40), "l2": (65, 40),
+           "l3": (105, 40), "k1": (145, 12), "k2": (157, 12),
+           "w1": (169, 40)}
+
+# decoded form of the constant trailer literal the stream spells as
+# (Esc \( ok \) \\ \101 fin) — gates the escape table + octal decode
+_TRAILER_SQL = "'Esc ( ok ) ' || chr(92) || ' A fin'"
+
+
+def _esc(col: str) -> str:
+    """Escape a text slice for embedding in a PDF literal string
+    (backslash first, then parens) — Spark-side only; the tokenizer
+    must undo this exactly for the oracle's raw slices to match."""
+    return (f"replace(replace(replace({col}, chr(92), "
+            f"chr(92) || chr(92)), '(', chr(92) || '('), "
+            f"')', chr(92) || ')')")
+
+
+def _stream_expr() -> str:
+    """SQL rendering (doc_id, p) -> one content stream."""
+    e = {k: _esc(f"substr(p, {a}, {n})") for k, (a, n) in _SLICES.items()}
+    return f"""
+  'BT /F1 18 Tf 72 700 Td (' || {e['h_t']} || ') Tj '
+  || '/F2 11 Tf 14 TL 0 -34 Td (' || {e['l1']} || ') Tj T* ('
+  || {e['l2']} || ') Tj (' || {e['l3']} || ') ' || chr(39) || ' '
+  || '0 -38 Td [(' || {e['k1']} || ') -500 (' || {e['k2']} || ')] TJ '
+  || '2 Tc 4 Tw 50 Tz 0 -28 Td (' || {e['w1']} || ') Tj ET '
+  || 'q 1 0 0 1 50 320 cm /Fig0 Do Q '
+  || CASE WHEN doc_id % 3 = 0
+       THEN 'q 2 0 0 2 306 500 cm /Img1 Do Q ' ELSE '' END
+  || 'BT /F3 9 Tf 1 0 0 1 72 96 Tm 8 2 (Esc ' || chr(92) || '( ok '
+  || chr(92) || ') ' || chr(92) || chr(92) || ' ' || chr(92)
+  || '101 fin) " <48455821> Tj ET'
+""".strip()
+
+
+def _pdf_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.expr(f"COALESCE(text, '') || '{_PAD}'").alias("p")) \
+        .select("doc_id", F.expr(_stream_expr()).alias("stream"))
+
+
+def q_pdf_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched content-stream tokenization: lexer + text-object state
+    machine as one map-only Arrow pass (operators/pdfstream.py
+    tokenize_streams — zero shuffle, plan-asserted)."""
+    runs = tokenize_streams(_pdf_streams(spark, sf_dir))
+    return runs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "run_idx", "kind", "text", "media_ref", "font",
+        "size", "x", "y", "w", "h") \
+        .orderBy("doc_id", "run_idx")
+
+
+def _sql_slices() -> str:
+    cols = ", ".join(f"substr(p, {a}, {n}) AS {k}"
+                     for k, (a, n) in _SLICES.items())
+    return f"""
+b AS (SELECT doc_id, COALESCE(text, '') || '{_PAD}' AS p
+      FROM documents),
+s AS (SELECT doc_id, {cols},
+        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS c
+      FROM b)
+""".strip()
+
+
+# expected-run arithmetic (mirrors machine_runs exactly; every factor
+# dyadic): adv = ((0.5*size + Tc)*len + Tw*n_spaces) * Tz/100
+_SQL_PDF_RUNS = f"""
+WITH {_sql_slices()},
+r AS (
+  SELECT doc_id, 0 AS run_idx, 'text' AS kind, h_t AS text,
+    CAST(NULL AS VARCHAR) AS media_ref, 'F1' AS font, 18.0 AS size,
+    72.0 AS x, 700.0 AS y, 9.0 * length(h_t) AS w, 18.0 AS h FROM s
+  UNION ALL SELECT doc_id, 1, 'text', l1, NULL, 'F2', 11.0,
+    72.0, 666.0, 5.5 * length(l1), 11.0 FROM s
+  UNION ALL SELECT doc_id, 2, 'text', l2, NULL, 'F2', 11.0,
+    72.0, 652.0, 5.5 * length(l2), 11.0 FROM s
+  UNION ALL SELECT doc_id, 3, 'text', l3, NULL, 'F2', 11.0,
+    72.0, 638.0, 5.5 * length(l3), 11.0 FROM s
+  UNION ALL SELECT doc_id, 4, 'text', k1, NULL, 'F2', 11.0,
+    72.0, 600.0, 5.5 * length(k1), 11.0 FROM s
+  UNION ALL SELECT doc_id, 5, 'text', k2, NULL, 'F2', 11.0,
+    72.0 + 5.5 * length(k1) + 5.5, 600.0, 5.5 * length(k2), 11.0
+    FROM s
+  UNION ALL SELECT doc_id, 6, 'text', w1, NULL, 'F2', 11.0,
+    72.0, 572.0,
+    (7.5 * length(w1)
+     + 4.0 * (length(w1) - length(replace(w1, ' ', '')))) * 0.5,
+    11.0 FROM s
+  UNION ALL SELECT doc_id, 7, 'media', NULL, 'Fig0', 'F2', 0.0,
+    50.0, 320.0, 1.0, 1.0 FROM s
+  UNION ALL SELECT doc_id, 8, 'media', NULL, 'Img1', 'F2', 0.0,
+    306.0, 500.0, 2.0, 2.0 FROM s WHERE c = 1
+  UNION ALL SELECT doc_id, 8 + c, 'text', {_TRAILER_SQL}, NULL,
+    'F3', 9.0, 72.0, 82.0, 82.5, 9.0 FROM s
+  UNION ALL SELECT doc_id, 9 + c, 'text', 'HEX!', NULL, 'F3', 9.0,
+    154.5, 82.0, 13.0, 9.0 FROM s)
+SELECT doc_id, CAST(run_idx AS INT) AS run_idx, kind, text,
+       media_ref, font, size, x, y, w, h
+FROM r ORDER BY doc_id, run_idx
+"""
+
+
+def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content streams -> contract span arrays: tokenize -> y-down
+    layout clustering -> one text span per block + interleaved media
+    spans (operators/pdfstream.py pdf_to_spans — the bridge that runs
+    the fused extraction pipeline on raw PDF bytes)."""
+    spans = pdf_to_spans(_pdf_streams(spark, sf_dir))
+    e = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+# block structure known analytically (page height 792, y-down tops:
+# heading 74, body block 115 (lines 115/129/143, 3pt gaps), kerned
+# line 181, spaced paragraph 209, Img1 290 (c=1), Fig0 471,
+# trailer 701) — reading order = offsets 0..5+c
+_SQL_PDF_SPANS = f"""
+WITH {_sql_slices()},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, h_t AS text,
+    '' AS media_ref FROM s
+  UNION ALL SELECT doc_id, 1, 'text',
+    l1 || chr(10) || l2 || chr(10) || l3, '' FROM s
+  UNION ALL SELECT doc_id, 2, 'text', k1 || ' ' || k2, '' FROM s
+  UNION ALL SELECT doc_id, 3, 'text', w1, '' FROM s
+  UNION ALL SELECT doc_id, 4, 'media', '', 'Img1' FROM s WHERE c = 1
+  UNION ALL SELECT doc_id, 4 + c, 'media', '', 'Fig0' FROM s
+  UNION ALL SELECT doc_id, 5 + c, 'text',
+    {_TRAILER_SQL} || ' HEX!', '' FROM s)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_PDF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pdf_runs": q_pdf_runs,
+    "pdf_spans": q_pdf_spans,
+}
+
+ORACLES_PDF: dict[str, str] = {
+    "pdf_runs": _SQL_PDF_RUNS,
+    "pdf_spans": _SQL_PDF_SPANS,
+}

@@ -242,6 +242,41 @@ def test_runs_feed_layout_blocks(spark, stream_docs):
     assert [b.is_heading for b in d2] == [True, False, False]
 
 
+def test_gate_queries_smoke(spark):
+    """queries_pdf invariants at sf0.001 (the DuckDB oracle proves
+    exact values; this guards the synthetic-stream builder in pytest):
+    10 runs + 1 conditional media per doc, gapless span offsets, the
+    escape/octal/hex trailer decoded, positions on the designed grid."""
+    from pdf_extraction_spark.queries_pdf import q_pdf_runs, q_pdf_spans
+
+    sf = "/root/testdata/sf0.001"
+    runs = q_pdf_runs(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in runs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, rs in by_doc.items():
+        assert len(rs) == 10 + (1 if doc_id % 3 == 0 else 0)
+        assert [r.run_idx for r in rs] == list(range(len(rs)))
+        assert rs[0].size == 18.0 and (rs[0].x, rs[0].y) == (72.0, 700.0)
+        assert rs[-1].text == "HEX!" and rs[-1].x == 154.5
+        assert rs[-2].text.startswith("Esc ( ok ) \\ A fin")
+        media = [r for r in rs if r.kind == "media"]
+        assert [m.media_ref for m in media][:1] == ["Fig0"]
+
+    spans = q_pdf_spans(spark, sf).collect()
+    sp_doc: dict[int, list] = {}
+    for s in spans:
+        sp_doc.setdefault(s.doc_id, []).append(s)
+    assert set(sp_doc) == set(by_doc)
+    for doc_id, ss in sp_doc.items():
+        assert [s.offset for s in ss] == list(range(len(ss)))
+        assert len(ss) == 6 + (1 if doc_id % 3 == 0 else 0)
+        assert ss[1].text.count("\n") == 2          # 3-line body block
+        assert ss[-1].text.endswith(" HEX!")        # same-line join
+        assert [s.media_ref for s in ss if s.kind == "media"][-1] == "Fig0"
+
+
 def test_pdf_to_spans_contract_shape(stream_docs):
     out = pdf_to_spans(stream_docs).orderBy("doc_id").collect()
     assert [r.doc_id for r in out] == ["d1", "d2"]

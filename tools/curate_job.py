@@ -68,6 +68,11 @@ def main() -> None:
                          "[, url]): strip boilerplate to main text "
                          "first (operators/html.extract_main_content), "
                          "then run the same curation chain")
+    ap.add_argument("--pdf", action="store_true",
+                    help="input is a raw content-stream table (doc_id, "
+                         "stream): tokenize + layout-parse to text "
+                         "first (operators/pdfstream.pdf_to_spans), "
+                         "then run the same curation chain")
     ap.add_argument("--deny-hosts", default=None,
                     help="comma-separated denied domains (html mode, "
                          "needs --url-col): drop pages on or under "
@@ -108,6 +113,14 @@ def main() -> None:
         docs = extract_main_content(raw).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col("main_text").alias("text"))
+    elif args.pdf:
+        from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+
+        docs = pdf_to_spans(raw).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array_join(F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"]), "\n").alias("text"))
     else:
         docs = raw.select(
             F.col("doc_id").cast("string").alias("doc_id"), "text")

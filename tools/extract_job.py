@@ -33,13 +33,16 @@ def main() -> None:
                          "through the salted plan in the same job "
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline", "web"],
+                    choices=["extract", "pipeline", "web", "pdf"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
                          "web = crawl HTML corpus (doc_id, html) -> "
                          "html_to_spans bridge -> extraction (the whole "
-                         "web-ingest path, still map-only)")
+                         "web-ingest path, still map-only); "
+                         "pdf = raw content-stream corpus (doc_id, stream) "
+                         "-> pdf_to_spans bridge (tokenize + layout) -> "
+                         "extraction")
     ap.add_argument("--walls", type=int, default=6,
                     help="timed steady-state repetitions (best is scored); "
                          "lower for long-corpus scaling runs where one "
@@ -71,6 +74,11 @@ def main() -> None:
 
         def plan(d):
             return extract(html_to_spans(d))
+    elif args.stage == "pdf":
+        from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+
+        def plan(d):
+            return extract(pdf_to_spans(d))
     else:
         def plan(d):
             return enrich_extracted(extract(d))
@@ -81,6 +89,10 @@ def main() -> None:
     if args.stage == "web":
         from pdf_extraction_spark.operators.html import html_to_spans
         n_spans = html_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "pdf":
+        from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+        n_spans = pdf_to_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
     else:
         n_spans = docs.select(F.sum(F.size("spans"))).first()[0]

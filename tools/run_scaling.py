@@ -33,7 +33,7 @@ def make_zip(tmp: str) -> str:
 
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
-    want = "html" if stage == "web" else "spans"
+    want = {"web": "html", "pdf": "stream"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
         # clear error here instead of an AnalysisException mid-benchmark
@@ -69,6 +69,30 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
             F.array_join(F.transform(
                 F.col("spans"), lambda sp: sp["text"]), " ").alias("t")) \
             .select("doc_id", F.expr(expr).alias("html")) \
+            .write.parquet(path)
+    elif stage == "pdf":
+        # raw-bytes-shaped input: render the WHOLE document as a PDF
+        # content stream — every text span one escaped literal line
+        # (Tj + T* at 14pt leading), every media span an XObject Do —
+        # so stream bytes track doc size and the giant-doc tail
+        # exercises the tokenizer's single-row skew contract.
+        from pyspark.sql import functions as F
+
+        esc = ("replace(replace(replace(coalesce(sp.text, ''), chr(92),"
+               " chr(92) || chr(92)), '(', chr(92) || '('), ')', "
+               "chr(92) || ')')")
+        line = ("CASE WHEN sp.kind = 'media' THEN '/' || "
+                "regexp_replace(coalesce(sp.media_ref, 'M'), "
+                "'[^A-Za-z0-9]+', '_') || ' Do ' "
+                f"ELSE '(' || {esc} || ') Tj ' || "
+                # every 6th line hops 30pt: a fresh layout block, so
+                # block segmentation sees realistic paragraph structure
+                "CASE WHEN i % 6 = 5 THEN '0 -30 Td ' ELSE 'T* ' END "
+                "END")
+        expr = ("'BT /F1 11 Tf 14 TL 72 720 Td ' || "
+                f"array_join(transform(spans, (sp, i) -> {line}), '') "
+                "|| 'ET'")
+        docs.select("doc_id", F.expr(expr).alias("stream")) \
             .write.parquet(path)
     else:
         docs.write.parquet(path)
@@ -130,7 +154,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline", "web"])
+                    choices=["extract", "pipeline", "web", "pdf"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
