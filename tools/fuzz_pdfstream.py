@@ -1,0 +1,376 @@
+"""Differential fuzz harness (committed so the campaign is
+reproducible — usage: python tools/fuzz_pdfstream.py LO HI):
+operators/pdfstream.py (regex lexer + 6-tuple matrix machine) vs an
+independently-written twin (char-by-char lexer, numpy homogeneous
+3x3 matrices), on random content streams covering the full operator
+set: q/cm/Q nesting, Tf/Td/TD/Tm/TL/T*, Tc/Tw/Tz spacing, Tj/'/"/TJ
+shows with kern arrays, Do placements, literal-string escapes
+(incl. octal + continuations), hex strings, comments, inline dicts,
+unknown ops and stray Q/ET.
+
+All generated numeric values live on dyadic grids (multiples of
+0.25; kerns multiples of 125 so v/1000 is dyadic; Tz in
+{25,50,100,200}) so both implementations compute bit-identical
+float64 despite different association orders — any mismatch is a
+semantic divergence, not FP noise.
+"""
+from __future__ import annotations
+
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+WS = " \t\r\n\f\x00"
+DELIM = "()<>[]{}/%"
+ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+       "(": "(", ")": ")", "\\": "\\"}
+
+
+# ------------------------------------------------- twin lexer (no regex)
+
+def twin_lex(s: str):
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in WS:
+            i += 1
+        elif c == "%":
+            while i < n and s[i] not in "\r\n":
+                i += 1
+        elif c == "(":
+            buf, depth = [], 1
+            i += 1
+            while i < n and depth:
+                ch = s[i]
+                if ch == "\\":
+                    i += 1
+                    if i >= n:
+                        break
+                    e = s[i]
+                    if e in ESC:
+                        buf.append(ESC[e])
+                        i += 1
+                    elif e in "01234567":
+                        j = i
+                        while j < n and j - i < 3 and s[j] in "01234567":
+                            j += 1
+                        buf.append(chr(int(s[i:j], 8) & 0xFF))
+                        i = j
+                    elif e == "\n":
+                        i += 1
+                    elif e == "\r":
+                        i += 2 if s[i:i + 2] == "\r\n" else 1
+                    else:
+                        buf.append(e)
+                        i += 1
+                elif ch == "(":
+                    depth += 1
+                    buf.append(ch)
+                    i += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth:
+                        buf.append(ch)
+                    i += 1
+                else:
+                    buf.append(ch)
+                    i += 1
+            yield ("str", "".join(buf))
+        elif c == "<" and s[i:i + 2] == "<<":
+            yield ("op", "<<")
+            i += 2
+        elif c == "<":
+            j = i + 1
+            while j < n and s[j] != ">":
+                j += 1
+            body = s[i + 1:j]
+            # main lexer's hex class is [0-9A-Fa-f\s]; on any other
+            # content the regex fails and only the '<' byte is skipped
+            if j < n and all(ch in "0123456789abcdefABCDEF \t\n\r\f\v"
+                             for ch in body):
+                h = "".join(ch for ch in body
+                            if ch not in " \t\n\r\f\v")
+                if len(h) % 2:
+                    h += "0"
+                yield ("str", "".join(chr(int(h[k:k + 2], 16))
+                                      for k in range(0, len(h), 2)))
+                i = j + 1
+            else:
+                i += 1
+        elif c == ">" and s[i:i + 2] == ">>":
+            yield ("op", ">>")
+            i += 2
+        elif c == "[":
+            yield ("[", None)
+            i += 1
+        elif c == "]":
+            yield ("]", None)
+            i += 1
+        elif c == "/":
+            j = i + 1
+            while j < n and s[j] not in WS and s[j] not in DELIM:
+                j += 1
+            yield ("name", s[i + 1:j])
+            i = j
+        else:
+            if c in "+-0123456789.":
+                # main regex: [+-]?(\d+\.\d*|\.\d+|\d+) — one optional
+                # sign, at most one dot, at least one digit; else the
+                # run lexes as an op (or the byte is skipped)
+                j = i + (1 if c in "+-" else 0)
+                k = j
+                while k < n and s[k].isdigit():
+                    k += 1
+                if k < n and s[k] == ".":
+                    k += 1
+                    while k < n and s[k].isdigit():
+                        k += 1
+                if any(ch.isdigit() for ch in s[j:k]):
+                    yield ("num", float(s[i:k]))
+                    i = k
+                    continue
+            j = i
+            while j < n and s[j] not in WS and s[j] not in DELIM:
+                j += 1
+            if j > i:
+                yield ("op", s[i:j])
+                i = j
+            else:
+                i += 1
+
+
+# ------------------------- twin machine (homogeneous row-vector numpy)
+
+def _m(a, b, c, d, e, f):
+    return np.array([[a, b, 0.0], [c, d, 0.0], [e, f, 1.0]])
+
+
+def _t(tx, ty):
+    return _m(1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+def twin_runs(stream: str, char_width: float = 0.5) -> list[tuple]:
+    I = np.eye(3)
+    ctm = I.copy()
+    stack: list[tuple] = []
+    tm = tlm = I.copy()
+    font, size = "", 0.0
+    tc = tw = tl = 0.0
+    tz = 100.0
+    ops: list[tuple] = []
+    runs: list[tuple] = []
+
+    def nums():
+        return [v for t, v in ops if t == "num"]
+
+    def strs():
+        return [v for t, v in ops if t == "str"]
+
+    def names():
+        return [v for t, v in ops if t == "name"]
+
+    def show(text: str) -> None:
+        nonlocal tm
+        trm = tm @ ctm
+        adv = ((char_width * size + tc) * len(text)
+               + tw * text.count(" ")) * (tz / 100.0)
+        h = size * abs(tm[1, 1]) * abs(ctm[1, 1])
+        runs.append(("text", text, None, font, h,
+                     trm[2, 0], trm[2, 1],
+                     adv * abs(tm[0, 0]) * abs(ctm[0, 0]), h))
+        tm = _t(adv, 0.0) @ tm
+
+    def td(tx, ty):
+        nonlocal tm, tlm
+        tlm = _t(tx, ty) @ tlm
+        tm = tlm.copy()
+
+    for kind, val in twin_lex(stream):
+        if kind != "op":
+            ops.append((kind, val))
+            continue
+        try:
+            if val == "q":
+                stack.append((ctm.copy(), font, size, tc, tw, tl, tz))
+            elif val == "Q":
+                if stack:
+                    ctm, font, size, tc, tw, tl, tz = stack.pop()
+            elif val == "cm":
+                a, b, c, d, e, f = nums()[-6:]
+                ctm = _m(a, b, c, d, e, f) @ ctm
+            elif val == "BT":
+                tm = tlm = I.copy()
+            elif val == "Tf":
+                size = nums()[-1]
+                if names():
+                    font = names()[-1]
+            elif val == "Td":
+                a, b = nums()[-2:]
+                td(a, b)
+            elif val == "TD":
+                a, b = nums()[-2:]
+                tl = -b
+                td(a, b)
+            elif val == "Tm":
+                a, b, c, d, e, f = nums()[-6:]
+                tm = tlm = _m(a, b, c, d, e, f)
+            elif val == "T*":
+                td(0.0, -tl)
+            elif val == "TL":
+                tl = nums()[-1]
+            elif val == "Tc":
+                tc = nums()[-1]
+            elif val == "Tw":
+                tw = nums()[-1]
+            elif val == "Tz":
+                tz = nums()[-1]
+            elif val == "Tj":
+                if strs():
+                    show(strs()[-1])
+            elif val == "'":
+                td(0.0, -tl)
+                if strs():
+                    show(strs()[-1])
+            elif val == '"':
+                nn = nums()[-2:]
+                if len(nn) == 2:
+                    tw, tc = nn
+                td(0.0, -tl)
+                if strs():
+                    show(strs()[-1])
+            elif val == "TJ":
+                for t, v in ops:
+                    if t == "str":
+                        show(v)
+                    elif t == "num":
+                        tm = _t(-v / 1000.0 * size * (tz / 100.0),
+                                0.0) @ tm
+            elif val == "Do":
+                if names():
+                    runs.append(("media", None, names()[-1], font, 0.0,
+                                 ctm[2, 0], ctm[2, 1],
+                                 ctm[0, 0], ctm[1, 1]))
+        except (IndexError, ValueError, TypeError):
+            pass
+        ops.clear()
+    return runs
+
+
+# ----------------------------------------------------------- generator
+
+TEXT_CHARS = "ab c()\\x %/<y\nz"
+DY = [0.0, 0.25, 0.5, 1.0, 1.5, 2.0, 4.0, 12.0, 72.0, -0.5, -4.0, -14.0]
+SIZES = [0.5, 1.0, 8.0, 10.5, 12.0, 18.0]
+JUNK = ["gs", "re", "W", "n", "BDC", "EMC", "Tr", "Ts", "RG", "sc"]
+
+
+def _lit(rng) -> str:
+    """Random text rendered as a literal string: escaped content, raw
+    octal escapes, continuations."""
+    t = "".join(rng.choice(TEXT_CHARS)
+                for _ in range(rng.randrange(0, 12)))
+    out = t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    if rng.random() < 0.3:
+        out += rng.choice([r"\101", r"\61", "\\\n", r"\q"])
+    return "(" + out + ")"
+
+
+def _shows(rng) -> str:
+    r = rng.random()
+    if r < 0.4:
+        return f"{_lit(rng)} Tj"
+    if r < 0.55:
+        return "<" + "".join(rng.choice("0123456789abcdefABCDEF ")
+                             for _ in range(rng.randrange(0, 9))) + "> Tj"
+    if r < 0.7:
+        return f"{_lit(rng)} '"
+    if r < 0.8:
+        return (f"{rng.choice(DY)} {rng.choice(DY)} "
+                f"{_lit(rng)} \"")
+    parts = ["["]
+    for _ in range(rng.randrange(0, 5)):
+        parts.append(_lit(rng) if rng.random() < 0.6
+                     else str(rng.randrange(-8, 8) * 125))
+    parts.append("] TJ")
+    return " ".join(parts)
+
+
+def gen_stream(rng) -> str:
+    parts: list[str] = []
+    for _ in range(rng.randrange(1, 14)):
+        r = rng.random()
+        if r < 0.12:
+            a, d = rng.choice([0.25, 0.5, 1.0, 2.0, 4.0]), \
+                rng.choice([0.25, 0.5, 1.0, 2.0, 4.0])
+            parts.append(f"q {a} 0 0 {d} "
+                         f"{rng.randrange(-50, 800)} "
+                         f"{rng.randrange(-50, 800)} cm")
+        elif r < 0.2:
+            parts.append("Q")
+        elif r < 0.28:
+            parts.append(f"/X{rng.randrange(4)} Do"
+                         if rng.random() < 0.8 else "Do")
+        elif r < 0.36:
+            parts.append(rng.choice(
+                ["% a comment (with parens", "<< /K (dict str) >>",
+                 " ".join(str(rng.choice(DY))
+                          for _ in range(rng.randrange(0, 3)))
+                 + " " + rng.choice(JUNK)]))
+        else:
+            body = [f"/F{rng.randrange(3)} {rng.choice(SIZES)} Tf"]
+            for _ in range(rng.randrange(0, 8)):
+                rr = rng.random()
+                if rr < 0.15:
+                    body.append(f"{rng.choice(DY)} {rng.choice(DY)} Td")
+                elif rr < 0.25:
+                    body.append(f"{rng.choice(DY)} {rng.choice(DY)} TD")
+                elif rr < 0.35:
+                    body.append(
+                        f"{rng.choice([0.5, 1, 2])} 0 0 "
+                        f"{rng.choice([0.5, 1, 2])} "
+                        f"{rng.randrange(0, 600)} "
+                        f"{rng.randrange(0, 800)} Tm")
+                elif rr < 0.45:
+                    body.append(rng.choice(
+                        [f"{rng.choice(DY)} TL", "T*",
+                         f"{rng.choice([0.0, 0.25, 2.0])} Tc",
+                         f"{rng.choice([0.0, 0.5, 4.0])} Tw",
+                         f"{rng.choice([25, 50, 100, 200])} Tz"]))
+                elif rr < 0.55 and rng.random() < 0.5:
+                    body.append(f"/I{rng.randrange(3)} Do")
+                else:
+                    body.append(_shows(rng))
+            parts.append("BT " + " ".join(body)
+                         + (" ET" if rng.random() < 0.9 else ""))
+    return " ".join(parts)
+
+
+def main() -> None:
+    lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    bad = 0
+    for seed in range(lo, hi):
+        rng = random.Random(77000 + seed)
+        stream = gen_stream(rng)
+        a = extract_runs(stream)
+        b = twin_runs(stream)
+        if a != b:
+            bad += 1
+            print(f"seed {seed}: DIVERGENCE ({len(a)} vs {len(b)} runs)")
+            for x, y in zip(a, b):
+                if x != y:
+                    print("  main:", x)
+                    print("  twin:", y)
+                    break
+            print("  stream:", stream[:400])
+        if seed % 1000 == 0:
+            print("seed", seed, "ok" if bad == 0 else f"bad={bad}")
+    print("DONE divergences:", bad)
+
+
+if __name__ == "__main__":
+    main()
