@@ -390,9 +390,11 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     content streams.
 
     Returns (doc_id, spans array<struct<kind,text,media_ref,offset>>).
-    Plan: one mapInArrow (tokenize) + the layout doc_id shuffle + the
-    final groupBy on the same key (one exchange end-to-end when AQE
-    reuses the partitioning)."""
+    Plan (asserted in tests/test_plan_shapes.py): the tokenize pass is
+    exchange-free; end-to-end exactly 2 hash exchanges, both on doc_id
+    — the runs-sized layout shuffle, then a block-sized one where the
+    media union re-enters the offset window + final groupBy (blocks +
+    media rows only, orders of magnitude smaller than runs)."""
     from .layout import spans_from_runs
 
     runs = runs_for_layout(

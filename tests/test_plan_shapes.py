@@ -265,3 +265,19 @@ def test_html_extraction_zero_shuffle(spark):
     plan = _plan(extract_main_content(_spark_pages(spark, SF_DIR)))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pdf_bridge_two_docid_exchanges(spark):
+    """pdf_to_spans end-to-end: the tokenize pass is exchange-free
+    (pinned separately in test_pdfstream), and the whole bridge plans
+    exactly 2 hash exchanges, both keyed on doc_id — the runs-sized
+    layout shuffle plus the block-sized media-union/offset/groupBy one.
+    A third exchange (or a non-doc_id key) is a 100x-scale regression."""
+    from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+    from pdf_extraction_spark.queries_pdf import _pdf_streams
+
+    plan = _plan(pdf_to_spans(_pdf_streams(spark, SF_DIR)))
+    assert plan.count("Exchange hashpartitioning") == 2
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).startswith("doc_id"), m.group(0)
