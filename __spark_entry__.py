@@ -74,6 +74,28 @@ _DRIVER_WINDOW = [
     "host_denylist",
 ]
 
+# Round-5 window, pre-staged (INERT this round): the 39 names outside
+# the round-4 window (all r02/r03 driver-green, unchanged) + the
+# post-freeze pdf pair, padded to 50 with the cheapest fillers.  To
+# rotate, point _driver_order at this list.  Every name then carries a
+# driver row from round 4 or 5 (most from both).
+_DRIVER_WINDOW_R5 = [
+    "status_detect", "sections", "segmentation", "priority",
+    "font_priority", "bbox_agg", "price_parse", "dedup_exact",
+    "cosine_topk", "ngram_shingles", "jaccard_pairs", "knn_vote",
+    "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
+    "media_features", "tables", "raw_sections", "property_meta",
+    "severity_normalize", "action_normalize", "urgency_score",
+    "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
+    "estimate_validate", "attributes", "cleaning", "quality_routing",
+    "strategy", "taxonomy", "issue_link", "phase2_select",
+    "phase2_houston", "phase2_confidence", "hybrid_routing",
+    "causal_chains", "pdf_runs", "pdf_spans",
+    # cheap fillers (scored in r04's window; re-confirmation)
+    "fingerprint", "langid", "quality_score", "title", "token_stats",
+    "boilerplate", "normalize_unicode", "dedup_doc", "classification",
+]
+
 
 def _driver_order(merged: dict) -> dict:
     missing = [n for n in _DRIVER_WINDOW if n not in merged]
