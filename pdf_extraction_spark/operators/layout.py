@@ -85,10 +85,21 @@ def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
 
 def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
     """Lines from line-assigned runs: text joined left-to-right,
-    enclosing bbox, max run font size (null when runs carry none)."""
+    enclosing bbox, max run font size (null when runs carry none) and —
+    when the corpus carries a ``font`` name column — the line's
+    dominant font (the name on the largest run, size ties broken by
+    name: a deterministic max over (size, font))."""
     has_size = "size" in runs_with_lines.columns
     size_agg = (F.max("size") if has_size
                 else F.lit(None).cast("double")).alias("max_size")
+    extra = []
+    if "font" in runs_with_lines.columns:
+        sz = (F.coalesce(F.col("size"), F.lit(0.0)) if has_size
+              else F.lit(0.0))
+        extra.append(F.max(F.struct(
+            sz.alias("s"),
+            F.coalesce(F.col("font"), F.lit("")).alias("f")))["f"]
+            .alias("font"))
     parts = F.array_sort(F.collect_list(F.struct("x0", "text")))
     return (runs_with_lines
             .groupBy("doc_id", "line_id")
@@ -98,7 +109,8 @@ def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
                  F.min("x0").alias("x0"), F.min("y0").alias("y0"),
                  F.max("x1").alias("x1"), F.max("y1").alias("y1"),
                  size_agg,
-                 F.count(F.lit(1)).cast("long").alias("n_runs")))
+                 F.count(F.lit(1)).cast("long").alias("n_runs"),
+                 *extra))
 
 
 def cluster_blocks(lines: DataFrame, gap_tol: float = 10.0) -> DataFrame:
@@ -156,13 +168,15 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
                 F.lit(False))).drop("modal_size")
     else:
         blocks = blocks.withColumn("is_heading", F.lit(False))
+    font = (["font"] if "font" in blocks.columns else [])
     return blocks.select("doc_id", "block_id", "line_id", "text",
                          "x0", "y0", "x1", "y1", "max_size", "n_runs",
-                         "is_heading")
+                         "is_heading", *font)
 
 
 def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
-                    gap_tol: float = 10.0) -> DataFrame:
+                    gap_tol: float = 10.0,
+                    with_fonts: bool = False) -> DataFrame:
     """The bridge from a raw positioned-run corpus to the contract span
     rows the extraction plans consume: text runs are layout-parsed into
     blocks (one span of kind 'text' per block), rows with a non-null
@@ -175,7 +189,13 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     deterministic kind/content tie-break).  ``groupBy(doc_id) +
     sort_array(collect_list(...))`` turns this into the
     ``spans array<struct<kind,text,media_ref,offset>>`` input-hint shape.
-    """
+
+    ``with_fonts=True`` adds per-span ``font`` (the block's dominant
+    font name, when the runs carry one) and ``size`` (the block's max
+    run size) — the optional C2 attributes ``plans/extraction.py
+    explode_spans`` reads, so font-driven formatting priority runs
+    end-to-end from positioned runs (reference detect_formatting,
+    text_extractor.pyc:178-207)."""
     has_media = "media_ref" in runs.columns
     text_runs = runs.where(F.col("media_ref").isNull()) if has_media \
         else runs
@@ -183,28 +203,53 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     # select below, so skip the modal-font groupBy + join they'd cost
     blocks = block_text(reconstruct_blocks(
         text_runs.drop(*(["media_ref"] if has_media else [])),
-        y_tol, gap_tol, with_headings=False))
+        y_tol, gap_tol, with_headings=False), with_size=with_fonts)
+    nul = F.lit(None).cast("string")
+    if with_fonts:
+        attrs = [F.col("font") if "font" in blocks.columns else
+                 nul.alias("font"),
+                 F.col("size") if "size" in blocks.columns else
+                 F.lit(None).cast("double").alias("size")]
+        mattrs = [nul.alias("font"),
+                  F.lit(None).cast("double").alias("size")]
+    else:
+        attrs = mattrs = []
     units = blocks.select(
         "doc_id", "y0", "x0", F.lit("text").alias("kind"),
-        F.col("text"), F.lit(None).cast("string").alias("media_ref"))
+        F.col("text"), nul.alias("media_ref"), *attrs)
     if has_media:
         media = runs.where(F.col("media_ref").isNotNull()).select(
             "doc_id", "y0", "x0", F.lit("media").alias("kind"),
-            F.lit(None).cast("string").alias("text"), "media_ref")
+            nul.alias("text"), "media_ref", *mattrs)
         units = units.unionByName(media)
     w = Window.partitionBy("doc_id").orderBy(
         "y0", "x0", "kind", F.coalesce("text", F.lit("")),
         F.coalesce("media_ref", F.lit("")))
+    keep = ["doc_id", "offset", "kind", "text", "media_ref"] \
+        + (["font", "size"] if with_fonts else [])
     return units.withColumn(
         "offset", (F.row_number().over(w) - 1).cast("int")) \
-        .select("doc_id", "offset", "kind", "text", "media_ref")
+        .select(*keep)
 
 
-def block_text(blocks: DataFrame) -> DataFrame:
+def block_text(blocks: DataFrame, with_size: bool = False) -> DataFrame:
     """Collapse line rows to one row per block: lines joined with
     newlines in reading order, block bbox, line count — the unit the
-    span-classification pipeline consumes."""
+    span-classification pipeline consumes.
+
+    ``with_size=True`` additionally carries the block's max run font
+    ``size`` and (when the line rows have one) its dominant ``font``
+    name — opt-in so the default output schema (and the layout_text
+    oracle gate) stays fixed."""
     parts = F.array_sort(F.collect_list(F.struct("y0", "x0", "text")))
+    extra = []
+    if with_size:
+        extra.append(F.max("max_size").alias("size"))
+        if "font" in blocks.columns:
+            extra.append(F.max(F.struct(
+                F.coalesce(F.col("max_size"), F.lit(0.0)).alias("s"),
+                F.coalesce(F.col("font"), F.lit("")).alias("f")))["f"]
+                .alias("font"))
     return (blocks.groupBy("doc_id", "block_id")
             .agg(F.array_join(
                      F.transform(parts, lambda s: s["text"]), "\n")
@@ -213,4 +258,5 @@ def block_text(blocks: DataFrame) -> DataFrame:
                  F.max("x1").alias("x1"), F.max("y1").alias("y1"),
                  F.count(F.lit(1)).cast("long").alias("n_lines"),
                  F.max(F.col("is_heading").cast("int")).cast("boolean")
-                 .alias("has_heading")))
+                 .alias("has_heading"),
+                 *extra))

@@ -364,7 +364,10 @@ def runs_for_layout(runs: DataFrame,
     """Convert device-space runs (y-up, PDF user space) to the layout
     operators' y-down schema: top = page_height - y - h, bottom =
     page_height - y (`operators/layout.py` input contract).  Media runs
-    keep their media_ref; their box is the CTM-placed unit square."""
+    keep their media_ref; their box is the CTM-placed unit square.
+    The font name passes through (the layout total-order key absorbs
+    it; `spans_from_runs(with_fonts=True)` forwards it as the C2
+    span attribute)."""
     H = F.lit(page_height)
     return runs.select(
         "doc_id",
@@ -374,13 +377,15 @@ def runs_for_layout(runs: DataFrame,
         (F.col("x") + F.col("w")).alias("x1"),
         (H - F.col("y")).alias("y1"),
         F.col("size"),
+        F.col("font"),
         F.when(F.col("kind") == "media", F.col("media_ref"))
         .alias("media_ref"))
 
 
 def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  id_col: str = "doc_id", page_height: float = 792.0,
-                 y_tol: float = 3.0, gap_tol: float = 10.0) -> DataFrame:
+                 y_tol: float = 3.0, gap_tol: float = 10.0,
+                 with_fonts: bool = False) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -390,6 +395,12 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     content streams.
 
     Returns (doc_id, spans array<struct<kind,text,media_ref,offset>>).
+    ``with_fonts=True`` appends the optional C2 attributes ``font``
+    (block dominant font name) and ``size`` (block max size) to each
+    span struct — ``plans/extraction.py explode_spans`` then derives
+    bold/italic formatting priority (bold names, size > 12pt, italic
+    names) end-to-end from the raw content stream.
+
     Plan (asserted in tests/test_plan_shapes.py): the tokenize pass is
     exchange-free; end-to-end exactly 2 hash exchanges, both on doc_id
     — the runs-sized layout shuffle, then a block-sized one where the
@@ -399,16 +410,22 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
 
     runs = runs_for_layout(
         tokenize_streams(docs, stream_col, id_col), page_height)
-    span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol)
-    spans = F.array_sort(F.collect_list(F.struct(
-        "offset", "kind", "text", "media_ref")))
+    span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
+                                with_fonts=with_fonts)
+    fields = ["offset", "kind", "text", "media_ref"] \
+        + (["font", "size"] if with_fonts else [])
+    spans = F.array_sort(F.collect_list(F.struct(*fields)))
+
+    def span_struct(s):
+        parts = [s["kind"].alias("kind"),
+                 F.coalesce(s["text"], F.lit("")).alias("text"),
+                 F.coalesce(s["media_ref"], F.lit(""))
+                 .alias("media_ref"),
+                 s["offset"].cast("int").alias("offset")]
+        if with_fonts:
+            parts += [F.coalesce(s["font"], F.lit("")).alias("font"),
+                      s["size"].alias("size")]
+        return F.struct(*parts)
+
     return (span_rows.groupBy("doc_id")
-            .agg(F.transform(
-                spans,
-                lambda s: F.struct(
-                    s["kind"].alias("kind"),
-                    F.coalesce(s["text"], F.lit("")).alias("text"),
-                    F.coalesce(s["media_ref"], F.lit(""))
-                    .alias("media_ref"),
-                    s["offset"].cast("int").alias("offset")))
-                 .alias("spans")))
+            .agg(F.transform(spans, span_struct).alias("spans")))

@@ -242,6 +242,44 @@ def test_runs_feed_layout_blocks(spark, stream_docs):
     assert [b.is_heading for b in d2] == [True, False, False]
 
 
+def test_with_fonts_drives_formatting_priority_end_to_end(spark):
+    """Raw content stream -> pdf_to_spans(with_fonts=True) -> the C2
+    font attributes reach explode_spans (bold via name/size>12, italic
+    via oblique name) and the bold block's issue gets priority high
+    through the full exploded extraction plan (verdict r3 item 4's
+    end-to-end wiring)."""
+    from pdf_extraction_spark.plans.extraction import (assemble,
+                                                       explode_spans)
+
+    stream = ("BT /Helvetica-Bold 14 Tf 1 0 0 1 72 700 Tm "
+              "(Comments: roof deck sagging) Tj "
+              "/Times-Oblique 9 Tf 0 -40 Td "
+              "(Comments: attic vent blocked) Tj "
+              "/Times-Roman 9 Tf 0 -40 Td (Comments: sump pump ok) Tj "
+              "ET")
+    docs = spark.createDataFrame([("d1", stream)],
+                                 "doc_id string, stream string")
+    spans = pdf_to_spans(docs, with_fonts=True)
+    row = spans.collect()[0]
+    assert [(s.font, s.size) for s in row.spans] == [
+        ("Helvetica-Bold", 14.0), ("Times-Oblique", 9.0),
+        ("Times-Roman", 9.0)]
+    assert len(row.spans) == 3
+
+    e = explode_spans(spans).orderBy("offset").collect()
+    assert [x.bold for x in e] == [True, False, False]
+    assert [x.italic for x in e] == [False, True, False]
+
+    issues = assemble(spans).collect()[0].issues
+    assert issues[0].priority == "high"        # bold heading block
+    assert all(i.priority != "high" for i in issues[1:])
+
+    # default stays the fontless contract: no font/size span fields
+    plain = pdf_to_spans(docs).select("spans").schema[0].dataType \
+        .elementType.fieldNames()
+    assert sorted(plain) == ["kind", "media_ref", "offset", "text"]
+
+
 def test_gate_queries_smoke(spark):
     """queries_pdf invariants at sf0.001 (the DuckDB oracle proves
     exact values; this guards the synthetic-stream builder in pytest):
