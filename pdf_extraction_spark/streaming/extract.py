@@ -55,3 +55,44 @@ def web_extract_stream(spark: SparkSession, source_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return assemble_fused(html_to_spans(reader.parquet(source_dir)))
+
+
+PDF_SCHEMA = "doc_id string, stream string"
+
+
+def pdf_extract_stream(spark: SparkSession, source_dir: str,
+                       out_path: str, checkpoint_dir: str,
+                       schema: str = PDF_SCHEMA,
+                       max_files_per_trigger: int | None = None,
+                       available_now: bool = True,
+                       with_fonts: bool = False):
+    """Raw content-stream corpus -> continuous extraction, via
+    ``foreachBatch``.
+
+    Unlike the web path (html_to_spans is a stateless projection, so it
+    streams as ONE continuous query), the pdf bridge's layout stage is
+    per-doc window clustering — unsupported inside a streaming plan.
+    But every document arrives WHOLE in its row, so the computation is
+    micro-batch-local with no cross-batch state: ``foreachBatch`` runs
+    the IDENTICAL batch plan (tokenize -> layout -> assemble_fused) per
+    trigger, which is Spark's documented pattern for reusing
+    batch-complete logic.  ``checkpointLocation`` makes source offsets
+    exactly-once; the parquet append sink is at-least-once under a
+    mid-write crash — on a cluster, point the sink at an Iceberg table
+    (sources/catalog.IcebergStore) whose atomic snapshot commit closes
+    that window.  Returns the started StreamingQuery."""
+    from ..operators.pdfstream import pdf_to_spans
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        assemble_fused(pdf_to_spans(batch_df, with_fonts=with_fonts)) \
+            .write.mode("append").parquet(out_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.parquet(source_dir)
+              .writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -254,3 +254,43 @@ def test_streaming_web_extraction_matches_batch(spark, tmp_path):
         q.stop()
 
     assert got == batch and len(got) == 12
+
+
+def test_streaming_pdf_extraction_matches_batch(spark, tmp_path):
+    """The pdf path streams: content-stream files -> foreachBatch
+    (tokenize -> layout -> fused extraction, the identical batch plan)
+    -> parquet sink, equal to the batch twin per doc."""
+    from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.extract import pdf_extract_stream
+
+    tmpl = ("BT /F1 11 Tf 14 TL 72 720 Td "
+            "(Comments: roof leak in doc {i}) Tj "
+            "0 -30 Td (attic vent blocked badly) Tj ET "
+            "q 1 0 0 1 50 300 cm /Img{i} Do Q")
+    rows = [(str(i), tmpl.format(i=i)) for i in range(9)]
+    src = str(tmp_path / "streams")
+    spark.createDataFrame(rows, "doc_id string, stream string") \
+        .repartition(3).write.parquet(src)
+
+    def key(r):
+        media = [s["media_ref"] for s in r["spans"]
+                 if s["kind"] == "media_ref"]
+        return (len(r["spans"]), tuple(media),
+                r["summary"]["total_issues"])
+
+    batch = {r["doc_id"]: key(r) for r in assemble_fused(
+        pdf_to_spans(spark.read.parquet(src))).collect()}
+
+    out = str(tmp_path / "out")
+    q = pdf_extract_stream(spark, src, out,
+                           str(tmp_path / "ckpt"),
+                           max_files_per_trigger=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r["doc_id"]: key(r)
+           for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) == 9
+    assert all(k[1] == (f"Img{d}",) for d, k in got.items())
