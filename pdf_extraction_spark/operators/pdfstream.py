@@ -58,7 +58,7 @@ from __future__ import annotations
 import re
 from typing import Any, Iterator
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------- lexer
 
@@ -385,7 +385,8 @@ def runs_for_layout(runs: DataFrame,
 def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  id_col: str = "doc_id", page_height: float = 792.0,
                  y_tol: float = 3.0, gap_tol: float = 10.0,
-                 with_fonts: bool = False) -> DataFrame:
+                 with_fonts: bool = False,
+                 page_col: str | None = None) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -401,17 +402,49 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     bold/italic formatting priority (bold names, size > 12pt, italic
     names) end-to-end from the raw content stream.
 
+    ``page_col`` names an optional page-number column for corpora that
+    arrive one content stream per PAGE (real PDFs): each page is
+    layout-clustered in its OWN coordinate space (page 2's y=700 must
+    not interleave with page 1's), spans are ordered (page, reading
+    order) and re-offset gaplessly per document.  This is also the
+    documented giant-document skew mitigation made executable: the
+    layout shuffle keys on (doc_id, page), so the skew unit drops from
+    document to page — bounded by construction — and only the final
+    cheap span-row groupBy sees whole documents.
+
     Plan (asserted in tests/test_plan_shapes.py): the tokenize pass is
     exchange-free; end-to-end exactly 2 hash exchanges, both on doc_id
     — the runs-sized layout shuffle, then a block-sized one where the
     media union re-enters the offset window + final groupBy (blocks +
-    media rows only, orders of magnitude smaller than runs)."""
+    media rows only, orders of magnitude smaller than runs).  With
+    ``page_col`` the first two key on the composed (doc_id, page) and
+    a third block-sized exchange regroups per doc_id."""
     from .layout import spans_from_runs
 
-    runs = runs_for_layout(
-        tokenize_streams(docs, stream_col, id_col), page_height)
+    _SEP = "\x1f"
+    if page_col is not None:
+        keyed = docs.select(
+            F.concat_ws(_SEP, F.col(id_col).cast("string"),
+                        F.col(page_col).cast("long").cast("string"))
+            .alias("__pkey"),
+            F.col(stream_col).alias(stream_col))
+        runs = runs_for_layout(
+            tokenize_streams(keyed, stream_col, "__pkey"), page_height)
+    else:
+        runs = runs_for_layout(
+            tokenize_streams(docs, stream_col, id_col), page_height)
     span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
                                 with_fonts=with_fonts)
+    if page_col is not None:
+        w = Window.partitionBy("real_doc").orderBy("page", "offset")
+        span_rows = span_rows.select(
+            F.substring_index("doc_id", _SEP, 1).alias("real_doc"),
+            F.substring_index("doc_id", _SEP, -1).cast("long")
+            .alias("page"),
+            *[c for c in span_rows.columns if c != "doc_id"]) \
+            .withColumn("offset",
+                        (F.row_number().over(w) - 1).cast("int")) \
+            .withColumnRenamed("real_doc", "doc_id").drop("page")
     fields = ["offset", "kind", "text", "media_ref"] \
         + (["font", "size"] if with_fonts else [])
     spans = F.array_sort(F.collect_list(F.struct(*fields)))

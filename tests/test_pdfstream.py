@@ -280,6 +280,38 @@ def test_with_fonts_drives_formatting_priority_end_to_end(spark):
     assert sorted(plain) == ["kind", "media_ref", "offset", "text"]
 
 
+def test_multipage_pages_cluster_independently(spark):
+    """page_col: each page's layout runs in its own coordinate space —
+    page 2 text at the TOP of its page must come after page 1 text at
+    the BOTTOM of its page, never interleaved by raw y; offsets stay
+    gapless per document; media keeps its page-local position."""
+    rows = [
+        ("d1", 1, "BT /F1 10 Tf 1 0 0 1 72 100 Tm (page one bottom) Tj "
+                  "ET"),                       # low on page 1 (y=100)
+        ("d1", 2, "BT /F1 10 Tf 1 0 0 1 72 700 Tm (page two top) Tj ET "
+                  "q 1 0 0 1 50 300 cm /P2img Do Q"),
+        ("d2", 1, "BT /F1 10 Tf 1 0 0 1 72 400 Tm (only page) Tj ET"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, page int, stream string")
+    out = {r.doc_id: r.spans
+           for r in pdf_to_spans(docs, page_col="page").collect()}
+    d1 = out["d1"]
+    assert [s.offset for s in d1] == [0, 1, 2]
+    assert [(s.kind, s.text or s.media_ref) for s in d1] == [
+        ("text", "page one bottom"),           # page 1 first...
+        ("text", "page two top"),              # ...even though its y
+        ("media", "P2img")]                    # is lower on the page
+    assert [s.text for s in out["d2"]] == ["only page"]
+
+    # naive single-space merge WOULD interleave (guards the premise)
+    merged = pdf_to_spans(docs.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.collect_list("stream")).alias("stream")))
+    d1m = {r.doc_id: [s.text or s.media_ref for s in r.spans]
+           for r in merged.collect()}["d1"]
+    assert d1m[0] != "page one bottom"
+
+
 def test_gate_queries_smoke(spark):
     """queries_pdf invariants at sf0.001 (the DuckDB oracle proves
     exact values; this guards the synthetic-stream builder in pytest):

@@ -281,3 +281,16 @@ def test_pdf_bridge_two_docid_exchanges(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert m.group(1).startswith("doc_id"), m.group(0)
+
+    # page_col: layout keys on the composed (doc_id, page) key — the
+    # giant-doc skew unit drops to a page — plus one doc_id regroup
+    paged = _pdf_streams(spark, SF_DIR).withColumn(
+        "page", F.lit(1))
+    pplan = _plan(pdf_to_spans(paged, page_col="page"))
+    assert pplan.count("Exchange hashpartitioning") == 3
+    keys = [m.group(1) for m in re.finditer(
+        r"Exchange hashpartitioning\(([^,]+),", pplan)]
+    # physical names: __pkey (layout), real_doc (the per-doc offset
+    # window before its rename back to doc_id), doc_id (final groupBy)
+    assert sum(k.startswith(("__pkey", "real_doc", "doc_id#"))
+               for k in keys) == 3
