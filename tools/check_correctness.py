@@ -89,10 +89,12 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    n_run = 0
     t_total0 = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -123,8 +125,9 @@ def main() -> int:
         else:
             print(f"[OK]   {name}: {len(sdf)} rows match  "
                   f"(spark {t_spark:.1f}s oracle {t_oracle:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass  "
-          f"(total {time.monotonic() - t_total0:.0f}s, "
+    print(f"\n{n_run - len(failed)}/{n_run} queries pass"
+          + (f" (of {len(qs)} registered)" if n_run != len(qs) else "")
+          + f"  (total {time.monotonic() - t_total0:.0f}s, "
           f"{'exact' if EXACT else 'atol=1e-9'} float compare)")
     return 1 if failed else 0
 
