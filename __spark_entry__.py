@@ -91,9 +91,11 @@ _DRIVER_WINDOW_R5 = [
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains", "pdf_runs", "pdf_spans",
+    # whole-PDF-file layer (landed after the r04 window freeze)
+    "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
     # cheap fillers (scored in r04's window; re-confirmation)
     "fingerprint", "langid", "quality_score", "title", "token_stats",
-    "boilerplate", "normalize_unicode", "dedup_doc", "classification",
+    "boilerplate",
 ]
 
 
@@ -119,13 +121,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_html import QUERIES_HTML
     from pdf_extraction_spark.queries_links import QUERIES_LINKS
     from pdf_extraction_spark.queries_pdf import QUERIES_PDF
+    from pdf_extraction_spark.queries_pdffile import QUERIES_PDFFILE
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
          **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
-         **QUERIES_LINKS, **QUERIES_PDF})
+         **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -143,10 +146,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_html import ORACLES_HTML
     from pdf_extraction_spark.queries_links import ORACLES_LINKS
     from pdf_extraction_spark.queries_pdf import ORACLES_PDF
+    from pdf_extraction_spark.queries_pdffile import ORACLES_PDFFILE
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
          **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
-         **ORACLES_LINKS, **ORACLES_PDF})
+         **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE})

@@ -182,6 +182,12 @@ def main() -> None:
     streams.count()
     timed("k_pdf_spans", lambda: noop(pdf_to_spans(streams)))
     streams.unpersist()
+    from pdf_extraction_spark.operators.pdffile import files_to_spans
+    from pdf_extraction_spark.queries_pdffile import _pdf_files
+    pdfs = _pdf_files(spark, sf_dir).persist()
+    pdfs.count()
+    timed("k_pdf_files", lambda: noop(files_to_spans(pdfs)))
+    pdfs.unpersist()
     lpages.unpersist()
     pages.unpersist()
     runs.unpersist()

@@ -1,0 +1,150 @@
+"""Gate queries for the whole-PDF-file layer
+(``operators/pdffile.py``): raw ``%PDF-...%%EOF`` bytes -> xref walk ->
+filter decode -> page tree -> content streams -> contract spans.
+
+The Spark side synthesizes a complete two-page PDF FILE per document
+row with the deterministic writer (``build_pdf``: nested page tree,
+classic-xref/xref-stream variants by doc_id parity, object streams,
+Flate/ASCIIHex/ASCII85/RunLength + chained filters by doc_id mod 4/2,
+an incremental ``/Prev`` update revising the title) and runs the
+actual parser over the bytes; the DuckDB oracle computes every
+expected value in CLOSED FORM from the same doc_id arithmetic and the
+same (start, length) text slices — the parser's output is forced to
+agree byte-for-byte with spec-implied content, not with itself.
+
+- ``pdf_file_pages``: decoded per-page content streams — gates xref
+  tables AND xref streams, /Prev chains, ObjStm loading, all four
+  filters plus the [AHx Fl] chain, page-tree recursion and /Contents
+  arrays, byte-exactly (the oracle rebuilds the page templates with
+  the PDF literal-string escaping applied).
+- ``pdf_file_meta``: structural metadata (page/object/revision
+  counts, xref flavor, post-update /Info title, page-1 filter name).
+- ``pdf_file_spans``: the full chain file -> pages -> tokenize ->
+  layout -> page-ordered gapless contract spans (the BASELINE.json
+  input_hint shape), with the expected block structure known
+  analytically from the fixed template geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.pdffile import (SLICES, PAD, build_pdf_files,
+                                file_meta, files_to_spans,
+                                pages_from_files)
+from .queries_pdf import _esc
+
+# slice expressions over the padded text, shared by all three oracles
+_E = {k: _esc(f"substr(p, {a}, {n})") for k, (a, n) in SLICES.items()}
+_R = {k: f"substr(p, {a}, {n})" for k, (a, n) in SLICES.items()}
+
+_BASE = f"""
+b AS (SELECT doc_id, COALESCE(text, '') || '{PAD}' AS p
+      FROM documents)
+""".strip()
+
+
+def _pdf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_pdf_files(d)
+
+
+def q_pdf_file_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file parse to decoded page content streams (xref walk +
+    filters + page tree as one map-only Arrow pass)."""
+    pages = pages_from_files(_pdf_files(spark, sf_dir))
+    return pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page", "stream").orderBy("doc_id", "page")
+
+
+# the writer's PAGE1_TMPL / PAGE2_TMPL rebuilt in SQL with the PDF
+# literal-string escaping applied to each embedded slice
+_SQL_PAGES = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS page,
+    'BT /F1 16 Tf 72 708 Td (' || {_E['t']} || ') Tj '
+    || '/F2 10 Tf 12 TL 0 -32 Td (' || {_E['a']} || ') Tj T* ('
+    || {_E['b']} || ') Tj ET q 1 0 0 1 60 300 cm /Im0 Do Q'
+    AS stream FROM b
+  UNION ALL
+  SELECT doc_id, 1,
+    'BT /F2 10 Tf 72 700 Td (' || {_E['c']} || ') Tj 12 TL T* ('
+    || {_E['d']} || ') Tj ET' FROM b)
+SELECT doc_id, CAST(page AS INT) AS page, stream
+FROM u ORDER BY doc_id, page
+"""
+
+
+def q_pdf_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural metadata: xref flavor, object/revision counts, the
+    incrementally-updated /Info title, page-1 filter."""
+    return file_meta(_pdf_files(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_pages", "n_objects", "xref_kind", "n_revisions",
+        "title", "page1_filter").orderBy("doc_id")
+
+
+_SQL_META = """
+SELECT doc_id,
+  CAST(2 AS INT) AS n_pages,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 15 END AS INT)
+    AS n_objects,
+  CASE WHEN doc_id % 2 = 0 THEN 'table' ELSE 'stream' END
+    AS xref_kind,
+  CAST(2 AS INT) AS n_revisions,
+  'Doc ' || doc_id || ' rev2' AS title,
+  CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'FlateDecode'
+    WHEN 2 THEN 'ASCIIHexDecode' ELSE 'ASCII85Decode' END
+    AS page1_filter
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_pdf_file_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PDF files -> contract span arrays end-to-end (parse ->
+    per-page tokenize/layout -> page-ordered gapless spans)."""
+    spans = files_to_spans(_pdf_files(spark, sf_dir))
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+# analytic block structure (page height 792, y-down tops: page-1
+# heading 68, body 106/118 (2pt gap -> one block), Im0 491; page-2
+# lines 82/94 -> one block) => reading order t | a\nb | Im0 | c\nd
+_SQL_SPANS = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, {_R['t']} AS text,
+    '' AS media_ref FROM b
+  UNION ALL SELECT doc_id, 1, 'text',
+    {_R['a']} || chr(10) || {_R['b']}, '' FROM b
+  UNION ALL SELECT doc_id, 2, 'media', '', 'Im0' FROM b
+  UNION ALL SELECT doc_id, 3, 'text',
+    {_R['c']} || chr(10) || {_R['d']}, '' FROM b)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pdf_file_pages": q_pdf_file_pages,
+    "pdf_file_meta": q_pdf_file_meta,
+    "pdf_file_spans": q_pdf_file_spans,
+}
+
+ORACLES_PDFFILE: dict[str, str] = {
+    "pdf_file_pages": _SQL_PAGES,
+    "pdf_file_meta": _SQL_META,
+    "pdf_file_spans": _SQL_SPANS,
+}

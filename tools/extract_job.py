@@ -33,7 +33,8 @@ def main() -> None:
                          "through the salted plan in the same job "
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline", "web", "pdf"],
+                    choices=["extract", "pipeline", "web", "pdf",
+                             "pdffile"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
@@ -42,7 +43,10 @@ def main() -> None:
                          "web-ingest path, still map-only); "
                          "pdf = raw content-stream corpus (doc_id, stream) "
                          "-> pdf_to_spans bridge (tokenize + layout) -> "
-                         "extraction")
+                         "extraction; "
+                         "pdffile = whole-file corpus (doc_id, pdf binary) "
+                         "-> files_to_spans (xref/filter/page-tree parse + "
+                         "tokenize + layout) -> extraction")
     ap.add_argument("--walls", type=int, default=6,
                     help="timed steady-state repetitions (best is scored); "
                          "lower for long-corpus scaling runs where one "
@@ -79,6 +83,11 @@ def main() -> None:
 
         def plan(d):
             return extract(pdf_to_spans(d))
+    elif args.stage == "pdffile":
+        from pdf_extraction_spark.operators.pdffile import files_to_spans
+
+        def plan(d):
+            return extract(files_to_spans(d))
     else:
         def plan(d):
             return enrich_extracted(extract(d))
@@ -93,6 +102,10 @@ def main() -> None:
     elif args.stage == "pdf":
         from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
         n_spans = pdf_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "pdffile":
+        from pdf_extraction_spark.operators.pdffile import files_to_spans
+        n_spans = files_to_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
     else:
         n_spans = docs.select(F.sum(F.size("spans"))).first()[0]

@@ -1,0 +1,370 @@
+"""Structural fuzz harness for the whole-PDF-file layer (committed so
+the campaign is reproducible — usage: python tools/fuzz_pdffile.py LO HI):
+a randomized generalized writer emits files whose correct parse is
+known BY CONSTRUCTION, then `operators/pdffile.PdfFile` must recover
+exactly the expected per-page content streams, title, revision count
+and xref flavor.  Unlike the fixed `build_pdf` used by the oracle
+gates, every structural axis is randomized per seed:
+
+- object NUMBERS are random non-contiguous draws from 1..60 (classic
+  xref tables get multiple subsections; xref streams get multi-pair
+  /Index arrays);
+- the page tree nests randomly up to depth 3 with random fan-out;
+- /Contents is a single stream or an ARRAY of up to 3 part-streams
+  (parts must re-join with a newline);
+- each stream independently picks none/Flate/AHx/A85/RL or the
+  [AHx Fl] chain; xref streams flip a PNG-Up predictor coin;
+- /Length is sometimes an INDIRECT reference to an int object that
+  may live elsewhere in the file (forward resolution through the
+  xref);
+- stream data sometimes embeds the literal bytes ``endstream`` or
+  ``%%EOF`` — a correct /Length must win over keyword scanning;
+- 0-2 incremental updates, each revising the /Info title and (p=.5)
+  overwriting one page's content stream object — the newest-wins
+  /Prev chain must surface the LAST revision;
+- for xref-stream files, a random subset of non-stream objects
+  (including page/pages nodes) moves into an ObjStm;
+- random comments and whitespace are injected between objects.
+
+Any divergence is a real parser bug: there is no floating point here.
+"""
+from __future__ import annotations
+
+import random
+import sys
+import zlib
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from pdf_extraction_spark.operators.pdffile import (
+    PdfFile, _ascii85_encode, _ascii_hex_encode, _png_up_encode,
+    _run_length_encode)
+
+CHARS = ("abcdefghijklmnop qrstuvwxyz0123456789 ()\\<>[]/% \n\t"
+         "BT ET Tj .,-+")
+
+
+def rand_content(rng: random.Random) -> bytes:
+    n = rng.randrange(20, 200)
+    s = "".join(rng.choice(CHARS) for _ in range(n))
+    if rng.random() < 0.15:  # keyword bait: /Length must win the scan
+        cut = rng.randrange(len(s) + 1)
+        s = s[:cut] + rng.choice(["endstream", "%%EOF", "endobj"]) \
+            + s[cut:]
+    return s.encode("latin-1")
+
+
+def encode_stream(rng: random.Random, data: bytes) -> tuple[bytes, str]:
+    """Pick a random filter; return (encoded, /Filter clause)."""
+    choice = rng.randrange(6)
+    if choice == 0:
+        return data, ""
+    if choice == 1:
+        return zlib.compress(data), " /Filter /FlateDecode"
+    if choice == 2:
+        return _ascii_hex_encode(data), " /Filter /ASCIIHexDecode"
+    if choice == 3:
+        return _ascii85_encode(data), " /Filter /ASCII85Decode"
+    if choice == 4:
+        return _run_length_encode(data), " /Filter /RunLengthDecode"
+    return (_ascii_hex_encode(zlib.compress(data)),
+            " /Filter [/ASCIIHexDecode /FlateDecode]")
+
+
+class Writer:
+    """One randomized PDF build; records ground truth as it goes."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.nums = rng.sample(range(1, 61), 40)  # draw pool
+        self.next_i = 0
+        self.bodies: dict[int, bytes] = {}       # num -> body (no hdr)
+        self.stream_nums: set[int] = set()
+        self.length_refs: dict[int, int] = {}    # length-obj -> value
+
+    def alloc(self) -> int:
+        num = self.nums[self.next_i]
+        self.next_i += 1
+        return num
+
+    def add(self, body: bytes, is_stream: bool = False) -> int:
+        num = self.alloc()
+        self.bodies[num] = body
+        if is_stream:
+            self.stream_nums.add(num)
+        return num
+
+    def add_stream(self, data: bytes, extra: str = "") -> int:
+        enc, filt = encode_stream(self.rng, data)
+        if self.rng.random() < 0.3:  # indirect /Length
+            lnum = self.add(str(len(enc)).encode())
+            ldecl = f"{lnum} 0 R"
+        else:
+            ldecl = str(len(enc))
+        body = (f"<< /Length {ldecl}{filt}{extra} >>\nstream\n"
+                .encode("latin-1") + enc + b"\nendstream")
+        return self.add(body, is_stream=True)
+
+
+def build_tree(w: Writer, page_content_nums: list[list[int]],
+               parent_decl: bytes | None, depth: int,
+               pages: list[int]) -> int:
+    """Create a /Pages node over `pages` (indices into
+    page_content_nums), randomly nesting; returns its object num."""
+    rng = w.rng
+    kid_decls = []
+    kid_nums = []
+    groups: list[list[int]] = []
+    i = 0
+    while i < len(pages):
+        take = rng.randrange(1, len(pages) - i + 1)
+        groups.append(pages[i:i + take])
+        i += take
+    node_num = w.alloc()
+    for g in groups:
+        if len(g) == 1 or depth >= 3 or rng.random() < 0.5:
+            for p in g:
+                contents = page_content_nums[p]
+                if len(contents) == 1 and rng.random() < 0.5:
+                    c_decl = f"{contents[0]} 0 R"
+                else:
+                    c_decl = "[" + " ".join(f"{c} 0 R"
+                                            for c in contents) + "]"
+                pnum = w.add(
+                    (f"<< /Type /Page /Parent {node_num} 0 R "
+                     f"/Contents {c_decl} >>").encode("latin-1"))
+                kid_nums.append(pnum)
+        else:
+            sub = build_tree(w, page_content_nums, None, depth + 1, g)
+            w.bodies[sub] = w.bodies[sub].replace(
+                b"/Type /Pages",
+                f"/Type /Pages /Parent {node_num} 0 R"
+                .encode("latin-1"), 1)
+            kid_nums.append(sub)
+    kids = "[" + " ".join(f"{k} 0 R" for k in kid_nums) + "]"
+    w.bodies[node_num] = (
+        f"<< /Type /Pages /Kids {kids} /Count {len(pages)} >>"
+        ).encode("latin-1")
+    return node_num
+
+
+def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
+              rng: random.Random) -> tuple[bytearray, dict[int, int], int]:
+    """Emit header + all objects (random order, random junk between),
+    then the xref; returns (buffer, offsets, xref_offset)."""
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    order = list(w.bodies)
+    rng.shuffle(order)
+
+    objstm_members: list[int] = []
+    if use_xref_stream:
+        candidates = [n for n in order if n not in w.stream_nums
+                      and n not in (root,)]
+        rng.shuffle(candidates)
+        objstm_members = sorted(candidates[:rng.randrange(
+            0, min(5, len(candidates)) + 1)])
+
+    def junk() -> bytes:
+        if rng.random() < 0.4:
+            return b"\n% " + b"fuzz" * rng.randrange(1, 4) + b"\n"
+        return b"\n" * rng.randrange(1, 3)
+
+    for num in order:
+        if num in objstm_members:
+            continue
+        out += junk()
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("latin-1")
+        out += w.bodies[num]
+        out += b"\nendobj\n"
+
+    size = max(w.bodies, default=0) + 1
+    if not use_xref_stream:
+        xref_off = len(out)
+        entries = sorted(offsets)
+        out += b"xref\n0 1\n0000000000 65535 f \n"
+        i = 0
+        while i < len(entries):  # one subsection per consecutive run
+            j = i
+            while j + 1 < len(entries) \
+                    and entries[j + 1] == entries[j] + 1:
+                j += 1
+            out += f"{entries[i]} {j - i + 1}\n".encode("latin-1")
+            for num in entries[i:j + 1]:
+                out += f"{offsets[num]:010d} 00000 n \n" \
+                    .encode("latin-1")
+            i = j + 1
+        out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
+                f"/Info {info} 0 R >>\n").encode("latin-1")
+        out += f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1")
+        return out, offsets, xref_off
+
+    # xref-stream flavor: optional ObjStm + the XRef stream object
+    stm_entries: dict[int, tuple] = {}
+    if objstm_members:
+        hdr, body, off = [], [], 0
+        for idx, num in enumerate(objstm_members):
+            b = w.bodies[num]
+            hdr.append(f"{num} {off}")
+            body.append(b)
+            off += len(b) + 1
+            stm_entries[num] = ("c", idx)
+        payload = " ".join(hdr).encode("latin-1") + b"\n" \
+            + b"\n".join(body) + b"\n"
+        first = len(" ".join(hdr).encode("latin-1")) + 1
+        objstm_num = w.alloc()
+        size = max(size, objstm_num + 1)
+        out += junk()
+        offsets[objstm_num] = len(out)
+        enc = zlib.compress(payload)
+        out += f"{objstm_num} 0 obj\n".encode("latin-1")
+        out += (f"<< /Length {len(enc)} /Type /ObjStm "
+                f"/N {len(objstm_members)} /First {first} "
+                f"/Filter /FlateDecode >>\nstream\n").encode("latin-1")
+        out += enc + b"\nendstream\nendobj\n"
+        for num in stm_entries:
+            stm_entries[num] = ("c", objstm_num, stm_entries[num][1])
+
+    xnum = w.alloc()
+    size = max(size, xnum + 1)
+    xref_off = len(out)
+    all_nums = sorted(set(offsets) | set(stm_entries) | {xnum})
+    rows = {}
+    for num in all_nums:
+        if num == xnum:
+            rows[num] = bytes([1]) + xref_off.to_bytes(3, "big") \
+                + b"\x00"
+        elif num in stm_entries:
+            _, snum, idx = stm_entries[num]
+            rows[num] = bytes([2]) + snum.to_bytes(3, "big") \
+                + bytes([idx])
+        else:
+            rows[num] = bytes([1]) + offsets[num].to_bytes(3, "big") \
+                + b"\x00"
+    index_pairs = []
+    table = b""
+    i = 0
+    while i < len(all_nums):
+        j = i
+        while j + 1 < len(all_nums) \
+                and all_nums[j + 1] == all_nums[j] + 1:
+            j += 1
+        index_pairs += [all_nums[i], j - i + 1]
+        for num in all_nums[i:j + 1]:
+            table += rows[num]
+        i = j + 1
+    if rng.random() < 0.5:
+        enc = zlib.compress(_png_up_encode(table, 5))
+        parms = " /DecodeParms << /Predictor 12 /Columns 5 >>"
+    else:
+        enc = zlib.compress(table)
+        parms = ""
+    idx = "[" + " ".join(str(x) for x in index_pairs) + "]"
+    out += (f"{xnum} 0 obj\n<< /Length {len(enc)} /Type /XRef "
+            f"/Size {size} /W [1 3 1] /Index {idx} /Root {root} 0 R "
+            f"/Info {info} 0 R /Filter /FlateDecode{parms} >>\n"
+            f"stream\n").encode("latin-1")
+    out += enc + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1")
+    return out, offsets, xref_off
+
+
+def one_case(seed: int) -> None:
+    rng = random.Random(seed)
+    w = Writer(rng)
+    use_xref_stream = rng.random() < 0.5
+
+    n_pages = rng.randrange(1, 5)
+    page_parts: list[list[bytes]] = []
+    page_content_nums: list[list[int]] = []
+    for _ in range(n_pages):
+        n_parts = rng.choice([1, 1, 2, 3])
+        parts = [rand_content(rng) for _ in range(n_parts)]
+        page_parts.append(parts)
+        page_content_nums.append([w.add_stream(p) for p in parts])
+
+    pages_root = build_tree(w, page_content_nums, None, 0,
+                            list(range(n_pages)))
+    root = w.add(f"<< /Type /Catalog /Pages {pages_root} 0 R >>"
+                 .encode("latin-1"))
+    title = f"fuzz {seed}"
+    info = w.add(f"<< /Title (fuzz {seed}) >>".encode("latin-1"))
+
+    out, offsets, prev_off = serialize(w, root, info, use_xref_stream,
+                                       rng)
+    size = max(w.bodies, default=0) + 1
+
+    # ---- incremental updates
+    n_updates = rng.randrange(0, 3)
+    for u in range(n_updates):
+        changed: dict[int, bytes] = {}
+        title = f"fuzz {seed} rev{u + 2}"
+        changed[info] = f"<< /Title ({title}) >>".encode("latin-1")
+        if rng.random() < 0.5:  # overwrite one page's first part
+            p = rng.randrange(n_pages)
+            new = rand_content(rng)
+            page_parts[p][0] = new
+            enc, filt = encode_stream(rng, new)
+            changed[page_content_nums[p][0]] = (
+                f"<< /Length {len(enc)}{filt} >>\nstream\n"
+                .encode("latin-1") + enc + b"\nendstream")
+        out += b"\n"
+        offs2: dict[int, int] = {}
+        for num, body in changed.items():
+            offs2[num] = len(out)
+            out += f"{num} 0 obj\n".encode("latin-1")
+            out += body
+            out += b"\nendobj\n"
+        x2 = len(out)
+        if not use_xref_stream:
+            out += b"xref\n"
+            for num in sorted(offs2):
+                out += f"{num} 1\n{offs2[num]:010d} 00000 n \n" \
+                    .encode("latin-1")
+            out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
+                    f"/Info {info} 0 R /Prev {prev_off} >>\n"
+                    ).encode("latin-1")
+        else:
+            xnum = w.alloc()
+            size = max(size, xnum + 1)
+            nums2 = sorted(offs2) + [xnum]
+            rows2 = b""
+            idx2 = []
+            for num in nums2:
+                off = offs2.get(num, x2)
+                rows2 += bytes([1]) + off.to_bytes(3, "big") + b"\x00"
+                idx2 += [num, 1]
+            enc2 = zlib.compress(rows2)
+            idxs = "[" + " ".join(str(x) for x in idx2) + "]"
+            out += (f"{xnum} 0 obj\n<< /Length {len(enc2)} /Type /XRef "
+                    f"/Size {size} /W [1 3 1] /Index {idxs} "
+                    f"/Root {root} 0 R /Info {info} 0 R "
+                    f"/Prev {prev_off} /Filter /FlateDecode >>\n"
+                    f"stream\n").encode("latin-1")
+            out += enc2 + b"\nendstream\nendobj\n"
+        out += f"startxref\n{x2}\n%%EOF\n".encode("latin-1")
+        prev_off = x2
+
+    expected_pages = [b"\n".join(parts) for parts in page_parts]
+    pf = PdfFile(bytes(out))
+    got = [t.encode("latin-1") for t in pf.page_texts()]
+    assert got == expected_pages, (
+        f"seed {seed}: page texts diverge\n"
+        f" got {got!r}\n want {expected_pages!r}")
+    assert pf.info().get("Title") == title, seed
+    assert pf.n_revisions == 1 + n_updates, seed
+    assert pf.xref_kind == ("stream" if use_xref_stream else "table"), \
+        seed
+
+
+def main(lo: int, hi: int) -> None:
+    for seed in range(lo, hi):
+        one_case(seed)
+        if seed % 500 == 0:
+            print(f"seed {seed} ok", flush=True)
+    print(f"{hi - lo} seeds clean")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]))

@@ -33,7 +33,8 @@ def make_zip(tmp: str) -> str:
 
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
-    want = {"web": "html", "pdf": "stream"}.get(stage, "spans")
+    want = {"web": "html", "pdf": "stream",
+            "pdffile": "pdf"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
         # clear error here instead of an AnalysisException mid-benchmark
@@ -70,7 +71,7 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                 F.col("spans"), lambda sp: sp["text"]), " ").alias("t")) \
             .select("doc_id", F.expr(expr).alias("html")) \
             .write.parquet(path)
-    elif stage == "pdf":
+    elif stage in ("pdf", "pdffile"):
         # raw-bytes-shaped input: render the WHOLE document as a PDF
         # content stream — every text span one escaped literal line
         # (Tj + T* at 14pt leading), every media span an XObject Do —
@@ -92,8 +93,15 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
         expr = ("'BT /F1 11 Tf 14 TL 72 720 Td ' || "
                 f"array_join(transform(spans, (sp, i) -> {line}), '') "
                 "|| 'ET'")
-        docs.select("doc_id", F.expr(expr).alias("stream")) \
-            .write.parquet(path)
+        streams = docs.select("doc_id", F.expr(expr).alias("stream"))
+        if stage == "pdffile":
+            # whole-FILE corpus: each stream wrapped as a complete
+            # single-page PDF (xref/filter variants by doc id), so
+            # the scaling run covers the object/xref/filter layer too
+            from pdf_extraction_spark.operators.pdffile import (
+                wrap_stream_files)
+            streams = wrap_stream_files(streams)
+        streams.write.parquet(path)
     else:
         docs.write.parquet(path)
     spark.stop()
@@ -154,7 +162,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline", "web", "pdf"])
+                    choices=["extract", "pipeline", "web", "pdf",
+                             "pdffile"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
