@@ -19,8 +19,9 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
   hex strings, ints/reals, booleans, null, indirect references
   (``N G R``) vs plain integers, indirect objects, streams with
   direct OR indirect ``/Length``;
-- filters: FlateDecode (+ PNG predictors 10-15 and TIFF predictor 2),
-  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and filter CHAINS
+- filters: FlateDecode and LZWDecode (both + PNG predictors 10-15 and
+  TIFF predictor 2, LZW with EarlyChange), ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode, and filter CHAINS
   (``/Filter [/ASCIIHexDecode /FlateDecode]``);
 - cross-reference: classic tables (multi-subsection), xref STREAMS
   (``/W``/``/Index``, type 0/1/2 entries), incremental updates via
@@ -33,7 +34,7 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
   (concatenated with a newline per §7.8.2), ``/Info`` metadata.
 
 Out of scope (documented, raise or skip cleanly): encryption,
-LZW/DCT/JBIG2/CCITT filters (media streams stay opaque binary per the
+DCT/JBIG2/JPX/CCITT filters (media streams stay opaque binary per the
 multimodal contract), linearization hints (ignored — they are an
 optimization layer over the same xref), hybrid-reference ``/XRefStm``.
 
@@ -178,6 +179,103 @@ def ascii85_decode(data: bytes, parms: dict | None = None) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
+    """LZW per §7.4.4.2 (TIFF variant): 9->12 bit codes, 256=clear,
+    257=EOD, EarlyChange (default 1) widens the code one entry early.
+    Shares the predictor post-pass with FlateDecode."""
+    early = int((parms or {}).get("EarlyChange", 1))
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                nbits = 0
+                bitbuf = 0
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - early and width < 12:
+                width += 1
+    res = bytes(out)
+    pred = int((parms or {}).get("Predictor", 1))
+    if pred <= 1:
+        return res
+    colors = int((parms or {}).get("Colors", 1))
+    bpc = int((parms or {}).get("BitsPerComponent", 8))
+    columns = int((parms or {}).get("Columns", 1))
+    if pred == 2:
+        return _tiff_predictor(res, colors, bpc, columns)
+    return _png_predictor(res, colors, bpc, columns)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Test/corpus-side LZW encoder, width-synchronized with
+    :func:`lzw_decode` (width re-check after every table insertion)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the encoder's inserts run ONE step ahead of the decoder's
+        # (the decoder adds no entry for the first post-clear code),
+        # so it widens at next_code-1 where the decoder widens at
+        # next_code — verified against the decoder for both
+        # EarlyChange values across the 9->12 bit ladder
+        if next_code - 1 >= (1 << width) - early and width < 12:
+            width += 1
+        if next_code >= 4093:  # table full: clear and restart
+            emit(256)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def run_length_decode(data: bytes, parms: dict | None = None) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
@@ -199,6 +297,7 @@ _FILTERS = {
     "ASCIIHexDecode": ascii_hex_decode, "AHx": ascii_hex_decode,
     "ASCII85Decode": ascii85_decode, "A85": ascii85_decode,
     "RunLengthDecode": run_length_decode, "RL": run_length_decode,
+    "LZWDecode": lzw_decode, "LZW": lzw_decode,
 }
 
 

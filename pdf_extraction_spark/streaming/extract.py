@@ -96,3 +96,38 @@ def pdf_extract_stream(spark: SparkSession, source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+PDF_FILE_SCHEMA = "doc_id string, pdf binary"
+
+
+def pdf_file_extract_stream(spark: SparkSession, source_dir: str,
+                            out_path: str, checkpoint_dir: str,
+                            schema: str = PDF_FILE_SCHEMA,
+                            max_files_per_trigger: int | None = None,
+                            available_now: bool = True):
+    """Whole-PDF-FILE corpus (binary column) -> continuous extraction:
+    the same ``foreachBatch`` pattern as :func:`pdf_extract_stream`
+    (the per-doc layout windows are unsupported in a continuous plan,
+    but every file arrives whole in its row so the computation is
+    micro-batch-local), with the file layer
+    (`operators/pdffile.files_to_spans`: xref walk -> filter decode ->
+    page tree -> tokenize -> layout) prepended inside the identical
+    batch plan.  Offsets exactly-once via ``checkpointLocation``;
+    point the sink at an Iceberg table on a cluster for an atomic
+    append.  Returns the started StreamingQuery."""
+    from ..operators.pdffile import files_to_spans
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        assemble_fused(files_to_spans(batch_df)) \
+            .write.mode("append").parquet(out_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.parquet(source_dir)
+              .writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

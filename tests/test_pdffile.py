@@ -122,6 +122,37 @@ def test_tiff_predictor_and_chain():
     assert decode_stream(stm, lambda x: x) == data
 
 
+def test_lzw_round_trip_and_width_growth():
+    from pdf_extraction_spark.operators.pdffile import (
+        lzw_decode, lzw_encode)
+
+    # enough distinct material to push past the 9->10->11 bit widths
+    data = bytes((i * 7 + j) & 0xFF for i in range(60)
+                 for j in range(60))
+    assert lzw_decode(lzw_encode(data)) == data
+    # repetitive data hits the KwKwK case immediately
+    assert lzw_decode(lzw_encode(b"aaaaaaaaaaab" * 50)) \
+        == b"aaaaaaaaaaab" * 50
+    # EarlyChange=0 variant stays synchronized too
+    assert lzw_decode(lzw_encode(data, early=0),
+                      {"EarlyChange": 0}) == data
+    # table-full clear/restart path (>4k entries forces a mid-stream
+    # clear in the encoder; the decoder must follow)
+    big = bytes((i * 131 + (i >> 3)) & 0xFF for i in range(60000))
+    assert lzw_decode(lzw_encode(big)) == big
+    assert lzw_decode(b"") == b""
+
+
+def test_lzw_with_predictor():
+    import zlib
+    from pdf_extraction_spark.operators.pdffile import (
+        _png_up_encode, lzw_decode, lzw_encode)
+
+    table = bytes(range(40))
+    enc = lzw_encode(_png_up_encode(table, 8))
+    assert lzw_decode(enc, {"Predictor": 12, "Columns": 8}) == table
+
+
 def test_unknown_filter_raises():
     stm = StreamObj({"Filter": "DCTDecode"}, b"\xff\xd8")
     with pytest.raises(NotImplementedError):

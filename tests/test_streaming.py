@@ -294,3 +294,45 @@ def test_streaming_pdf_extraction_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got == batch and len(got) == 9
     assert all(k[1] == (f"Img{d}",) for d, k in got.items())
+
+
+def test_streaming_pdf_file_extraction_matches_batch(spark, tmp_path):
+    """The whole-FILE path streams: binary pdf column -> foreachBatch
+    (xref/filter/page-tree parse -> tokenize -> layout -> fused
+    extraction, the identical batch plan) -> parquet sink, equal to
+    the batch twin per doc across micro-batches."""
+    from pdf_extraction_spark.operators.pdffile import (
+        build_pdf, files_to_spans)
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.extract import (
+        pdf_file_extract_stream)
+
+    text = ("Comments: roof leak near the attic vent, badly blocked "
+            "gutter run and a (parenthetical) aside ") * 3
+    rows = [(str(i), bytearray(build_pdf(i, text + f"doc {i}")))
+            for i in range(9)]
+    src = str(tmp_path / "pdfs")
+    spark.createDataFrame(rows, "doc_id string, pdf binary") \
+        .repartition(3).write.parquet(src)
+
+    def key(r):
+        media = [s["media_ref"] for s in r["spans"]
+                 if s["kind"] == "media_ref"]
+        return (len(r["spans"]), tuple(media),
+                r["summary"]["total_issues"])
+
+    batch = {r["doc_id"]: key(r) for r in assemble_fused(
+        files_to_spans(spark.read.parquet(src))).collect()}
+
+    out = str(tmp_path / "out")
+    q = pdf_file_extract_stream(spark, src, out,
+                                str(tmp_path / "ckpt"),
+                                max_files_per_trigger=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r["doc_id"]: key(r)
+           for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(got) == 9
+    assert all(k[1] == ("Im0",) for k in got.values())

@@ -38,7 +38,7 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 
 from pdf_extraction_spark.operators.pdffile import (
     PdfFile, _ascii85_encode, _ascii_hex_encode, _png_up_encode,
-    _run_length_encode)
+    _run_length_encode, lzw_encode)
 
 CHARS = ("abcdefghijklmnop qrstuvwxyz0123456789 ()\\<>[]/% \n\t"
          "BT ET Tj .,-+")
@@ -56,7 +56,7 @@ def rand_content(rng: random.Random) -> bytes:
 
 def encode_stream(rng: random.Random, data: bytes) -> tuple[bytes, str]:
     """Pick a random filter; return (encoded, /Filter clause)."""
-    choice = rng.randrange(6)
+    choice = rng.randrange(7)
     if choice == 0:
         return data, ""
     if choice == 1:
@@ -67,6 +67,8 @@ def encode_stream(rng: random.Random, data: bytes) -> tuple[bytes, str]:
         return _ascii85_encode(data), " /Filter /ASCII85Decode"
     if choice == 4:
         return _run_length_encode(data), " /Filter /RunLengthDecode"
+    if choice == 5:
+        return lzw_encode(data), " /Filter /LZWDecode"
     return (_ascii_hex_encode(zlib.compress(data)),
             " /Filter [/ASCIIHexDecode /FlateDecode]")
 
