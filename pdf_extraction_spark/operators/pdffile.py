@@ -657,8 +657,14 @@ class PdfFile:
         if not isinstance(root, dict):
             return []  # unrecoverable input: zero pages, not a crash
         out: list[dict] = []
+        visiting: set[int] = set()  # cycle guard: a malformed tree
+        # with a /Kids loop must terminate, not hang the executor
 
         def walk(node_ref: Any, inherited: dict) -> None:
+            if isinstance(node_ref, Ref):
+                if node_ref.num in visiting:
+                    return
+                visiting.add(node_ref.num)
             node = self.get(node_ref)
             if not isinstance(node, dict):
                 return
@@ -1073,10 +1079,17 @@ def build_pdf_files(docs: DataFrame, id_col: str = "doc_id",
 
 
 def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     strict: bool = False) -> DataFrame:
     """Whole-file parse: (doc_id, pdf bytes) -> (doc_id, page, stream)
     — xref walk, filter decode, page-tree DFS, one map-only
-    ``mapInArrow`` pass (zero shuffle, plan-asserted)."""
+    ``mapInArrow`` pass (zero shuffle, plan-asserted).
+
+    ``strict=False`` (the corpus default) drops files whose parse
+    raises (e.g. an unsupported content filter) instead of failing the
+    task: at 10^9-file scale one poisoned blob must cost one row, not
+    the job.  ``strict=True`` propagates, for pipelines that would
+    rather fail loudly."""
     import pyarrow as pa
 
     schema = pa.schema([("doc_id", pa.string()), ("page", pa.int32()),
@@ -1089,8 +1102,13 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
             blobs = batch.column(1).to_pylist()
             o_id, o_pg, o_st = [], [], []
             for doc_id, blob in zip(ids, blobs):
-                for pg, txt in enumerate(
-                        extract_pages(blob or b"")):
+                try:
+                    texts = extract_pages(blob or b"")
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for pg, txt in enumerate(texts):
                     o_id.append(doc_id)
                     o_pg.append(pg)
                     o_st.append(txt)

@@ -236,6 +236,39 @@ def test_empty_and_garbage_inputs_dont_crash():
     assert extract_pages(b"not a pdf at all") == []
 
 
+def test_page_tree_cycle_terminates():
+    # a /Kids loop (node lists itself) must terminate, not recurse
+    pdf = (b"%PDF-1.7\n"
+           b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+           b"2 0 obj << /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >> "
+           b"endobj\n"
+           b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> "
+           b"endobj\n"
+           b"4 0 obj << /Length 8 >> stream\n(x) Tj \nendstream "
+           b"endobj\n")
+    pf = PdfFile(pdf)  # no xref at all: rebuild path
+    assert pf.xref_kind == "rebuilt"
+    assert pf.page_texts() == ["(x) Tj \n"]
+
+
+def test_poisoned_file_skipped_unless_strict(spark):
+    from pdf_extraction_spark.operators.pdffile import (
+        pages_from_files, wrap_content_stream)
+
+    good = wrap_content_stream(1, b"BT (ok) Tj ET")
+    # same-length filter-name swap keeps every xref offset valid but
+    # makes the content stream undecodable (unsupported media filter)
+    bad = good.replace(b"/FlateDecode", b"/DCTDecodeAB")
+    df = spark.createDataFrame(
+        [("g", bytearray(good)), ("b", bytearray(bad))],
+        "doc_id string, pdf binary")
+    rows = pages_from_files(df).collect()
+    assert [r.doc_id for r in rows] == ["g"]
+    assert rows[0].stream == "BT (ok) Tj ET"
+    with pytest.raises(Exception):
+        pages_from_files(df, strict=True).collect()
+
+
 def test_wrap_content_stream_round_trip():
     """Scaling-corpus wrapper: any content bytes survive the minimal
     single-page file round trip under all four variants (both xref

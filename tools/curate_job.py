@@ -73,6 +73,12 @@ def main() -> None:
                          "stream): tokenize + layout-parse to text "
                          "first (operators/pdfstream.pdf_to_spans), "
                          "then run the same curation chain")
+    ap.add_argument("--pdf-files", action="store_true",
+                    help="input is a whole-PDF-file table (doc_id, "
+                         "pdf binary): xref/filter/page-tree parse + "
+                         "tokenize + layout to text first "
+                         "(operators/pdffile.files_to_spans), then run "
+                         "the same curation chain")
     ap.add_argument("--deny-hosts", default=None,
                     help="comma-separated denied domains (html mode, "
                          "needs --url-col): drop pages on or under "
@@ -113,10 +119,15 @@ def main() -> None:
         docs = extract_main_content(raw).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.col("main_text").alias("text"))
-    elif args.pdf:
-        from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
+    elif args.pdf or args.pdf_files:
+        if args.pdf_files:
+            from pdf_extraction_spark.operators.pdffile import \
+                files_to_spans as _to_spans
+        else:
+            from pdf_extraction_spark.operators.pdfstream import \
+                pdf_to_spans as _to_spans
 
-        docs = pdf_to_spans(raw).select(
+        docs = _to_spans(raw).select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.array_join(F.transform(
                 F.filter("spans", lambda s: s["kind"] == "text"),
