@@ -26,8 +26,10 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
 - cross-reference: classic tables (multi-subsection), xref STREAMS
   (``/W``/``/Index``, type 0/1/2 entries), incremental updates via
   ``/Prev`` chains with newest-wins override, compressed objects in
-  object streams (``/Type /ObjStm``), and a last-resort xref REBUILD
-  that scans ``N G obj`` headers when the trailer is damaged;
+  object streams (``/Type /ObjStm``), hybrid-reference files
+  (classic trailer + ``/XRefStm`` stream for the compressed objects),
+  and a last-resort xref REBUILD that scans ``N G obj`` headers when
+  the trailer is damaged;
 - structure: trailer ``/Root`` -> catalog -> page TREE (nested
   ``/Kids``, ``/Count``, attribute inheritance of ``/Resources`` /
   ``/MediaBox``), ``/Contents`` as one stream or an array
@@ -35,8 +37,8 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
 
 Out of scope (documented, raise or skip cleanly): encryption,
 DCT/JBIG2/JPX/CCITT filters (media streams stay opaque binary per the
-multimodal contract), linearization hints (ignored — they are an
-optimization layer over the same xref), hybrid-reference ``/XRefStm``.
+multimodal contract) and linearization hints (ignored — they are an
+optimization layer over the same xref).
 
 Scale shape (100 TB of PDFs): ``pages_from_files`` is ONE ``mapInArrow``
 pass — map-only, zero shuffle, linear in file bytes; each file is
@@ -539,6 +541,17 @@ class PdfFile:
             i = _skip_ws(self.data, i)
             if self.data[i:i + 7] == b"trailer":
                 trailer, _ = parse_object(self.data, i + 7)
+                if "XRefStm" in trailer:
+                    # hybrid-reference file (§7.5.8.4): the classic
+                    # table omits (marks free) the compressed objects;
+                    # the pointed-to xref STREAM supplies them.  Table
+                    # entries were recorded first and are not
+                    # overridden (both loaders skip existing numbers),
+                    # which matches the no-conflict layout hybrids use.
+                    try:
+                        self._load_xref_stream(int(trailer["XRefStm"]))
+                    except Exception:
+                        pass  # a broken hint must not sink the table
                 return trailer
             m = re.match(rb"(\d+)\s+(\d+)", self.data[i:i + 40])
             if not m:

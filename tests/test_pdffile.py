@@ -269,6 +269,55 @@ def test_poisoned_file_skipped_unless_strict(spark):
         pages_from_files(df, strict=True).collect()
 
 
+def test_hybrid_xrefstm():
+    """Hybrid-reference file (§7.5.8.4): a classic table that omits
+    two objects plus a /XRefStm stream that supplies them via an
+    ObjStm — the parser must read both and report kind 'table'."""
+    import zlib as z
+
+    info = b"<< /Title (hybrid) >>"
+    font = b"<< /Type /Font /BaseFont /Helvetica >>"
+    payload = b"5 0 6 22\n" + info + b"\n" + font + b"\n"
+    out = bytearray(b"%PDF-1.7\n")
+    offs = {}
+
+    def emit(num, body):
+        offs[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    emit(4, b"<< /Length 7 >>\nstream\n(h) Tj\nendstream")
+    enc = z.compress(payload)
+    emit(7, f"<< /Length {len(enc)} /Type /ObjStm /N 2 /First 9 "
+            f"/Filter /FlateDecode >>\nstream\n".encode()
+         + enc + b"\nendstream")
+    xstm = len(out)
+    rows = (bytes([2]) + (7).to_bytes(3, "big") + b"\x00"
+            + bytes([2]) + (7).to_bytes(3, "big") + b"\x01"
+            + bytes([1]) + offs[7].to_bytes(3, "big") + b"\x00"
+            + bytes([1]) + xstm.to_bytes(3, "big") + b"\x00")
+    enc2 = z.compress(rows)
+    emit(8, f"<< /Length {len(enc2)} /Type /XRef /Size 9 /W [1 3 1] "
+            f"/Index [5 1 6 1 7 1 8 1] /Root 1 0 R "
+            f"/Filter /FlateDecode >>\nstream\n".encode()
+         + enc2 + b"\nendstream")
+    xref = len(out)
+    out.extend(b"xref\n0 1\n0000000000 65535 f \n1 4\n")
+    for num in (1, 2, 3, 4):
+        out.extend(f"{offs[num]:010d} 00000 n \n".encode())
+    out.extend(f"trailer\n<< /Size 9 /Root 1 0 R /Info 5 0 R "
+               f"/XRefStm {xstm} >>\nstartxref\n{xref}\n%%EOF\n"
+               .encode())
+
+    pf = PdfFile(bytes(out))
+    assert pf.xref_kind == "table"
+    assert pf.info()["Title"] == "hybrid"
+    assert pf.get(Ref(6, 0))["BaseFont"] == "Helvetica"
+    assert pf.page_texts() == ["(h) Tj\n"]
+
+
 def test_wrap_content_stream_round_trip():
     """Scaling-corpus wrapper: any content bytes survive the minimal
     single-page file round trip under all four variants (both xref

@@ -183,6 +183,62 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
 
     size = max(w.bodies, default=0) + 1
     if not use_xref_stream:
+        # hybrid-reference axis (§7.5.8.4): with p=.3 a random subset
+        # of plain objects moves into an ObjStm reachable only via the
+        # /XRefStm stream; the classic table omits them entirely
+        xrefstm_off = None
+        hybrid = [n for n in order if n not in w.stream_nums
+                  and n != root and n in offsets]
+        rng.shuffle(hybrid)
+        hybrid = sorted(hybrid[:rng.randrange(0, 4)]) \
+            if rng.random() < 0.3 else []
+        if hybrid:
+            # strip the plain copies: re-emit would be simpler, but
+            # leaving them orphaned in the body is exactly what real
+            # hybrid writers do after an update — the table must not
+            # point at them, and the parser must not scan for them
+            for num in hybrid:
+                del offsets[num]
+            hdr, body, off = [], [], 0
+            for num in hybrid:
+                b = w.bodies[num]
+                hdr.append(f"{num} {off}")
+                body.append(b)
+                off += len(b) + 1
+            payload = " ".join(hdr).encode("latin-1") + b"\n" \
+                + b"\n".join(body) + b"\n"
+            first = len(" ".join(hdr).encode("latin-1")) + 1
+            objstm_num = w.alloc()
+            offsets[objstm_num] = len(out)
+            enc = zlib.compress(payload)
+            out += (f"{objstm_num} 0 obj\n<< /Length {len(enc)} "
+                    f"/Type /ObjStm /N {len(hybrid)} /First {first} "
+                    f"/Filter /FlateDecode >>\nstream\n"
+                    ).encode("latin-1")
+            out += enc + b"\nendstream\nendobj\n"
+            xnum = w.alloc()
+            size = max(size, xnum + 1)
+            xrefstm_off = len(out)
+            # one /Index pair per object, sorted (valid per spec,
+            # exercises many-pair parsing)
+            row_of = {}
+            for k, num in enumerate(hybrid):
+                row_of[num] = bytes([2]) \
+                    + objstm_num.to_bytes(3, "big") + bytes([k])
+            row_of[objstm_num] = bytes([1]) \
+                + offsets[objstm_num].to_bytes(3, "big") + b"\x00"
+            row_of[xnum] = bytes([1]) \
+                + xrefstm_off.to_bytes(3, "big") + b"\x00"
+            pairs = sorted((num, 1) for num in row_of)
+            rows = b"".join(row_of[num] for num, _ in pairs)
+            idxs = "[" + " ".join(f"{a} {b}" for a, b in pairs) + "]"
+            enc2 = zlib.compress(rows)
+            out += (f"{xnum} 0 obj\n<< /Length {len(enc2)} /Type /XRef "
+                    f"/Size {size} /W [1 3 1] /Index {idxs} "
+                    f"/Root {root} 0 R /Info {info} 0 R "
+                    f"/Filter /FlateDecode >>\nstream\n"
+                    ).encode("latin-1")
+            out += enc2 + b"\nendstream\nendobj\n"
         xref_off = len(out)
         entries = sorted(offsets)
         out += b"xref\n0 1\n0000000000 65535 f \n"
@@ -197,8 +253,9 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
                 out += f"{offsets[num]:010d} 00000 n \n" \
                     .encode("latin-1")
             i = j + 1
+        stm_decl = f" /XRefStm {xrefstm_off}" if xrefstm_off else ""
         out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
-                f"/Info {info} 0 R >>\n").encode("latin-1")
+                f"/Info {info} 0 R{stm_decl} >>\n").encode("latin-1")
         out += f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1")
         return out, offsets, xref_off
 
