@@ -30,9 +30,12 @@ invocations become ``media`` runs carrying the XObject name as
 media-span invariant).  Literal strings handle the full escape set
 (\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
 continuations) and balanced unescaped parentheses; hex strings decode
-byte-pairwise; comments and inline dictionaries are skipped.  Unknown
-operators clear their operands and continue (the spec's prescription
-for compatibility sections).
+byte-pairwise; comments and inline dictionaries are skipped.  Inline
+images (§8.9.7 ``BI .. ID <binary> EI``) raw-scan to the
+whitespace-delimited ``EI`` (the payload is not stream syntax) and
+emit an unnamed CTM-placed ``media`` run with ref ``[inline]``.
+Unknown operators clear their operands and continue (the spec's
+prescription for compatibility sections).
 
 Glyph metrics honesty: without embedded font programs the advance
 width of a shown string is approximated as ``0.5 * size`` per
@@ -78,6 +81,13 @@ _TOKEN_RE = re.compile(
 _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
             "(": "(", ")": ")", "\\": "\\"}
 _OCTAL_RE = re.compile(r"[0-7]{1,3}")
+
+# inline-image terminator (§8.9.7): the first EI delimited by
+# whitespace on both sides (or stream end) — the documented scanning
+# heuristic every reader uses, since the binary payload carries no
+# length.  An unguarded 'EI' byte pair inside the data (e.g. 'xEIy')
+# does NOT terminate.
+_EI_RE = re.compile(r"(?:(?<=[\s\x00])|\A)EI(?=[\s\x00]|\Z)")
 
 
 def _scan_string(s: str, i: int) -> tuple[str, int]:
@@ -163,6 +173,16 @@ def lex_content(stream: str) -> Iterator[tuple[str, Any]]:
             yield ("]", None)
         elif kind in ("dopen", "dclose"):
             yield ("op", m.group(0))  # ignored by the text machine
+        elif m.group(0) == "ID":
+            # inline image: everything to the whitespace-delimited EI
+            # is raw binary, NOT content-stream syntax — lexing it
+            # would corrupt the token stream (real scanner output hits
+            # this constantly).  The BI dict tokens already passed as
+            # ordinary operands; collapse ID <data> EI into one
+            # marker token the machine turns into a media run.
+            m2 = _EI_RE.search(stream, i)
+            i = m2.end() if m2 else n
+            yield ("op", "__inline_image__")
         else:
             yield ("op", m.group(0))
 
@@ -298,6 +318,12 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                 if names:
                     runs.append(("media", None, names[-1], font, 0.0,
                                  ctm[4], ctm[5], ctm[0], ctm[3]))
+            elif op == "__inline_image__":
+                # BI .. ID <data> EI: an unnamed image placed like Do
+                # (unit square through the CTM); ref '[inline]' keeps
+                # it distinct from any legal XObject name
+                runs.append(("media", None, "[inline]", font, 0.0,
+                             ctm[4], ctm[5], ctm[0], ctm[3]))
             # every other operator (ET, gs, re, W, n, BDC/EMC, Tr, Ts,
             # color/path ops, inline dicts) only clears its operands
         except (IndexError, ValueError, TypeError):

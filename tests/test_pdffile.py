@@ -388,6 +388,22 @@ def test_files_to_spans_contract(spark, file_docs):
         assert spans[3].text == sl["c"] + "\n" + sl["d"]
 
 
+def test_files_to_spans_forwards_fonts(spark, file_docs):
+    """with_fonts=True rides through the file layer: block font/size
+    from the real Tf operators in the generated files (C2 formatting
+    attributes end-to-end from raw file bytes)."""
+    from pdf_extraction_spark.operators.pdffile import (
+        build_pdf_files, files_to_spans)
+
+    spans = files_to_spans(build_pdf_files(file_docs.limit(2)),
+                           with_fonts=True).collect()
+    for r in spans:
+        head = r.spans[0]
+        assert head.font == "F1" and head.size == 16.0
+        body = r.spans[1]
+        assert body.font == "F2" and body.size == 10.0
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)

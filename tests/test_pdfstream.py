@@ -117,6 +117,25 @@ def test_inline_dict_is_ignored():
     assert [r[1] for r in runs] == ["real"]
 
 
+def test_inline_image_raw_scans_to_delimited_EI():
+    """§8.9.7: the ID..EI payload is raw binary, not stream syntax —
+    lexer poison inside it (unbalanced parens, backslashes, operator
+    names, unguarded 'xEIy') must not corrupt the token stream, and
+    the image lands as a CTM-placed media run ref '[inline]'."""
+    runs = extract_runs(
+        "q 3 0 0 3 40 50 cm BI /W 2 /H 2 /BPC 8 /F /AHx "
+        "ID ((\\ Tj BT xEIy <zz\x00EI\nBT /F1 12 Tf 7 8 Td (after) Tj")
+    assert runs[0] == ("media", None, "[inline]", "", 0.0,
+                       40.0, 50.0, 3.0, 3.0)
+    assert runs[1][0] == "text" and runs[1][1] == "after"
+    # unterminated payload consumes the rest, cleanly
+    assert extract_runs("BI ID ((((( no terminator") == \
+        [("media", None, "[inline]", "", 0.0, 0.0, 0.0, 1.0, 1.0)]
+    # 'EI' without whitespace around it does not terminate
+    runs = extract_runs("BI ID xEIyEIx EI (t) Tj")
+    assert runs[0][2] == "[inline]" and len(runs) == 2
+
+
 # ------------------------------------------ differential fuzz (twin)
 
 

@@ -138,8 +138,23 @@ def twin_lex(s: str):
             while j < n and s[j] not in WS and s[j] not in DELIM:
                 j += 1
             if j > i:
-                yield ("op", s[i:j])
+                op = s[i:j]
                 i = j
+                if op == "ID":
+                    # inline image payload: char-scan (independent of
+                    # the main lexer's regex) for the first EI with
+                    # whitespace on both sides or at stream end
+                    k = i
+                    while k < n:
+                        if (s[k:k + 2] == "EI"
+                                and (k == 0 or s[k - 1] in WS)
+                                and (k + 2 >= n or s[k + 2] in WS)):
+                            break
+                        k += 1
+                    i = min(k + 2, n)
+                    yield ("op", "__inline_image__")
+                else:
+                    yield ("op", op)
             else:
                 i += 1
 
@@ -255,6 +270,10 @@ def twin_runs(stream: str, char_width: float = 0.5) -> list[tuple]:
                     runs.append(("media", None, names()[-1], font, 0.0,
                                  ctm[2, 0], ctm[2, 1],
                                  ctm[0, 0], ctm[1, 1]))
+            elif val == "__inline_image__":
+                runs.append(("media", None, "[inline]", font, 0.0,
+                             ctm[2, 0], ctm[2, 1],
+                             ctm[0, 0], ctm[1, 1]))
         except (IndexError, ValueError, TypeError):
             pass
         ops.clear()
@@ -315,6 +334,20 @@ def gen_stream(rng) -> str:
         elif r < 0.28:
             parts.append(f"/X{rng.randrange(4)} Do"
                          if rng.random() < 0.8 else "Do")
+        elif r < 0.32:
+            # inline image: binary payload full of lexer poison —
+            # parens, backslashes, operator names, unguarded 'EI'
+            # pairs ('xEIy' must NOT terminate) — ended by the
+            # whitespace-delimited EI both implementations scan for
+            payload = "".join(rng.choice(
+                "()\\<>[]/%Tj BT q0.5xEIyQ\x00\t")
+                for _ in range(rng.randrange(0, 30)))
+            payload = payload.replace(" EI", " xI").replace(
+                "\tEI", "\txI").replace("\x00EI", "\x00xI")
+            if payload.startswith("EI"):  # ws after ID delimits too
+                payload = "x" + payload[1:]
+            parts.append(f"BI /W 4 /H 4 /BPC 8 /F /AHx ID {payload}"
+                         f"{rng.choice([' ', chr(10)])}EI")
         elif r < 0.36:
             parts.append(rng.choice(
                 ["% a comment (with parens", "<< /K (dict str) >>",
