@@ -870,9 +870,12 @@ def _encode_page1(content: bytes, doc_id: int) -> bytes:
 
 
 def _encode_page2(content: bytes, doc_id: int) -> bytes:
-    if doc_id % 2 == 0:
+    v = doc_id % 3
+    if v == 0:
         return _stream_obj(_run_length_encode(content),
                            " /Filter /RunLengthDecode")
+    if v == 2:
+        return _stream_obj(lzw_encode(content), " /Filter /LZWDecode")
     # chain: Flate first at write time, AHx second -> decode AHx, Flate
     enc = _ascii_hex_encode(zlib.compress(content))
     return _stream_obj(enc,
@@ -882,11 +885,13 @@ def _encode_page2(content: bytes, doc_id: int) -> bytes:
 def build_pdf(doc_id: int, text: str) -> bytes:
     """Deterministically synthesize one complete PDF file from a
     document row: two pages in a NESTED page tree (inherited resources
-    and MediaBox), per-doc filter variants, an /Info dict, and one
-    incremental update (``/Prev``) that revises the title — classic
-    xref table for even doc_id, xref STREAM + object stream (fonts +
-    Info compressed) for odd.  Every structural branch of the parser
-    above is reached across doc_id mod 4."""
+    and MediaBox), per-doc filter variants (page 1: none/Flate/AHx/A85
+    by mod 4; page 2: RunLength / [AHx Fl] chain / LZW by mod 3), an
+    /Info dict, and one incremental update (``/Prev``) that revises
+    the title — classic xref table for even doc_id, xref STREAM +
+    object stream (fonts + Info compressed) for odd.  Every
+    structural branch of the parser above is reached across
+    doc_id mod 12."""
     p = (text or "") + PAD
     sl = {k: escape_literal(p[a - 1:a - 1 + n])
           for k, (a, n) in SLICES.items()}
