@@ -768,6 +768,44 @@ class PdfFile:
         d = self.get(self.trailer.get("Info")) or {}
         return d if isinstance(d, dict) else {}
 
+    def page_font_maps(self) -> list[dict]:
+        """Per page (aligned with :meth:`pages`): {font resource name:
+        (code->unicode dict, code byte width)} for every font carrying
+        a /ToUnicode CMap (§9.10.3) — the way embedded-font PDFs map
+        shown glyph codes back to text.  Fonts without ToUnicode are
+        omitted (their strings pass through unmapped)."""
+        from .pdfstream import parse_cmap
+
+        out = []
+        cache: dict[int, tuple] = {}
+        for page in self.pages():
+            res = self.get(page.get("Resources")) or {}
+            fonts = self.get(res.get("Font")) or {}
+            maps = {}
+            for name, fref in fonts.items():
+                key = fref.num if isinstance(fref, Ref) else None
+                if key is not None and key in cache:
+                    if cache[key] is not None:
+                        maps[name] = cache[key]
+                    continue
+                entry = None
+                fdict = self.get(fref)
+                if isinstance(fdict, dict):
+                    tu = self.get(fdict.get("ToUnicode"))
+                    if isinstance(tu, StreamObj):
+                        try:
+                            entry = parse_cmap(
+                                decode_stream(tu, self.get)
+                                .decode("latin-1"))
+                        except Exception:
+                            entry = None  # a bad CMap: pass through
+                if key is not None:
+                    cache[key] = entry
+                if entry is not None:
+                    maps[name] = entry
+            out.append(maps)
+        return out
+
 
 def extract_pages(pdf_bytes: bytes) -> list[str]:
     """One-call file -> per-page content-stream text."""
@@ -1010,6 +1048,64 @@ def build_pdf(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+# slices for the ToUnicode gate (1-based start, length over padded
+# text) — shared verbatim with the queries_pdffile oracle
+CMAP_SLICES = {"p": (1, 24), "a": (25, 30), "b": (55, 30)}
+
+
+def build_pdf_cmap(doc_id: int, text: str) -> bytes:
+    """Single-page file whose body text is shown as 2-BYTE GLYPH CODES
+    through a font carrying a /ToUnicode CMap (code = char + 0x100,
+    mapped back by one bfrange) next to a plain-encoded line — the
+    embedded-font shape real PDFs use.  Parsing it to the original
+    text exercises CMap extraction end-to-end; the oracle states the
+    expected spans in closed form from the same slices."""
+    p = (text or "") + PAD
+    sl = {k: p[a - 1:a - 1 + n] for k, (a, n) in CMAP_SLICES.items()}
+
+    def glyphs(s: str) -> str:
+        return "<" + "".join(f"{ord(c) + 0x100:04X}" for c in s) + ">"
+
+    content = (
+        f"BT /F1 14 Tf 72 714 Td ({escape_literal(sl['p'])}) Tj "
+        f"/TU 10 Tf 12 TL 0 -40 Td {glyphs(sl['a'])} Tj T* "
+        f"{glyphs(sl['b'])} Tj ET").encode("utf-8")
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0100> <017E> <0000> endbfrange\n"
+            b"endcmap end end")
+    cmap_enc = zlib.compress(cmap)
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R /TU 6 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-TU "
+            b"/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+        7: (f"<< /Length {len(cmap_enc)} /Filter /FlateDecode >>\n"
+            f"stream\n".encode("latin-1") + cmap_enc + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 8\n0000000000 65535 f \n")
+    for num in range(1, 8):
+        out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
+    out.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
 def wrap_content_stream(variant: int, content: bytes) -> bytes:
     """Minimal single-page PDF file around a ready content stream —
     the scaling-corpus shape, where stream bytes track document size.
@@ -1097,7 +1193,8 @@ def wrap_stream_files(docs: DataFrame, stream_col: str = "stream",
 
 # -------------------------------------------------------- Spark kernels
 
-PAGES_SCHEMA = "doc_id string, page int, stream string"
+PAGES_SCHEMA = ("doc_id string, page int, stream string, "
+                "fontmaps string")
 META_SCHEMA = ("doc_id string, n_pages int, n_objects int, "
                "xref_kind string, n_revisions int, title string, "
                "page1_filter string")
@@ -1139,21 +1236,32 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
     raises (e.g. an unsupported content filter) instead of failing the
     task: at 10^9-file scale one poisoned blob must cost one row, not
     the job.  ``strict=True`` propagates, for pipelines that would
-    rather fail loudly."""
+    rather fail loudly.
+
+    The ``fontmaps`` column carries each page's ToUnicode CMaps as
+    JSON (``{font: {"w": width, "m": {code: text}}}``, ``{}`` when the
+    page's fonts carry none) — `pdfstream.tokenize_streams(maps_col=
+    'fontmaps')` applies them so glyph-coded strings decode to
+    text."""
+    import json as _json
+
     import pyarrow as pa
 
     schema = pa.schema([("doc_id", pa.string()), ("page", pa.int32()),
-                        ("stream", pa.string())])
+                        ("stream", pa.string()),
+                        ("fontmaps", pa.string())])
 
     def _parse(batches: Iterator["pa.RecordBatch"]
                ) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             ids = batch.column(0).to_pylist()
             blobs = batch.column(1).to_pylist()
-            o_id, o_pg, o_st = [], [], []
+            o_id, o_pg, o_st, o_fm = [], [], [], []
             for doc_id, blob in zip(ids, blobs):
                 try:
-                    texts = extract_pages(blob or b"")
+                    pf = PdfFile(blob or b"")
+                    texts = pf.page_texts()
+                    fmaps = pf.page_font_maps()
                 except Exception:
                     if strict:
                         raise
@@ -1162,10 +1270,17 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
                     o_id.append(doc_id)
                     o_pg.append(pg)
                     o_st.append(txt)
+                    fm = fmaps[pg] if pg < len(fmaps) else {}
+                    o_fm.append(_json.dumps(
+                        {name: {"w": w,
+                                "m": {str(k): v for k, v in m.items()}}
+                         for name, (m, w) in fm.items()},
+                        sort_keys=True) if fm else "{}")
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_id, type=pa.string()),
                  pa.array(o_pg, type=pa.int32()),
-                 pa.array(o_st, type=pa.string())], schema=schema)
+                 pa.array(o_st, type=pa.string()),
+                 pa.array(o_fm, type=pa.string())], schema=schema)
 
     sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
                        F.col(bytes_col).alias("pdf"))
@@ -1215,9 +1330,12 @@ def files_to_spans(files: DataFrame, bytes_col: str = "pdf",
     """Whole PDF files -> contract span arrays: parse (map-only) ->
     per-page tokenize/layout -> page-ordered gapless spans.  The
     composition point for the BASELINE.json input_hint on raw-file
-    corpora; all downstream plans (`plans/fused.py`) run unchanged."""
+    corpora; all downstream plans (`plans/fused.py`) run unchanged.
+    ToUnicode CMaps ride along by default (`maps_col='fontmaps'`), so
+    glyph-coded strings from embedded fonts decode to text."""
     from .pdfstream import pdf_to_spans
 
     pages = pages_from_files(files, bytes_col, id_col)
+    kw.setdefault("maps_col", "fontmaps")
     return pdf_to_spans(pages, stream_col="stream", id_col="doc_id",
                         page_col="page", **kw)

@@ -208,8 +208,92 @@ def _translate(tx: float, ty: float) -> tuple:
 DEFAULT_CHAR_WIDTH = 0.5  # glyph-space width per char (no metrics table)
 
 
+# ------------------------------------------------- ToUnicode CMaps
+
+_HEXPAIR_RE = re.compile(r"<([0-9A-Fa-f\s]+)>")
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.S)
+_CSRANGE_RE = re.compile(r"begincodespacerange(.*?)endcodespacerange",
+                         re.S)
+
+
+def _hex_int(h: str) -> int:
+    return int(re.sub(r"\s", "", h), 16)
+
+
+def _hex_str(h: str) -> str:
+    """Destination hex = UTF-16BE code units (Adobe CMap spec §7.2 /
+    ISO 32000-1 §9.10.3)."""
+    clean = re.sub(r"\s", "", h)
+    if len(clean) % 2:
+        clean += "0"
+    return bytes.fromhex(clean).decode("utf-16-be", "replace")
+
+
+def parse_cmap(text: str) -> tuple[dict[int, str], int]:
+    """Parse the ToUnicode subset of a CMap: bfchar pairs, bfrange
+    (incrementing or array destinations), and the codespacerange code
+    width.  Returns (code -> unicode string, code byte-width 1|2)."""
+    cmap: dict[int, str] = {}
+    width = 1
+    for block in _CSRANGE_RE.findall(text):
+        pairs = _HEXPAIR_RE.findall(block)
+        if pairs:
+            width = max(width,
+                        (len(re.sub(r"\s", "", pairs[0])) + 1) // 2)
+    for block in _BFCHAR_RE.findall(text):
+        pairs = _HEXPAIR_RE.findall(block)
+        for i in range(0, len(pairs) - 1, 2):
+            cmap[_hex_int(pairs[i])] = _hex_str(pairs[i + 1])
+    for block in _BFRANGE_RE.findall(text):
+        # entries: <lo> <hi> <dst>  OR  <lo> <hi> [<d1> <d2> ...]
+        toks = re.findall(r"<[0-9A-Fa-f\s]+>|\[|\]", block)
+        pos = 0
+        while pos + 3 <= len(toks):
+            lo_t, hi_t, third = toks[pos], toks[pos + 1], toks[pos + 2]
+            if lo_t in "[]" or hi_t in "[]":
+                pos += 1
+                continue
+            lo, hi = _hex_int(lo_t[1:-1]), _hex_int(hi_t[1:-1])
+            if third == "[":
+                pos += 3
+                code = lo
+                while pos < len(toks) and toks[pos] != "]":
+                    cmap[code] = _hex_str(toks[pos][1:-1])
+                    code += 1
+                    pos += 1
+                pos += 1  # past ']'
+            else:
+                base = _hex_str(third[1:-1])
+                # incrementing range: the LAST code unit increments
+                for k in range(hi - lo + 1):
+                    if base:
+                        cmap[lo + k] = base[:-1] + chr(
+                            ord(base[-1]) + k)
+                pos += 3
+    return cmap, width
+
+
+def _apply_cmap(raw: str, cmap: dict[int, str],
+                width: int) -> tuple[str, int, int]:
+    """Map glyph-code chars to unicode; returns (text, n_glyphs,
+    n_wordspaces).  Tw applies to code 32 in 1-byte encodings only
+    (§9.3.3)."""
+    if width == 2:
+        codes = [(ord(raw[i]) << 8) | ord(raw[i + 1])
+                 for i in range(0, len(raw) - 1, 2)]
+        n_sp = 0
+    else:
+        codes = [ord(c) for c in raw]
+        n_sp = sum(1 for c in codes if c == 32)
+    return ("".join(cmap.get(c, "�") for c in codes),
+            len(codes), n_sp)
+
+
 def machine_runs(tokens: Iterator[tuple[str, Any]],
-                 char_width: float = DEFAULT_CHAR_WIDTH) -> list[tuple]:
+                 char_width: float = DEFAULT_CHAR_WIDTH,
+                 font_maps: dict[str, tuple[dict[int, str], int]]
+                 | None = None) -> list[tuple]:
     """Run the §9.4 text-object machine over lexed tokens; returns
     emitted runs as tuples
     (kind, text, media_ref, font, size, x, y, w, h) in stream order.
@@ -231,10 +315,17 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
     def show(text: str) -> None:
         nonlocal tm
         trm = _mult(tm, ctm)
-        # advance in TEXT space (§9.4.4): per char
+        # with a ToUnicode CMap the string chars are GLYPH CODES: the
+        # advance counts glyphs (2-byte groups for Type0) and Tw only
+        # applies to code 32 in 1-byte encodings (§9.3.3)
+        fmap = font_maps.get(font) if font_maps else None
+        if fmap is not None:
+            text, n_glyphs, n_sp = _apply_cmap(text, fmap[0], fmap[1])
+        else:
+            n_glyphs, n_sp = len(text), text.count(" ")
+        # advance in TEXT space (§9.4.4): per glyph
         #   (w0*size + Tc + (Tw if space)) * Tz/100
-        n_sp = text.count(" ")
-        adv = ((char_width * size + tc) * len(text) + tw * n_sp) \
+        adv = ((char_width * size + tc) * n_glyphs + tw * n_sp) \
             * (tz / 100.0)
         h = size * abs(tm[3]) * abs(ctm[3])
         w_dev = adv * abs(tm[0]) * abs(ctm[0])
@@ -333,9 +424,11 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
 
 
 def extract_runs(stream: str,
-                 char_width: float = DEFAULT_CHAR_WIDTH) -> list[tuple]:
+                 char_width: float = DEFAULT_CHAR_WIDTH,
+                 font_maps: dict[str, tuple[dict[int, str], int]]
+                 | None = None) -> list[tuple]:
     """Lex + run the machine over one content stream."""
-    return machine_runs(lex_content(stream), char_width)
+    return machine_runs(lex_content(stream), char_width, font_maps)
 
 
 # ------------------------------------------------------- Spark kernel
@@ -348,11 +441,21 @@ RUNS_SCHEMA = (
 
 def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                      id_col: str = "doc_id",
-                     char_width: float = DEFAULT_CHAR_WIDTH) -> DataFrame:
+                     char_width: float = DEFAULT_CHAR_WIDTH,
+                     maps_col: str | None = None) -> DataFrame:
     """Batched byte-stream tokenization: (doc_id, stream) -> exploded
     positioned runs, ONE map-only ``mapInArrow`` pass (Arrow batches on
     both edges, no shuffle — the plan-shape test asserts zero
-    Exchange)."""
+    Exchange).
+
+    ``maps_col`` names an optional JSON column of per-row ToUnicode
+    font maps (``{font: {"w": width, "m": {code: text}}}`` — the shape
+    `pdffile.pages_from_files` emits): shown strings of those fonts
+    decode glyph codes to text inside the same pass.  Identical JSON
+    payloads deserialize once per batch (documents sharing embedded
+    fonts are the common case)."""
+    import json as _json
+
     import pyarrow as pa
 
     fields = [("doc_id", pa.string()), ("run_idx", pa.int32()),
@@ -363,15 +466,30 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
               ("h", pa.float64())]
     out_schema = pa.schema(fields)
 
+    def _decode_maps(js: str | None, memo: dict):
+        if not js or js == "{}":
+            return None
+        if js not in memo:
+            memo[js] = {name: ({int(k): v
+                                for k, v in spec["m"].items()},
+                               int(spec["w"]))
+                        for name, spec in _json.loads(js).items()}
+        return memo[js]
+
     def _tokenize_batches(batches: Iterator["pa.RecordBatch"]
                           ) -> Iterator["pa.RecordBatch"]:
+        memo: dict = {}
         for batch in batches:
             ids = batch.column(0).to_pylist()
             streams = batch.column(1).to_pylist()
+            maps_js = (batch.column(2).to_pylist() if maps_col
+                       else [None] * len(ids))
             cols: list[list] = [[] for _ in fields]
-            for doc_id, stream in zip(ids, streams):
-                for idx, run in enumerate(extract_runs(stream or "",
-                                                       char_width)):
+            for doc_id, stream, js in zip(ids, streams, maps_js):
+                fmaps = _decode_maps(js, memo)
+                for idx, run in enumerate(
+                        extract_runs(stream or "", char_width,
+                                     fmaps)):
                     cols[0].append(doc_id)
                     cols[1].append(idx)
                     for j, v in enumerate(run, start=2):
@@ -380,8 +498,11 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                 [pa.array(c, type=t) for c, (_, t) in zip(cols, fields)],
                 schema=out_schema)
 
-    sel = docs.select(F.col(id_col).cast("string").alias("doc_id"),
-                      F.col(stream_col).alias("stream"))
+    sel_cols = [F.col(id_col).cast("string").alias("doc_id"),
+                F.col(stream_col).alias("stream")]
+    if maps_col:
+        sel_cols.append(F.col(maps_col).alias("fontmaps"))
+    sel = docs.select(*sel_cols)
     return sel.mapInArrow(_tokenize_batches, schema=RUNS_SCHEMA)
 
 
@@ -412,7 +533,8 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  id_col: str = "doc_id", page_height: float = 792.0,
                  y_tol: float = 3.0, gap_tol: float = 10.0,
                  with_fonts: bool = False,
-                 page_col: str | None = None) -> DataFrame:
+                 page_col: str | None = None,
+                 maps_col: str | None = None) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -449,16 +571,21 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
 
     _SEP = "\x1f"
     if page_col is not None:
-        keyed = docs.select(
+        keyed_cols = [
             F.concat_ws(_SEP, F.col(id_col).cast("string"),
                         F.col(page_col).cast("long").cast("string"))
             .alias("__pkey"),
-            F.col(stream_col).alias(stream_col))
+            F.col(stream_col).alias(stream_col)]
+        if maps_col is not None:
+            keyed_cols.append(F.col(maps_col).alias(maps_col))
+        keyed = docs.select(*keyed_cols)
         runs = runs_for_layout(
-            tokenize_streams(keyed, stream_col, "__pkey"), page_height)
+            tokenize_streams(keyed, stream_col, "__pkey",
+                             maps_col=maps_col), page_height)
     else:
         runs = runs_for_layout(
-            tokenize_streams(docs, stream_col, id_col), page_height)
+            tokenize_streams(docs, stream_col, id_col,
+                             maps_col=maps_col), page_height)
     span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
                                 with_fonts=with_fonts)
     if page_col is not None:

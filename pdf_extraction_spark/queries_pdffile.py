@@ -32,9 +32,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.pdffile import (SLICES, PAD, build_pdf_files,
-                                file_meta, files_to_spans,
-                                pages_from_files)
+from .operators.pdffile import (CMAP_SLICES, SLICES, PAD,
+                                build_pdf_files, file_meta,
+                                files_to_spans, pages_from_files)
 from .queries_pdf import _esc
 
 # slice expressions over the padded text, shared by all three oracles
@@ -137,14 +137,69 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+def q_pdf_file_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToUnicode CMap extraction end-to-end: files whose body text is
+    2-byte glyph codes through an embedded-font /ToUnicode CMap
+    (operators/pdffile.build_pdf_cmap) parse back to the original
+    text — fontmaps ride the pages kernel as JSON and decode inside
+    the tokenize pass (pdfstream.tokenize_streams maps_col)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_cmap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_cmap(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    spans = files_to_spans(files)
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text")) \
+        .orderBy("doc_id", "offset")
+
+
+# analytic blocks (H=792): plain line top 64; glyph-coded lines top
+# 108/120 (2pt gap -> one block) => spans p | a\nb, all decoded back
+# from code = char + 0x100 by the bfrange
+_CE = {k: f"substr(p, {a}, {n})" for k, (a, n) in CMAP_SLICES.items()}
+_SQL_CMAP = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, {_CE['p']} AS text FROM b
+  UNION ALL SELECT doc_id, 1, 'text',
+    {_CE['a']} || chr(10) || {_CE['b']} FROM b)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_pages": q_pdf_file_pages,
     "pdf_file_meta": q_pdf_file_meta,
     "pdf_file_spans": q_pdf_file_spans,
+    "pdf_file_cmap": q_pdf_file_cmap,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_pages": _SQL_PAGES,
     "pdf_file_meta": _SQL_META,
     "pdf_file_spans": _SQL_SPANS,
+    "pdf_file_cmap": _SQL_CMAP,
 }

@@ -404,6 +404,33 @@ def test_files_to_spans_forwards_fonts(spark, file_docs):
         assert body.font == "F2" and body.size == 10.0
 
 
+def test_cmap_file_to_spans_end_to_end(spark):
+    """Embedded-font files (2-byte glyph codes + /ToUnicode CMap):
+    page_font_maps extracts the CMap, the fontmaps JSON rides the
+    pages kernel, and tokenize decodes the codes back to the original
+    text inside the same Arrow pass — the full path the
+    pdf_file_cmap oracle gate proves exactly at sf0.01."""
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, PAD, PdfFile, build_pdf_cmap, files_to_spans)
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    pf = PdfFile(build_pdf_cmap(3, text))
+    maps = pf.page_font_maps()[0]
+    assert set(maps) == {"TU"} and maps["TU"][1] == 2
+
+    rows = [(str(i), bytearray(build_pdf_cmap(i, text + f" d{i}")))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = {r.doc_id: r.spans for r in files_to_spans(df).collect()}
+    for i in range(3):
+        p = (text + f" d{i}") + PAD
+        sl = {k: p[a - 1:a - 1 + n]
+              for k, (a, n) in CMAP_SLICES.items()}
+        spans = out[str(i)]
+        assert [s.text for s in spans] == \
+            [sl["p"], sl["a"] + "\n" + sl["b"]]
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)

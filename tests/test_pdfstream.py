@@ -117,6 +117,46 @@ def test_inline_dict_is_ignored():
     assert [r[1] for r in runs] == ["real"]
 
 
+def test_parse_cmap_sections():
+    from pdf_extraction_spark.operators.pdfstream import parse_cmap
+
+    cmap, width = parse_cmap(
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+        "2 beginbfchar <0041> <0048> <0042> <0065 006C> endbfchar "
+        "1 beginbfrange <0100> <0102> <006C> endbfrange "
+        "1 beginbfrange <0200> <0201> [<0041> <0042 0043>] endbfrange")
+    assert width == 2
+    assert cmap[0x41] == "H" and cmap[0x42] == "el"  # multi-unit dst
+    assert [cmap[c] for c in (0x100, 0x101, 0x102)] == ["l", "m", "n"]
+    assert cmap[0x200] == "A" and cmap[0x201] == "BC"
+    # 1-byte codespace
+    _, w1 = parse_cmap(
+        "1 begincodespacerange <00> <FF> endcodespacerange")
+    assert w1 == 1
+
+
+def test_show_through_tounicode_cmap():
+    """Glyph-coded strings decode through font_maps; the advance
+    counts GLYPHS (2-byte groups), and Tw only applies to code 32 in
+    1-byte encodings (§9.3.3)."""
+    from pdf_extraction_spark.operators.pdfstream import parse_cmap
+
+    cmap, _ = parse_cmap(
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+        "1 beginbfrange <0100> <017E> <0000> endbfrange")
+    maps = {"TU": (cmap, 2)}
+    runs = extract_runs(
+        "BT /TU 10 Tf 4 Tw 0 0 Td <0148 0169 0120 0168> Tj "
+        "/F1 10 Tf (Hi u) Tj ET", font_maps=maps)
+    assert runs[0][1] == "Hi h"
+    assert runs[0][7] == 4 * 5.0        # 4 glyphs, NO Tw (2-byte)
+    assert runs[1][1] == "Hi u"          # unmapped font passes through
+    assert runs[1][7] == 4 * 5.0 + 4.0   # 1-byte: Tw applies
+    # unmapped code -> replacement char, not a crash
+    runs = extract_runs("BT /TU 10 Tf <9999> Tj ET", font_maps=maps)
+    assert runs[0][1] == "�"
+
+
 def test_inline_image_raw_scans_to_delimited_EI():
     """§8.9.7: the ID..EI payload is raw binary, not stream syntax —
     lexer poison inside it (unbalanced parens, backslashes, operator
