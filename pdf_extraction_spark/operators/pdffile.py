@@ -72,6 +72,14 @@ class Ref(NamedTuple):
     gen: int
 
 
+class Name(str):
+    """PDF name object (§7.3.5).  A ``str`` subclass so every
+    consumer treats it as its text — the distinction only matters to
+    the decryption pass, which must skip names (never encrypted)
+    while decrypting literal strings (always encrypted)."""
+    __slots__ = ()
+
+
 class StreamObj(NamedTuple):
     """A stream object: its dict plus the RAW (still-encoded) bytes."""
     dict: dict
@@ -354,6 +362,91 @@ def decode_stream(stream: StreamObj, resolve) -> bytes:
     return data
 
 
+# ----------------------------------------------- standard security (§7.6)
+
+# the spec's 32-byte password pad (ISO 32000-1 Table 1, Algorithm 2)
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm; the §7.6.2 stream cipher)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def std_file_key(user_pw: bytes, o_entry: bytes, p: int,
+                 file_id: bytes, r: int, key_len: int) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(user_pw) + o_entry[:32]
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                    + file_id).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    return h[:key_len]
+
+
+def std_o_entry(owner_pw: bytes, user_pw: bytes, r: int,
+                key_len: int) -> bytes:
+    """Algorithm 3: the /O value."""
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_len]
+    o = rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def std_u_entry(file_key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U value."""
+    import hashlib
+
+    if r == 2:
+        return rc4(file_key, _PW_PAD)
+    h = hashlib.md5(_PW_PAD + file_id).digest()
+    u = rc4(file_key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(file_key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")).digest()
+    return h[:min(len(file_key) + 5, 16)]
+
+
 # ------------------------------------------------------- object parser
 
 def _skip_ws(data: bytes, i: int) -> int:
@@ -460,7 +553,7 @@ def parse_object(data: bytes, i: int) -> tuple[Any, int]:
         raw = data[i + 1:j]
         raw = _NAME_ESC_RE.sub(
             lambda m: bytes([int(m.group(1), 16)]), raw)
-        return raw.decode("latin-1"), j
+        return Name(raw.decode("latin-1")), j
     m = _NUM_RE.match(data, i)
     if m:
         tok = m.group(0)
@@ -534,12 +627,15 @@ class PdfFile:
         self.xref_kind = ""  # 'table' | 'stream' (newest section) | 'rebuilt'
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._file_key: bytes | None = None
         try:
             self._load_xref_chain()
             if "Root" not in self.trailer:
                 raise ValueError("no /Root")
         except Exception:
             self._rebuild()
+        if "Encrypt" in self.trailer:
+            self._setup_crypt()
 
     # -- construction ------------------------------------------------
     def _load_xref_chain(self) -> None:
@@ -653,6 +749,63 @@ class PdfFile:
                     self.trailer["Info"] = Ref(num, 0)
         self.trailer.setdefault("Size", max(self.xref, default=0) + 1)
 
+    # -- encryption (§7.6, standard security handler) ------------------
+    def _setup_crypt(self) -> None:
+        """Empty-user-password decryption (the common 'owner-locked'
+        case): derive the RC4 file key and verify it against /U.
+        Raises NotImplementedError for schemes out of scope (AES,
+        non-standard handlers) or a real user password."""
+        enc = self.get(self.trailer["Encrypt"])  # _file_key is None:
+        # the Encrypt dict itself loads (and caches) undecrypted, as
+        # the spec requires
+        if not isinstance(enc, dict) \
+                or enc.get("Filter") != "Standard":
+            raise NotImplementedError("non-standard security handler")
+        v, r = int(enc.get("V", 0)), int(enc.get("R", 2))
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                f"encryption V={v} R={r} (AES/crypt-filter schemes "
+                f"out of scope)")
+        key_len = int(enc.get("Length", 40)) // 8
+        ids = self.trailer.get("ID") or [b""]
+        fid = ids[0]
+        if isinstance(fid, str):
+            fid = fid.encode("latin-1")
+        o = enc["O"]
+        o = o.encode("latin-1") if isinstance(o, str) else o
+        u = enc["U"]
+        u = u.encode("latin-1") if isinstance(u, str) else u
+        key = std_file_key(b"", o, int(enc.get("P", -1)), fid, r,
+                           key_len)
+        want = std_u_entry(key, fid, r)
+        ok = want[:16] == u[:16] if r >= 3 else want == u[:32]
+        if not ok:
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password)")
+        self._file_key = key
+
+    def _decrypt(self, obj: Any, num: int, gen: int = 0) -> Any:
+        """Recursively decrypt literal/hex strings and stream bytes
+        with the per-object key; names/numbers/refs pass through."""
+        key = object_key(self._file_key, num, gen)
+
+        def dec(o: Any) -> Any:
+            if isinstance(o, Name):
+                return o
+            if isinstance(o, str):
+                return rc4(key, o.encode("latin-1")).decode("latin-1")
+            if isinstance(o, bytes):
+                return rc4(key, o)
+            if isinstance(o, list):
+                return [dec(x) for x in o]
+            if isinstance(o, StreamObj):
+                return StreamObj(dec(o.dict), rc4(key, o.raw))
+            if isinstance(o, dict):
+                return {k: dec(v) for k, v in o.items()}
+            return o
+
+        return dec(obj)
+
     # -- object access -----------------------------------------------
     def get(self, obj: Any) -> Any:
         while isinstance(obj, Ref):
@@ -667,7 +820,11 @@ class PdfFile:
             return None
         if entry[0] == "i":
             obj = parse_indirect(self.data, entry[1], self.get)
+            if self._file_key is not None:
+                obj = self._decrypt(obj, num)
         else:
+            # ObjStm members are covered by the CONTAINER stream's
+            # decryption (§7.6.2); no per-member pass
             obj = self._objstm_objects(entry[1]).get(num)
         self._cache[num] = obj
         return obj
@@ -1102,6 +1259,84 @@ def build_pdf_cmap(doc_id: int, text: str) -> bytes:
     for num in range(1, 8):
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
     out.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
+def _lit_bytes(b: bytes) -> bytes:
+    """Binary-safe PDF literal string: octal-escape everything outside
+    printable ASCII plus the syntax chars."""
+    out = bytearray(b"(")
+    for c in b:
+        if c in (0x28, 0x29, 0x5C) or not 0x20 <= c < 0x7F:
+            out += f"\\{c:03o}".encode("ascii")
+        else:
+            out.append(c)
+    out += b")"
+    return bytes(out)
+
+
+def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
+    """Single-page file under the §7.6 STANDARD security handler with
+    an empty user password (the ubiquitous 'owner-locked' shape):
+    RC4 40-bit V1/R2 for even doc_id, RC4 128-bit V2/R3 for odd.
+    The page content stream and the /Info title are encrypted with
+    the per-object keys; /O and /U are computed with the spec's
+    Algorithms 2/3/4/5 so any conforming reader opens the file."""
+    import hashlib
+
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in CMAP_SLICES.items()}
+    content = (
+        f"BT /F1 14 Tf 72 714 Td ({sl['p']}) Tj "
+        f"/F2 10 Tf 12 TL 0 -40 Td ({sl['a']}) Tj T* "
+        f"({sl['b']}) Tj ET").encode("utf-8")
+
+    r = 2 if doc_id % 2 == 0 else 3
+    v = 1 if r == 2 else 2
+    key_len = 5 if r == 2 else 16
+    perm = -44
+    fid = hashlib.md5(f"id{doc_id}".encode()).digest()
+    o_val = std_o_entry(b"owner", b"", r, key_len)
+    fkey = std_file_key(b"", o_val, perm, fid, r, key_len)
+    u_val = std_u_entry(fkey, fid, r)
+
+    content_enc = rc4(object_key(fkey, 4, 0), content)
+    title_enc = rc4(object_key(fkey, 7, 0),
+                    f"Doc {doc_id} enc".encode("latin-1"))
+
+    length_decl = f"/Length {key_len * 8} " if r >= 3 else ""
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R /F2 6 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(content_enc)} >>\nstream\n"
+            .encode("latin-1") + content_enc + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        7: b"<< /Title " + _lit_bytes(title_enc) + b" >>",
+        8: (f"<< /Filter /Standard /V {v} /R {r} {length_decl}"
+            f"/P {perm} /O ".encode("latin-1") + _lit_bytes(o_val)
+            + b" /U " + _lit_bytes(u_val) + b" >>"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 9\n0000000000 65535 f \n")
+    for num in range(1, 9):
+        out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
+    hid = fid.hex().encode("ascii")
+    out.extend(b"trailer\n<< /Size 9 /Root 1 0 R /Info 7 0 R "
+               b"/Encrypt 8 0 R /ID [<" + hid + b"> <" + hid
+               + b">] >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return bytes(out)
 

@@ -190,11 +190,49 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+def q_pdf_file_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.6 standard-security decryption end-to-end: owner-locked
+    RC4 files (40-bit V1/R2 even docs, 128-bit V2/R3 odd) parse to
+    the original text — file key from Algorithm 2 with the empty user
+    password, /U verified, per-object keys on strings and streams."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_encrypted
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_encrypted(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    spans = files_to_spans(files)
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text")) \
+        .orderBy("doc_id", "offset")
+
+
 QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_pages": q_pdf_file_pages,
     "pdf_file_meta": q_pdf_file_meta,
     "pdf_file_spans": q_pdf_file_spans,
     "pdf_file_cmap": q_pdf_file_cmap,
+    "pdf_file_encrypted": q_pdf_file_encrypted,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -202,4 +240,8 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_meta": _SQL_META,
     "pdf_file_spans": _SQL_SPANS,
     "pdf_file_cmap": _SQL_CMAP,
+    # same slices and page geometry as the cmap gate by design: the
+    # expected plaintext spans are identical, only the on-disk
+    # representation differs (glyph codes there, RC4 here)
+    "pdf_file_encrypted": _SQL_CMAP,
 }

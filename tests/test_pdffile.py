@@ -344,6 +344,45 @@ def test_structural_fuzz_smoke():
         fz.one_case(seed)
 
 
+def test_rc4_known_vector():
+    from pdf_extraction_spark.operators.pdffile import rc4
+
+    # the classic public test vector
+    assert rc4(b"Key", b"Plaintext").hex().upper() \
+        == "BBF316E8D940AF0AD3"
+    assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+
+@pytest.mark.parametrize("doc_id", [0, 1])  # R2/40-bit and R3/128-bit
+def test_encrypted_round_trip_and_lockout(doc_id):
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, build_pdf_encrypted)
+    from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+    pdf = build_pdf_encrypted(doc_id, TEXT)
+    pf = PdfFile(pdf)
+    p = TEXT + PAD
+    sl = {k: p[a - 1:a - 1 + n] for k, (a, n) in CMAP_SLICES.items()}
+    # the encrypted /Info title decrypts; names in it stay intact
+    assert pf.info()["Title"] == f"Doc {doc_id} enc"
+    texts = [r[1] for r in extract_runs(pf.page_texts()[0])
+             if r[0] == "text"]
+    assert texts == [sl["p"], sl["a"], sl["b"]]
+    # a non-empty user password must refuse, not mis-decrypt
+    with pytest.raises(NotImplementedError):
+        PdfFile(pdf.replace(b"/U (", b"/U (X", 1))
+
+
+def test_unsupported_encryption_raises():
+    from pdf_extraction_spark.operators.pdffile import (
+        build_pdf_encrypted)
+
+    pdf = build_pdf_encrypted(1, TEXT)
+    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    with pytest.raises(NotImplementedError):
+        PdfFile(aes)
+
+
 # ------------------------------------------------------ Spark kernels
 
 @pytest.fixture(scope="module")
