@@ -35,10 +35,19 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
   ``/MediaBox``), ``/Contents`` as one stream or an array
   (concatenated with a newline per §7.8.2), ``/Info`` metadata.
 
-Out of scope (documented, raise or skip cleanly): encryption,
-DCT/JBIG2/JPX/CCITT filters (media streams stay opaque binary per the
-multimodal contract) and linearization hints (ignored — they are an
-optimization layer over the same xref).
+Encryption: the §7.6 STANDARD security handler with an empty user
+password (owner-locked files) decrypts transparently — RC4 V1/R2 and
+V2/R3, plus V4/R4 with the /AESV2 crypt filter (AES-128-CBC over the
+from-scratch FIPS-197 core in ``functions/aes.py``); file key via
+Algorithm 2 verified against /U, per-object keys on strings and
+streams.  ToUnicode CMaps (§9.10.3) decode embedded-font glyph codes
+back to text.
+
+Out of scope (documented, raise or skip cleanly): real user
+passwords and AES-256/V5 (refused loudly, never mis-decrypted),
+DCT/JBIG2/JPX/CCITT filters (media streams stay opaque binary per
+the multimodal contract) and linearization hints (ignored — they are
+an optimization layer over the same xref).
 
 Scale shape (100 TB of PDFs): ``pages_from_files`` is ONE ``mapInArrow``
 pass — map-only, zero shuffle, linear in file bytes; each file is
@@ -395,13 +404,16 @@ def _pad_pw(pw: bytes) -> bytes:
 
 
 def std_file_key(user_pw: bytes, o_entry: bytes, p: int,
-                 file_id: bytes, r: int, key_len: int) -> bytes:
+                 file_id: bytes, r: int, key_len: int,
+                 encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key."""
     import hashlib
 
-    h = hashlib.md5(_pad_pw(user_pw) + o_entry[:32]
-                    + (p & 0xFFFFFFFF).to_bytes(4, "little")
-                    + file_id).digest()
+    seed = (_pad_pw(user_pw) + o_entry[:32]
+            + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id)
+    if r >= 4 and not encrypt_metadata:
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:key_len]).digest()
@@ -438,12 +450,17 @@ def std_u_entry(file_key: bytes, file_id: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: the per-object RC4 key."""
+def object_key(file_key: bytes, num: int, gen: int,
+               aes: bool = False) -> bytes:
+    """§7.6.2 Algorithm 1: the per-object key (AES appends the spec's
+    ``sAlT`` constant to the MD5 input)."""
     import hashlib
 
-    h = hashlib.md5(file_key + num.to_bytes(3, "little")
-                    + gen.to_bytes(2, "little")).digest()
+    seed = (file_key + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little"))
+    if aes:
+        seed += b"sAlT"
+    h = hashlib.md5(seed).digest()
     return h[:min(len(file_key) + 5, 16)]
 
 
@@ -628,6 +645,7 @@ class PdfFile:
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
         self._file_key: bytes | None = None
+        self._cipher = "rc4"
         try:
             self._load_xref_chain()
             if "Root" not in self.trailer:
@@ -762,11 +780,29 @@ class PdfFile:
                 or enc.get("Filter") != "Standard":
             raise NotImplementedError("non-standard security handler")
         v, r = int(enc.get("V", 0)), int(enc.get("R", 2))
-        if v not in (1, 2) or r not in (2, 3):
-            raise NotImplementedError(
-                f"encryption V={v} R={r} (AES/crypt-filter schemes "
-                f"out of scope)")
         key_len = int(enc.get("Length", 40)) // 8
+        if v in (1, 2) and r in (2, 3):
+            self._cipher = "rc4"
+        elif v == 4 and r == 4:
+            # crypt filters (§7.6.5): the /StdCF referenced by
+            # /StmF+/StrF decides the cipher
+            cf = self.get(enc.get("CF")) or {}
+            stdcf = self.get(cf.get("StdCF")) or {}
+            cfm = stdcf.get("CFM")
+            if cfm == "AESV2":
+                self._cipher = "aes"
+                key_len = 16
+            elif cfm == "V2":
+                self._cipher = "rc4"
+                key_len = int(stdcf.get("Length", key_len or 16))
+                if key_len > 16:  # some writers put bits here
+                    key_len //= 8
+            else:
+                raise NotImplementedError(f"crypt filter {cfm!r}")
+        else:
+            raise NotImplementedError(
+                f"encryption V={v} R={r} (AESV3/256-bit and custom "
+                f"schemes out of scope)")
         ids = self.trailer.get("ID") or [b""]
         fid = ids[0]
         if isinstance(fid, str):
@@ -775,8 +811,9 @@ class PdfFile:
         o = o.encode("latin-1") if isinstance(o, str) else o
         u = enc["U"]
         u = u.encode("latin-1") if isinstance(u, str) else u
+        em = enc.get("EncryptMetadata", True)
         key = std_file_key(b"", o, int(enc.get("P", -1)), fid, r,
-                           key_len)
+                           key_len, encrypt_metadata=bool(em))
         want = std_u_entry(key, fid, r)
         ok = want[:16] == u[:16] if r >= 3 else want == u[:32]
         if not ok:
@@ -787,19 +824,28 @@ class PdfFile:
     def _decrypt(self, obj: Any, num: int, gen: int = 0) -> Any:
         """Recursively decrypt literal/hex strings and stream bytes
         with the per-object key; names/numbers/refs pass through."""
-        key = object_key(self._file_key, num, gen)
+        aes = self._cipher == "aes"
+        key = object_key(self._file_key, num, gen, aes=aes)
+        if aes:
+            from ..functions.aes import cbc_decrypt
+
+            def raw_dec(b: bytes) -> bytes:
+                return cbc_decrypt(key, b)
+        else:
+            def raw_dec(b: bytes) -> bytes:
+                return rc4(key, b)
 
         def dec(o: Any) -> Any:
             if isinstance(o, Name):
                 return o
             if isinstance(o, str):
-                return rc4(key, o.encode("latin-1")).decode("latin-1")
+                return raw_dec(o.encode("latin-1")).decode("latin-1")
             if isinstance(o, bytes):
-                return rc4(key, o)
+                return raw_dec(o)
             if isinstance(o, list):
                 return [dec(x) for x in o]
             if isinstance(o, StreamObj):
-                return StreamObj(dec(o.dict), rc4(key, o.raw))
+                return StreamObj(dec(o.dict), raw_dec(o.raw))
             if isinstance(o, dict):
                 return {k: dec(v) for k, v in o.items()}
             return o
@@ -1278,11 +1324,12 @@ def _lit_bytes(b: bytes) -> bytes:
 
 def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
     """Single-page file under the §7.6 STANDARD security handler with
-    an empty user password (the ubiquitous 'owner-locked' shape):
-    RC4 40-bit V1/R2 for even doc_id, RC4 128-bit V2/R3 for odd.
-    The page content stream and the /Info title are encrypted with
-    the per-object keys; /O and /U are computed with the spec's
-    Algorithms 2/3/4/5 so any conforming reader opens the file."""
+    an empty user password (the ubiquitous 'owner-locked' shape) —
+    doc_id mod 3 picks RC4 40-bit V1/R2, RC4 128-bit V2/R3, or
+    AES-128-CBC V4/R4 with the /AESV2 crypt filter.  The page content
+    stream and the /Info title are encrypted with the per-object
+    keys; /O and /U are computed with the spec's Algorithms 2/3/4/5
+    so any conforming reader opens the file."""
     import hashlib
 
     p = (text or "") + PAD
@@ -1293,8 +1340,9 @@ def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
         f"/F2 10 Tf 12 TL 0 -40 Td ({sl['a']}) Tj T* "
         f"({sl['b']}) Tj ET").encode("utf-8")
 
-    r = 2 if doc_id % 2 == 0 else 3
-    v = 1 if r == 2 else 2
+    variant = doc_id % 3
+    r = (2, 3, 4)[variant]
+    v = (1, 2, 4)[variant]
     key_len = 5 if r == 2 else 16
     perm = -44
     fid = hashlib.md5(f"id{doc_id}".encode()).digest()
@@ -1302,11 +1350,27 @@ def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
     fkey = std_file_key(b"", o_val, perm, fid, r, key_len)
     u_val = std_u_entry(fkey, fid, r)
 
-    content_enc = rc4(object_key(fkey, 4, 0), content)
-    title_enc = rc4(object_key(fkey, 7, 0),
-                    f"Doc {doc_id} enc".encode("latin-1"))
+    if r == 4:  # AES-128-CBC, deterministic per-object IVs
+        from ..functions.aes import cbc_encrypt
 
-    length_decl = f"/Length {key_len * 8} " if r >= 3 else ""
+        def enc_obj(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(f"iv{doc_id}:{num}".encode()).digest()
+            return cbc_encrypt(object_key(fkey, num, 0, aes=True),
+                               iv, data)
+    else:
+        def enc_obj(num: int, data: bytes) -> bytes:
+            return rc4(object_key(fkey, num, 0), data)
+
+    content_enc = enc_obj(4, content)
+    title_enc = enc_obj(7, f"Doc {doc_id} enc".encode("latin-1"))
+
+    if r == 2:
+        length_decl = ""
+    elif r == 3:
+        length_decl = f"/Length {key_len * 8} "
+    else:
+        length_decl = ("/Length 128 /CF << /StdCF << /CFM /AESV2 "
+                       "/Length 16 >> >> /StmF /StdCF /StrF /StdCF ")
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "

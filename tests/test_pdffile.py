@@ -353,7 +353,8 @@ def test_rc4_known_vector():
     assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
 
 
-@pytest.mark.parametrize("doc_id", [0, 1])  # R2/40-bit and R3/128-bit
+# R2/RC4-40, R3/RC4-128, R4/AES-128-CBC (AESV2 crypt filter)
+@pytest.mark.parametrize("doc_id", [0, 1, 2])
 def test_encrypted_round_trip_and_lockout(doc_id):
     from pdf_extraction_spark.operators.pdffile import (
         CMAP_SLICES, build_pdf_encrypted)
@@ -378,9 +379,33 @@ def test_unsupported_encryption_raises():
         build_pdf_encrypted)
 
     pdf = build_pdf_encrypted(1, TEXT)
-    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    # AES-256 (V5/R6) stays out of scope and must refuse loudly
+    v5 = pdf.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
     with pytest.raises(NotImplementedError):
-        PdfFile(aes)
+        PdfFile(v5)
+    # V4 with an unknown crypt filter refuses too
+    pdf2 = build_pdf_encrypted(2, TEXT)
+    unk = pdf2.replace(b"/CFM /AESV2", b"/CFM /AESV9", 1)
+    with pytest.raises(NotImplementedError):
+        PdfFile(unk)
+
+
+def test_aes_cbc_matches_fips_vectors():
+    from pdf_extraction_spark.functions.aes import (
+        cbc_decrypt, cbc_encrypt, ecb_encrypt_block)
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert ecb_encrypt_block(key, pt).hex() \
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    key256 = bytes(range(32))
+    assert ecb_encrypt_block(
+        key256, pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes((i * 7) & 0xFF for i in range(n))
+        assert cbc_decrypt(key, cbc_encrypt(key, iv, data)) == data
+    assert cbc_decrypt(key, b"short") == b""  # malformed: no crash
 
 
 # ------------------------------------------------------ Spark kernels

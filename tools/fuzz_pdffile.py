@@ -24,6 +24,10 @@ gates, every structural axis is randomized per seed:
   /Prev chain must surface the LAST revision;
 - for xref-stream files, a random subset of non-stream objects
   (including page/pages nodes) moves into an ObjStm;
+- with p=.25 the whole file is ENCRYPTED (standard handler, empty
+  user password, R2/40-bit or R3/128-bit RC4): every stream and the
+  Info title carry per-object-key ciphertext, composed with every
+  filter choice, both xref flavors, and the update axis;
 - random comments and whitespace are injected between objects.
 
 Any divergence is a real parser bug: there is no floating point here.
@@ -36,9 +40,12 @@ import zlib
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
+import hashlib
+
 from pdf_extraction_spark.operators.pdffile import (
-    PdfFile, _ascii85_encode, _ascii_hex_encode, _png_up_encode,
-    _run_length_encode, lzw_encode)
+    PdfFile, _ascii85_encode, _ascii_hex_encode, _lit_bytes,
+    _png_up_encode, _run_length_encode, lzw_encode, object_key, rc4,
+    std_file_key, std_o_entry, std_u_entry)
 
 CHARS = ("abcdefghijklmnop qrstuvwxyz0123456789 ()\\<>[]/% \n\t"
          "BT ET Tj .,-+")
@@ -83,6 +90,7 @@ class Writer:
         self.bodies: dict[int, bytes] = {}       # num -> body (no hdr)
         self.stream_nums: set[int] = set()
         self.length_refs: dict[int, int] = {}    # length-obj -> value
+        self.fkey: bytes | None = None           # encryption axis
 
     def alloc(self) -> int:
         num = self.nums[self.next_i]
@@ -97,15 +105,20 @@ class Writer:
         return num
 
     def add_stream(self, data: bytes, extra: str = "") -> int:
+        num = self.alloc()
         enc, filt = encode_stream(self.rng, data)
+        if self.fkey is not None:  # encrypt AFTER filter-encoding
+            enc = rc4(object_key(self.fkey, num, 0), enc)
         if self.rng.random() < 0.3:  # indirect /Length
             lnum = self.add(str(len(enc)).encode())
             ldecl = f"{lnum} 0 R"
         else:
             ldecl = str(len(enc))
-        body = (f"<< /Length {ldecl}{filt}{extra} >>\nstream\n"
-                .encode("latin-1") + enc + b"\nendstream")
-        return self.add(body, is_stream=True)
+        self.bodies[num] = (
+            f"<< /Length {ldecl}{filt}{extra} >>\nstream\n"
+            .encode("latin-1") + enc + b"\nendstream")
+        self.stream_nums.add(num)
+        return num
 
 
 def build_tree(w: Writer, page_content_nums: list[list[int]],
@@ -151,16 +164,23 @@ def build_tree(w: Writer, page_content_nums: list[list[int]],
 
 
 def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
-              rng: random.Random) -> tuple[bytearray, dict[int, int], int]:
+              rng: random.Random, trailer_extra: str = ""
+              ) -> tuple[bytearray, dict[int, int], int]:
     """Emit header + all objects (random order, random junk between),
-    then the xref; returns (buffer, offsets, xref_offset)."""
+    then the xref; returns (buffer, offsets, xref_offset).
+    ``trailer_extra`` is appended to the trailer dict (classic) or the
+    XRef stream dict (the trailer of that flavor) — the encryption
+    axis injects ``/Encrypt``+``/ID`` through it."""
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     order = list(w.bodies)
     rng.shuffle(order)
 
     objstm_members: list[int] = []
-    if use_xref_stream:
+    # encrypted cases skip ObjStm membership: member strings would
+    # need the CONTAINER's object key, a layout the deterministic
+    # writer keeps out of scope (mirrors build_pdf_encrypted)
+    if use_xref_stream and w.fkey is None:
         candidates = [n for n in order if n not in w.stream_nums
                       and n not in (root,)]
         rng.shuffle(candidates)
@@ -191,7 +211,7 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
                   and n != root and n in offsets]
         rng.shuffle(hybrid)
         hybrid = sorted(hybrid[:rng.randrange(0, 4)]) \
-            if rng.random() < 0.3 else []
+            if rng.random() < 0.3 and w.fkey is None else []
         if hybrid:
             # strip the plain copies: re-emit would be simpler, but
             # leaving them orphaned in the body is exactly what real
@@ -255,7 +275,8 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
             i = j + 1
         stm_decl = f" /XRefStm {xrefstm_off}" if xrefstm_off else ""
         out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
-                f"/Info {info} 0 R{stm_decl} >>\n").encode("latin-1")
+                f"/Info {info} 0 R{stm_decl}{trailer_extra} >>\n"
+                ).encode("latin-1")
         out += f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1")
         return out, offsets, xref_off
 
@@ -322,7 +343,8 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
     idx = "[" + " ".join(str(x) for x in index_pairs) + "]"
     out += (f"{xnum} 0 obj\n<< /Length {len(enc)} /Type /XRef "
             f"/Size {size} /W [1 3 1] /Index {idx} /Root {root} 0 R "
-            f"/Info {info} 0 R /Filter /FlateDecode{parms} >>\n"
+            f"/Info {info} 0 R /Filter /FlateDecode{parms}"
+            f"{trailer_extra} >>\n"
             f"stream\n").encode("latin-1")
     out += enc + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1")
@@ -333,6 +355,30 @@ def one_case(seed: int) -> None:
     rng = random.Random(seed)
     w = Writer(rng)
     use_xref_stream = rng.random() < 0.5
+
+    # encryption axis (p=.25): standard handler, empty user password,
+    # R2/40-bit or R3/128-bit — every stream and the Info title
+    # encrypt with per-object keys; composes with every filter choice,
+    # both xref flavors, and content-revising updates
+    encrypted = rng.random() < 0.25
+    enc_extra = ""
+    enc_num = None
+    if encrypted:
+        r_rev = rng.choice([2, 3])
+        key_len = 5 if r_rev == 2 else 16
+        fid = hashlib.md5(f"fz{seed}".encode()).digest()
+        o_val = std_o_entry(b"own", b"", r_rev, key_len)
+        w.fkey = std_file_key(b"", o_val, -44, fid, r_rev, key_len)
+        u_val = std_u_entry(w.fkey, fid, r_rev)
+        ldecl = f"/Length {key_len * 8} " if r_rev >= 3 else ""
+        enc_num = w.add(
+            (f"<< /Filter /Standard /V {1 if r_rev == 2 else 2} "
+             f"/R {r_rev} {ldecl}/P -44 /O ").encode("latin-1")
+            + _lit_bytes(o_val) + b" /U " + _lit_bytes(u_val)
+            + b" >>")
+        hid = fid.hex()
+        enc_extra = (f" /Encrypt {enc_num} 0 R "
+                     f"/ID [<{hid}> <{hid}>]")
 
     n_pages = rng.randrange(1, 5)
     page_parts: list[list[bytes]] = []
@@ -348,10 +394,19 @@ def one_case(seed: int) -> None:
     root = w.add(f"<< /Type /Catalog /Pages {pages_root} 0 R >>"
                  .encode("latin-1"))
     title = f"fuzz {seed}"
-    info = w.add(f"<< /Title (fuzz {seed}) >>".encode("latin-1"))
+
+    def info_body(num: int, t: str) -> bytes:
+        if w.fkey is not None:
+            return b"<< /Title " + _lit_bytes(
+                rc4(object_key(w.fkey, num, 0),
+                    t.encode("latin-1"))) + b" >>"
+        return f"<< /Title ({t}) >>".encode("latin-1")
+
+    info = w.alloc()
+    w.bodies[info] = info_body(info, title)
 
     out, offsets, prev_off = serialize(w, root, info, use_xref_stream,
-                                       rng)
+                                       rng, enc_extra)
     size = max(w.bodies, default=0) + 1
 
     # ---- incremental updates
@@ -359,13 +414,16 @@ def one_case(seed: int) -> None:
     for u in range(n_updates):
         changed: dict[int, bytes] = {}
         title = f"fuzz {seed} rev{u + 2}"
-        changed[info] = f"<< /Title ({title}) >>".encode("latin-1")
+        changed[info] = info_body(info, title)
         if rng.random() < 0.5:  # overwrite one page's first part
             p = rng.randrange(n_pages)
             new = rand_content(rng)
             page_parts[p][0] = new
+            cnum = page_content_nums[p][0]
             enc, filt = encode_stream(rng, new)
-            changed[page_content_nums[p][0]] = (
+            if w.fkey is not None:
+                enc = rc4(object_key(w.fkey, cnum, 0), enc)
+            changed[cnum] = (
                 f"<< /Length {len(enc)}{filt} >>\nstream\n"
                 .encode("latin-1") + enc + b"\nendstream")
         out += b"\n"
@@ -407,6 +465,7 @@ def one_case(seed: int) -> None:
 
     expected_pages = [b"\n".join(parts) for parts in page_parts]
     pf = PdfFile(bytes(out))
+    assert (pf._file_key is not None) == encrypted, seed
     got = [t.encode("latin-1") for t in pf.page_texts()]
     assert got == expected_pages, (
         f"seed {seed}: page texts diverge\n"
