@@ -168,6 +168,33 @@ def cbc_decrypt(key: bytes, data: bytes,
     return bytes(out)
 
 
+def cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Bare CBC encrypt: no padding, no IV prefix (the §7.6.4.3.4
+    Algorithm 2.B / key-wrapping primitive; ``plain`` must be a
+    multiple of 16)."""
+    rks = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(plain), 16):
+        block = bytes(x ^ p for x, p in zip(plain[i:i + 16], prev))
+        prev = _encrypt_block(rks, block)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_raw(key: bytes, iv: bytes, ct: bytes) -> bytes:
+    """Bare CBC decrypt: explicit IV, no padding (key unwrapping)."""
+    rks = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        block = ct[i:i + 16]
+        out += bytes(x ^ p for x, p in
+                     zip(_decrypt_block(rks, block), prev))
+        prev = block
+    return bytes(out)
+
+
 def cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
     """Writer-side twin: returns IV || ciphertext with PKCS#7 pad."""
     rks = expand_key(key)

@@ -464,6 +464,33 @@ def object_key(file_key: bytes, num: int, gen: int,
     return h[:min(len(file_key) + 5, 16)]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1024)
+def r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """§7.6.4.3.4 Algorithm 2.B (R6): the SHA-2 / AES-128-CBC
+    iterated hash used for password validation and key derivation in
+    AES-256 files.  Deliberately expensive by design (~10^4 AES block
+    ops); memoized because a corpus re-validates the same
+    (password, salt) pair for every object of a file — and often for
+    every file of a batch — while the cache key stays tiny."""
+    import hashlib
+
+    from ..functions.aes import cbc_encrypt_raw
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 # ------------------------------------------------------- object parser
 
 def _skip_ws(data: bytes, i: int) -> int:
@@ -799,10 +826,15 @@ class PdfFile:
                     key_len //= 8
             else:
                 raise NotImplementedError(f"crypt filter {cfm!r}")
+        elif v == 5 and r == 6:
+            # AES-256 (§7.6.4.3.4): SHA-2/AES hash chain validates
+            # the (empty) user password against /U, then /UE unwraps
+            # the 256-bit file key; handled fully below
+            self._cipher = "aes256"
         else:
             raise NotImplementedError(
-                f"encryption V={v} R={r} (AESV3/256-bit and custom "
-                f"schemes out of scope)")
+                f"encryption V={v} R={r} (custom schemes out of "
+                f"scope)")
         ids = self.trailer.get("ID") or [b""]
         fid = ids[0]
         if isinstance(fid, str):
@@ -811,6 +843,18 @@ class PdfFile:
         o = o.encode("latin-1") if isinstance(o, str) else o
         u = enc["U"]
         u = u.encode("latin-1") if isinstance(u, str) else u
+        if self._cipher == "aes256":
+            from ..functions.aes import cbc_decrypt_raw
+
+            if r6_hash(b"", u[32:40]) != u[:32]:
+                raise NotImplementedError(
+                    "password-protected PDF (non-empty user "
+                    "password)")
+            ue = enc["UE"]
+            ue = ue.encode("latin-1") if isinstance(ue, str) else ue
+            self._file_key = cbc_decrypt_raw(
+                r6_hash(b"", u[40:48]), b"\x00" * 16, ue[:32])
+            return
         em = enc.get("EncryptMetadata", True)
         key = std_file_key(b"", o, int(enc.get("P", -1)), fid, r,
                            key_len, encrypt_metadata=bool(em))
@@ -824,14 +868,23 @@ class PdfFile:
     def _decrypt(self, obj: Any, num: int, gen: int = 0) -> Any:
         """Recursively decrypt literal/hex strings and stream bytes
         with the per-object key; names/numbers/refs pass through."""
-        aes = self._cipher == "aes"
-        key = object_key(self._file_key, num, gen, aes=aes)
-        if aes:
+        if self._cipher == "aes256":  # file key used directly (§7.6.4)
             from ..functions.aes import cbc_decrypt
+
+            fkey = self._file_key
+
+            def raw_dec(b: bytes) -> bytes:
+                return cbc_decrypt(fkey, b)
+        elif self._cipher == "aes":
+            from ..functions.aes import cbc_decrypt
+
+            key = object_key(self._file_key, num, gen, aes=True)
 
             def raw_dec(b: bytes) -> bytes:
                 return cbc_decrypt(key, b)
         else:
+            key = object_key(self._file_key, num, gen)
+
             def raw_dec(b: bytes) -> bytes:
                 return rc4(key, b)
 
@@ -1325,11 +1378,13 @@ def _lit_bytes(b: bytes) -> bytes:
 def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
     """Single-page file under the §7.6 STANDARD security handler with
     an empty user password (the ubiquitous 'owner-locked' shape) —
-    doc_id mod 3 picks RC4 40-bit V1/R2, RC4 128-bit V2/R3, or
-    AES-128-CBC V4/R4 with the /AESV2 crypt filter.  The page content
-    stream and the /Info title are encrypted with the per-object
-    keys; /O and /U are computed with the spec's Algorithms 2/3/4/5
-    so any conforming reader opens the file."""
+    doc_id mod 4 picks RC4 40-bit V1/R2, RC4 128-bit V2/R3,
+    AES-128-CBC V4/R4 (/AESV2 crypt filter), or AES-256-CBC V5/R6
+    (/AESV3: SHA-2 hash chain, /UE-wrapped file key, /Perms).  The
+    page content stream and the /Info title are encrypted with the
+    per-object (or, for R6, file) keys; the password-record entries
+    follow the spec's algorithms so any conforming reader opens the
+    file."""
     import hashlib
 
     p = (text or "") + PAD
@@ -1340,37 +1395,72 @@ def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
         f"/F2 10 Tf 12 TL 0 -40 Td ({sl['a']}) Tj T* "
         f"({sl['b']}) Tj ET").encode("utf-8")
 
-    variant = doc_id % 3
-    r = (2, 3, 4)[variant]
-    v = (1, 2, 4)[variant]
-    key_len = 5 if r == 2 else 16
+    variant = doc_id % 4
+    r = (2, 3, 4, 6)[variant]
+    v = (1, 2, 4, 5)[variant]
     perm = -44
     fid = hashlib.md5(f"id{doc_id}".encode()).digest()
-    o_val = std_o_entry(b"owner", b"", r, key_len)
-    fkey = std_file_key(b"", o_val, perm, fid, r, key_len)
-    u_val = std_u_entry(fkey, fid, r)
 
-    if r == 4:  # AES-128-CBC, deterministic per-object IVs
-        from ..functions.aes import cbc_encrypt
+    def md5(s: str) -> bytes:
+        return hashlib.md5(s.encode()).digest()
+
+    if r == 6:  # AES-256: Algorithms 8/9 password records
+        from ..functions.aes import (cbc_encrypt, cbc_encrypt_raw,
+                                     ecb_encrypt_block)
+
+        fkey = md5(f"fk1{doc_id}") + md5(f"fk2{doc_id}")
+        # salts shared across the corpus: the per-FILE key still
+        # differs (wrapped per-doc in /UE), but the 10^4-AES-op
+        # Algorithm 2.B runs once per corpus instead of per file —
+        # both through the r6_hash lru_cache.  Unit tests cover
+        # distinct-salt files; real corpora with per-file salts just
+        # pay the hash once per file, as every reader does.
+        vsalt, ksalt = md5("vs-r6")[:8], md5("ks-r6")[:8]
+        u_val = r6_hash(b"", vsalt) + vsalt + ksalt
+        ue = cbc_encrypt_raw(r6_hash(b"", ksalt), b"\x00" * 16, fkey)
+        ovs, oks = md5("ovs-r6")[:8], md5("oks-r6")[:8]
+        o_val = r6_hash(b"owner", ovs, u_val) + ovs + oks
+        oe = cbc_encrypt_raw(r6_hash(b"owner", oks, u_val),
+                             b"\x00" * 16, fkey)
+        perms = ecb_encrypt_block(
+            fkey, (perm & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadb" + md5(f"pr{doc_id}")[:4])
+        extra_entries = (b" /OE " + _lit_bytes(oe) + b" /UE "
+                         + _lit_bytes(ue) + b" /Perms "
+                         + _lit_bytes(perms))
 
         def enc_obj(num: int, data: bytes) -> bytes:
-            iv = hashlib.md5(f"iv{doc_id}:{num}".encode()).digest()
-            return cbc_encrypt(object_key(fkey, num, 0, aes=True),
-                               iv, data)
+            return cbc_encrypt(fkey, md5(f"iv{doc_id}:{num}"), data)
+
+        length_decl = ("/Length 256 /CF << /StdCF << /CFM /AESV3 "
+                       "/Length 32 >> >> /StmF /StdCF /StrF /StdCF ")
     else:
-        def enc_obj(num: int, data: bytes) -> bytes:
-            return rc4(object_key(fkey, num, 0), data)
+        extra_entries = b""
+        key_len = 5 if r == 2 else 16
+        o_val = std_o_entry(b"owner", b"", r, key_len)
+        fkey = std_file_key(b"", o_val, perm, fid, r, key_len)
+        u_val = std_u_entry(fkey, fid, r)
+        if r == 4:  # AES-128-CBC, deterministic per-object IVs
+            from ..functions.aes import cbc_encrypt
+
+            def enc_obj(num: int, data: bytes) -> bytes:
+                return cbc_encrypt(
+                    object_key(fkey, num, 0, aes=True),
+                    md5(f"iv{doc_id}:{num}"), data)
+        else:
+            def enc_obj(num: int, data: bytes) -> bytes:
+                return rc4(object_key(fkey, num, 0), data)
+        if r == 2:
+            length_decl = ""
+        elif r == 3:
+            length_decl = f"/Length {key_len * 8} "
+        else:
+            length_decl = ("/Length 128 /CF << /StdCF << /CFM /AESV2 "
+                           "/Length 16 >> >> /StmF /StdCF "
+                           "/StrF /StdCF ")
 
     content_enc = enc_obj(4, content)
     title_enc = enc_obj(7, f"Doc {doc_id} enc".encode("latin-1"))
-
-    if r == 2:
-        length_decl = ""
-    elif r == 3:
-        length_decl = f"/Length {key_len * 8} "
-    else:
-        length_decl = ("/Length 128 /CF << /StdCF << /CFM /AESV2 "
-                       "/Length 16 >> >> /StmF /StdCF /StrF /StdCF ")
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
@@ -1384,7 +1474,7 @@ def build_pdf_encrypted(doc_id: int, text: str) -> bytes:
         7: b"<< /Title " + _lit_bytes(title_enc) + b" >>",
         8: (f"<< /Filter /Standard /V {v} /R {r} {length_decl}"
             f"/P {perm} /O ".encode("latin-1") + _lit_bytes(o_val)
-            + b" /U " + _lit_bytes(u_val) + b" >>"),
+            + b" /U " + _lit_bytes(u_val) + extra_entries + b" >>"),
     }
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}

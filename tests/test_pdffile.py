@@ -353,8 +353,8 @@ def test_rc4_known_vector():
     assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
 
 
-# R2/RC4-40, R3/RC4-128, R4/AES-128-CBC (AESV2 crypt filter)
-@pytest.mark.parametrize("doc_id", [0, 1, 2])
+# R2/RC4-40, R3/RC4-128, R4/AES-128 (AESV2), R6/AES-256 (AESV3)
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3])
 def test_encrypted_round_trip_and_lockout(doc_id):
     from pdf_extraction_spark.operators.pdffile import (
         CMAP_SLICES, build_pdf_encrypted)
@@ -379,15 +379,30 @@ def test_unsupported_encryption_raises():
         build_pdf_encrypted)
 
     pdf = build_pdf_encrypted(1, TEXT)
-    # AES-256 (V5/R6) stays out of scope and must refuse loudly
-    v5 = pdf.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+    # custom schemes must refuse loudly
+    v9 = pdf.replace(b"/V 2 /R 3", b"/V 9 /R 9", 1)
     with pytest.raises(NotImplementedError):
-        PdfFile(v5)
+        PdfFile(v9)
     # V4 with an unknown crypt filter refuses too
     pdf2 = build_pdf_encrypted(2, TEXT)
     unk = pdf2.replace(b"/CFM /AESV2", b"/CFM /AESV9", 1)
     with pytest.raises(NotImplementedError):
         PdfFile(unk)
+    # an R6 file whose /U record doesn't validate against the empty
+    # password must refuse: flip one safe in-literal byte (same
+    # length, [89A-Za-z] so no octal escape or PDF syntax is touched)
+    pdf3 = build_pdf_encrypted(3, TEXT)
+    start = pdf3.index(b" /U (") + 5
+    for i in range(start, start + 120):
+        c = pdf3[i:i + 1]
+        if c.isalnum() and c not in b"01234567":
+            locked = pdf3[:i] + (b"8" if c != b"8" else b"9") \
+                + pdf3[i + 1:]
+            break
+    else:
+        pytest.skip("no safe byte to flip")
+    with pytest.raises(NotImplementedError):
+        PdfFile(locked)
 
 
 def test_aes_cbc_matches_fips_vectors():
