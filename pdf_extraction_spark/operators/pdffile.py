@@ -36,18 +36,19 @@ gated against a closed-form DuckDB oracle in ``queries_pdffile.py``):
   (concatenated with a newline per §7.8.2), ``/Info`` metadata.
 
 Encryption: the §7.6 STANDARD security handler with an empty user
-password (owner-locked files) decrypts transparently — RC4 V1/R2 and
-V2/R3, plus V4/R4 with the /AESV2 crypt filter (AES-128-CBC over the
-from-scratch FIPS-197 core in ``functions/aes.py``); file key via
-Algorithm 2 verified against /U, per-object keys on strings and
-streams.  ToUnicode CMaps (§9.10.3) decode embedded-font glyph codes
-back to text.
+password (owner-locked files) decrypts transparently across the full
+ladder — RC4 V1/R2 and V2/R3 (Algorithm 2 key, /U-verified), V4/R4
+with the /AESV2 crypt filter (AES-128-CBC), and V5/R6 /AESV3
+(AES-256: Algorithm 2.B SHA-2/AES hash chain validates the password,
+/UE unwraps the file key) — all over the from-scratch FIPS-197 core
+in ``functions/aes.py``.  ToUnicode CMaps (§9.10.3) decode
+embedded-font glyph codes back to text.
 
 Out of scope (documented, raise or skip cleanly): real user
-passwords and AES-256/V5 (refused loudly, never mis-decrypted),
-DCT/JBIG2/JPX/CCITT filters (media streams stay opaque binary per
-the multimodal contract) and linearization hints (ignored — they are
-an optimization layer over the same xref).
+passwords and custom/non-standard handlers (refused loudly, never
+mis-decrypted), DCT/JBIG2/JPX/CCITT filters (media streams stay
+opaque binary per the multimodal contract) and linearization hints
+(ignored — they are an optimization layer over the same xref).
 
 Scale shape (100 TB of PDFs): ``pages_from_files`` is ONE ``mapInArrow``
 pass — map-only, zero shuffle, linear in file bytes; each file is

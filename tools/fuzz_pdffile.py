@@ -25,9 +25,12 @@ gates, every structural axis is randomized per seed:
 - for xref-stream files, a random subset of non-stream objects
   (including page/pages nodes) moves into an ObjStm;
 - with p=.25 the whole file is ENCRYPTED (standard handler, empty
-  user password, R2/40-bit or R3/128-bit RC4): every stream and the
-  Info title carry per-object-key ciphertext, composed with every
-  filter choice, both xref flavors, and the update axis;
+  user password) under a random cipher from the full ladder —
+  RC4-40/R2, RC4-128/R3, AES-128/R4 (/AESV2, random IVs), or
+  AES-256/R6 (/AESV3, salt pool so the 2.B hash amortizes through
+  its cache): every stream and the Info title carry ciphertext,
+  composed with every filter choice, both xref flavors, and the
+  update axis;
 - random comments and whitespace are injected between objects.
 
 Any divergence is a real parser bug: there is no floating point here.
@@ -42,10 +45,12 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 
 import hashlib
 
+from pdf_extraction_spark.functions.aes import (cbc_encrypt,
+                                                cbc_encrypt_raw)
 from pdf_extraction_spark.operators.pdffile import (
     PdfFile, _ascii85_encode, _ascii_hex_encode, _lit_bytes,
-    _png_up_encode, _run_length_encode, lzw_encode, object_key, rc4,
-    std_file_key, std_o_entry, std_u_entry)
+    _png_up_encode, _run_length_encode, lzw_encode, object_key, r6_hash,
+    rc4, std_file_key, std_o_entry, std_u_entry)
 
 CHARS = ("abcdefghijklmnop qrstuvwxyz0123456789 ()\\<>[]/% \n\t"
          "BT ET Tj .,-+")
@@ -91,6 +96,7 @@ class Writer:
         self.stream_nums: set[int] = set()
         self.length_refs: dict[int, int] = {}    # length-obj -> value
         self.fkey: bytes | None = None           # encryption axis
+        self.cipher = "rc4"                      # rc4|aes|aes256
 
     def alloc(self) -> int:
         num = self.nums[self.next_i]
@@ -104,11 +110,22 @@ class Writer:
             self.stream_nums.add(num)
         return num
 
+    def enc_bytes(self, num: int, data: bytes) -> bytes:
+        """Cipher-correct object encryption for the active axis."""
+        if self.cipher == "aes256":  # file key direct, random IV
+            iv = bytes(self.rng.randrange(256) for _ in range(16))
+            return cbc_encrypt(self.fkey, iv, data)
+        if self.cipher == "aes":
+            iv = bytes(self.rng.randrange(256) for _ in range(16))
+            return cbc_encrypt(object_key(self.fkey, num, 0, aes=True),
+                               iv, data)
+        return rc4(object_key(self.fkey, num, 0), data)
+
     def add_stream(self, data: bytes, extra: str = "") -> int:
         num = self.alloc()
         enc, filt = encode_stream(self.rng, data)
         if self.fkey is not None:  # encrypt AFTER filter-encoding
-            enc = rc4(object_key(self.fkey, num, 0), enc)
+            enc = self.enc_bytes(num, enc)
         if self.rng.random() < 0.3:  # indirect /Length
             lnum = self.add(str(len(enc)).encode())
             ldecl = f"{lnum} 0 R"
@@ -364,18 +381,46 @@ def one_case(seed: int) -> None:
     enc_extra = ""
     enc_num = None
     if encrypted:
-        r_rev = rng.choice([2, 3])
-        key_len = 5 if r_rev == 2 else 16
+        r_rev = rng.choice([2, 3, 4, 6])
         fid = hashlib.md5(f"fz{seed}".encode()).digest()
-        o_val = std_o_entry(b"own", b"", r_rev, key_len)
-        w.fkey = std_file_key(b"", o_val, -44, fid, r_rev, key_len)
-        u_val = std_u_entry(w.fkey, fid, r_rev)
-        ldecl = f"/Length {key_len * 8} " if r_rev >= 3 else ""
-        enc_num = w.add(
-            (f"<< /Filter /Standard /V {1 if r_rev == 2 else 2} "
-             f"/R {r_rev} {ldecl}/P -44 /O ").encode("latin-1")
-            + _lit_bytes(o_val) + b" /U " + _lit_bytes(u_val)
-            + b" >>")
+        if r_rev == 6:  # AES-256: salts drawn from a small pool so
+            # the expensive 2.B hash amortizes through its lru_cache
+            # while still varying across the campaign
+            pool = seed % 4
+            vsalt = hashlib.md5(f"v{pool}".encode()).digest()[:8]
+            ksalt = hashlib.md5(f"k{pool}".encode()).digest()[:8]
+            w.fkey = hashlib.md5(f"f1{seed}".encode()).digest() \
+                + hashlib.md5(f"f2{seed}".encode()).digest()
+            w.cipher = "aes256"
+            u_val = r6_hash(b"", vsalt) + vsalt + ksalt
+            ue = cbc_encrypt_raw(r6_hash(b"", ksalt), b"\x00" * 16,
+                                 w.fkey)
+            o_val = hashlib.md5(b"o").digest() * 3  # unused by reader
+            enc_num = w.add(
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P -44 /O "
+                + _lit_bytes(o_val[:48]) + b" /U "
+                + _lit_bytes(u_val) + b" /OE "
+                + _lit_bytes(b"\x00" * 32) + b" /UE "
+                + _lit_bytes(ue) + b" >>")
+        else:
+            key_len = 5 if r_rev == 2 else 16
+            o_val = std_o_entry(b"own", b"", r_rev, key_len)
+            w.fkey = std_file_key(b"", o_val, -44, fid, r_rev,
+                                  key_len)
+            u_val = std_u_entry(w.fkey, fid, r_rev)
+            if r_rev == 4:
+                w.cipher = "aes"
+                ldecl = ("/Length 128 /CF << /StdCF << /CFM /AESV2 "
+                         "/Length 16 >> >> /StmF /StdCF /StrF /StdCF ")
+            else:
+                ldecl = f"/Length {key_len * 8} " if r_rev >= 3 else ""
+            enc_num = w.add(
+                (f"<< /Filter /Standard /V {({2: 1, 3: 2, 4: 4}[r_rev])} "
+                 f"/R {r_rev} {ldecl}/P -44 /O ").encode("latin-1")
+                + _lit_bytes(o_val) + b" /U " + _lit_bytes(u_val)
+                + b" >>")
         hid = fid.hex()
         enc_extra = (f" /Encrypt {enc_num} 0 R "
                      f"/ID [<{hid}> <{hid}>]")
@@ -398,8 +443,7 @@ def one_case(seed: int) -> None:
     def info_body(num: int, t: str) -> bytes:
         if w.fkey is not None:
             return b"<< /Title " + _lit_bytes(
-                rc4(object_key(w.fkey, num, 0),
-                    t.encode("latin-1"))) + b" >>"
+                w.enc_bytes(num, t.encode("latin-1"))) + b" >>"
         return f"<< /Title ({t}) >>".encode("latin-1")
 
     info = w.alloc()
@@ -422,7 +466,7 @@ def one_case(seed: int) -> None:
             cnum = page_content_nums[p][0]
             enc, filt = encode_stream(rng, new)
             if w.fkey is not None:
-                enc = rc4(object_key(w.fkey, cnum, 0), enc)
+                enc = w.enc_bytes(cnum, enc)
             changed[cnum] = (
                 f"<< /Length {len(enc)}{filt} >>\nstream\n"
                 .encode("latin-1") + enc + b"\nendstream")
