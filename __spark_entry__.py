@@ -93,9 +93,10 @@ _DRIVER_WINDOW_R5 = [
     "causal_chains", "pdf_runs", "pdf_spans",
     # whole-PDF-file layer (landed after the r04 window freeze)
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
-    "pdf_file_cmap", "pdf_file_encrypted",
+    "pdf_file_cmap", "pdf_file_encrypted", "pdf_file_outline",
+    "pdf_file_links",
     # cheap fillers (scored in r04's window; re-confirmation)
-    "fingerprint", "langid", "quality_score", "title",
+    "fingerprint", "langid",
 ]
 
 

@@ -1025,6 +1025,89 @@ class PdfFile:
         d = self.get(self.trailer.get("Info")) or {}
         return d if isinstance(d, dict) else {}
 
+    def outlines(self) -> list[tuple[int, str, int]]:
+        """Flatten the /Outlines bookmark tree (§12.3.3) to
+        (depth, title, page_index) rows in display order: /First ->
+        /Next sibling chains, children one depth deeper, destinations
+        resolved from /Dest or /A goto actions (page REF -> index in
+        the page tree; named destinations out of scope -> -1).
+        Cycle-guarded like the page tree."""
+        root = self.get(self.trailer.get("Root")) or {}
+        # map page object refs -> display index via a Kids walk
+        ref_index: dict[int, int] = {}
+
+        def index_pages(node_ref: Any, counter: list[int],
+                        seen: set[int]) -> None:
+            if isinstance(node_ref, Ref):
+                if node_ref.num in seen:
+                    return
+                seen.add(node_ref.num)
+            node = self.get(node_ref)
+            if not isinstance(node, dict):
+                return
+            if node.get("Type") == "Page":
+                if isinstance(node_ref, Ref):
+                    ref_index[node_ref.num] = counter[0]
+                counter[0] += 1
+                return
+            for kid in self.get(node.get("Kids")) or []:
+                index_pages(kid, counter, seen)
+
+        index_pages(root.get("Pages"), [0], set())
+
+        def dest_page(item: dict) -> int:
+            dest = self.get(item.get("Dest"))
+            if dest is None:
+                action = self.get(item.get("A")) or {}
+                if action.get("S") == "GoTo":
+                    dest = self.get(action.get("D"))
+            if isinstance(dest, list) and dest \
+                    and isinstance(dest[0], Ref):
+                return ref_index.get(dest[0].num, -1)
+            return -1
+
+        out: list[tuple[int, str, int]] = []
+        seen: set[int] = set()
+
+        def walk(item_ref: Any, depth: int) -> None:
+            while item_ref is not None:
+                if isinstance(item_ref, Ref):
+                    if item_ref.num in seen:
+                        return
+                    seen.add(item_ref.num)
+                item = self.get(item_ref)
+                if not isinstance(item, dict):
+                    return
+                title = item.get("Title")
+                if isinstance(title, str):
+                    out.append((depth, str(title), dest_page(item)))
+                if item.get("First") is not None:
+                    walk(item["First"], depth + 1)
+                item_ref = item.get("Next")
+
+        outline_root = self.get(root.get("Outlines")) or {}
+        if isinstance(outline_root, dict) \
+                and outline_root.get("First") is not None:
+            walk(outline_root["First"], 0)
+        return out
+
+    def link_annotations(self) -> list[tuple[int, str]]:
+        """(page_index, uri) for every /Subtype /Link annotation with
+        a /URI action (§12.5.6.5) — the PDF side of the crawl-graph
+        link extraction (`operators/links.py` consumes the uris)."""
+        out: list[tuple[int, str]] = []
+        for idx, page in enumerate(self.pages()):
+            for aref in self.get(page.get("Annots")) or []:
+                annot = self.get(aref)
+                if not isinstance(annot, dict) \
+                        or annot.get("Subtype") != "Link":
+                    continue
+                action = self.get(annot.get("A")) or {}
+                uri = action.get("URI")
+                if action.get("S") == "URI" and isinstance(uri, str):
+                    out.append((idx, str(uri)))
+        return out
+
     def page_font_maps(self) -> list[dict]:
         """Per page (aligned with :meth:`pages`): {font resource name:
         (code->unicode dict, code byte width)} for every font carrying
@@ -1360,6 +1443,83 @@ def build_pdf_cmap(doc_id: int, text: str) -> bytes:
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
     out.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
+def build_pdf_nav(doc_id: int, text: str) -> bytes:
+    """Two-page file with NAVIGATION structure: an /Outlines bookmark
+    tree (top item -> page 1, nested child -> page 2 via /Dest, a
+    second top item via an /A GoTo action) and /Link annotations
+    carrying /URI actions (two on page 1, one doc_id%2-conditional on
+    page 2) — the writer for the `pdf_file_outline` /
+    `pdf_file_links` oracle gates."""
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in CMAP_SLICES.items()}
+    page1 = f"BT /F1 12 Tf 72 714 Td ({sl['p']}) Tj ET".encode()
+    page2 = f"BT /F1 12 Tf 72 714 Td ({sl['a']}) Tj ET".encode()
+    odd = doc_id % 2 == 1
+    annots2 = b" /Annots [12 0 R]" if odd else b""
+    bodies = {
+        1: (b"<< /Type /Catalog /Pages 2 0 R /Outlines 7 0 R >>"),
+        2: (b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/Annots [10 0 R 11 0 R] >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R"
+            + annots2 + b" >>"),
+        5: (f"<< /Length {len(page1)} >>\nstream\n".encode()
+            + page1 + b"\nendstream"),
+        6: (f"<< /Length {len(page2)} >>\nstream\n".encode()
+            + page2 + b"\nendstream"),
+        7: (b"<< /Type /Outlines /First 8 0 R /Last 13 0 R "
+            b"/Count 3 >>"),
+        8: (b"<< /Title " + _lit_bytes(
+                p[:20].encode("utf-8")) +
+            b" /Parent 7 0 R /Next 13 0 R /First 9 0 R /Last 9 0 R "
+            b"/Count 1 /Dest [3 0 R /XYZ 0 792 0] >>"),
+        9: (b"<< /Title " + _lit_bytes(
+                p[24:24 + 20].encode("utf-8")) +
+            b" /Parent 8 0 R /Dest [4 0 R /Fit] >>"),
+        13: (b"<< /Title " + _lit_bytes(
+                p[54:54 + 20].encode("utf-8")) +
+             b" /Parent 7 0 R /Prev 8 0 R "
+             b"/A << /S /GoTo /D [4 0 R /XYZ 0 792 0] >> >>"),
+        10: (f"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
+             f"/A << /S /URI /URI (https://example.com/doc"
+             f"{doc_id}) >> >>").encode(),
+        11: (f"<< /Type /Annot /Subtype /Link /Rect [0 30 100 50] "
+             f"/A << /S /URI /URI (mailto:a@b{doc_id % 7}.org) "
+             f">> >>").encode(),
+    }
+    if odd:
+        bodies[12] = (
+            f"<< /Type /Annot /Subtype /Link /Rect [0 0 50 10] "
+            f"/A << /S /URI /URI (http://h{doc_id % 5}.test/p"
+            f"{doc_id}) >> >>").encode()
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    size = max(bodies) + 1
+    xref_off = len(out)
+    out.extend(b"xref\n")
+    entries = sorted(offsets)
+    i = 0
+    out.extend(b"0 1\n0000000000 65535 f \n")
+    while i < len(entries):
+        j = i
+        while j + 1 < len(entries) and entries[j + 1] == entries[j] + 1:
+            j += 1
+        out.extend(f"{entries[i]} {j - i + 1}\n".encode())
+        for num in entries[i:j + 1]:
+            out.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+        i = j + 1
+    out.extend(f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+               f"startxref\n{xref_off}\n%%EOF\n".encode())
     return bytes(out)
 
 
@@ -1713,6 +1873,88 @@ def file_meta(files: DataFrame, bytes_col: str = "pdf",
     sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
                        F.col(bytes_col).alias("pdf"))
     return sel.mapInArrow(_meta, schema=META_SCHEMA)
+
+
+def outline_table(files: DataFrame, bytes_col: str = "pdf",
+                  id_col: str = "doc_id",
+                  strict: bool = False) -> DataFrame:
+    """(doc_id, pdf) -> flattened bookmark rows (doc_id, ord, depth,
+    title, page) in display order — map-only; the document-structure
+    side channel sectioning can join against the layout blocks."""
+    import pyarrow as pa
+
+    fields = [("doc_id", pa.string()), ("ord", pa.int32()),
+              ("depth", pa.int32()), ("title", pa.string()),
+              ("page", pa.int32())]
+    schema = pa.schema(fields)
+
+    def _parse(batches: Iterator["pa.RecordBatch"]
+               ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            cols: list[list] = [[] for _ in fields]
+            for doc_id, blob in zip(ids, blobs):
+                try:
+                    rows = PdfFile(blob or b"").outlines()
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for k, (depth, title, page) in enumerate(rows):
+                    cols[0].append(doc_id)
+                    cols[1].append(k)
+                    cols[2].append(depth)
+                    cols[3].append(title)
+                    cols[4].append(page)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t)
+                 for c, (_, t) in zip(cols, fields)], schema=schema)
+
+    sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(bytes_col).alias("pdf"))
+    return sel.mapInArrow(
+        _parse, schema="doc_id string, ord int, depth int, "
+                       "title string, page int")
+
+
+def pdf_link_table(files: DataFrame, bytes_col: str = "pdf",
+                   id_col: str = "doc_id",
+                   strict: bool = False) -> DataFrame:
+    """(doc_id, pdf) -> (doc_id, page, uri) for /Link//URI annotations
+    — map-only; feeds the crawl-curation link chain
+    (`operators/links.py` url_parts / host_stats) unchanged."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.string()), ("page", pa.int32()),
+                        ("uri", pa.string())])
+
+    def _parse(batches: Iterator["pa.RecordBatch"]
+               ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            o_id, o_pg, o_uri = [], [], []
+            for doc_id, blob in zip(ids, blobs):
+                try:
+                    rows = PdfFile(blob or b"").link_annotations()
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for page, uri in rows:
+                    o_id.append(doc_id)
+                    o_pg.append(page)
+                    o_uri.append(uri)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, type=pa.string()),
+                 pa.array(o_pg, type=pa.int32()),
+                 pa.array(o_uri, type=pa.string())], schema=schema)
+
+    sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(bytes_col).alias("pdf"))
+    return sel.mapInArrow(_parse,
+                          schema="doc_id string, page int, uri string")
 
 
 def files_to_spans(files: DataFrame, bytes_col: str = "pdf",

@@ -227,12 +227,87 @@ def q_pdf_file_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "offset")
 
 
+def _nav_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_nav
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_nav(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    return d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                    "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+
+
+def q_pdf_file_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bookmark-tree extraction (§12.3.3): /First//Next walk with
+    depth, /Dest and /A-GoTo page resolution against the page tree."""
+    from .operators.pdffile import outline_table
+
+    t = outline_table(_nav_files(spark, sf_dir))
+    return t.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "ord", "depth", "title", "page") \
+        .orderBy("doc_id", "ord")
+
+
+_SQL_OUTLINE = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS ord, 0 AS depth, substr(p, 1, 20) AS title,
+    0 AS page FROM b
+  UNION ALL SELECT doc_id, 1, 1, substr(p, 25, 20), 1 FROM b
+  UNION ALL SELECT doc_id, 2, 0, substr(p, 55, 20), 1 FROM b)
+SELECT doc_id, CAST(ord AS INT) AS ord, CAST(depth AS INT) AS depth,
+       title, CAST(page AS INT) AS page
+FROM u ORDER BY doc_id, ord
+"""
+
+
+def q_pdf_file_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-annotation extraction (§12.5.6.5): /Annots -> /Link ->
+    /URI actions per page — the PDF entry into the crawl link
+    chain."""
+    from .operators.pdffile import pdf_link_table
+
+    t = pdf_link_table(_nav_files(spark, sf_dir))
+    return t.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "page", "uri").orderBy("doc_id", "page", "uri")
+
+
+_SQL_PDF_LINKS = """
+WITH u AS (
+  SELECT doc_id, 0 AS page,
+    'https://example.com/doc' || doc_id AS uri FROM documents
+  UNION ALL SELECT doc_id, 0,
+    'mailto:a@b' || (doc_id % 7) || '.org' FROM documents
+  UNION ALL SELECT doc_id, 1,
+    'http://h' || (doc_id % 5) || '.test/p' || doc_id
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT doc_id, CAST(page AS INT) AS page, uri
+FROM u ORDER BY doc_id, page, uri
+"""
+
+
 QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_pages": q_pdf_file_pages,
     "pdf_file_meta": q_pdf_file_meta,
     "pdf_file_spans": q_pdf_file_spans,
     "pdf_file_cmap": q_pdf_file_cmap,
     "pdf_file_encrypted": q_pdf_file_encrypted,
+    "pdf_file_outline": q_pdf_file_outline,
+    "pdf_file_links": q_pdf_file_links,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -242,6 +317,8 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_cmap": _SQL_CMAP,
     # same slices and page geometry as the cmap gate by design: the
     # expected plaintext spans are identical, only the on-disk
-    # representation differs (glyph codes there, RC4 here)
+    # representation differs (glyph codes there, ciphertext here)
     "pdf_file_encrypted": _SQL_CMAP,
+    "pdf_file_outline": _SQL_OUTLINE,
+    "pdf_file_links": _SQL_PDF_LINKS,
 }

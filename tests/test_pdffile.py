@@ -423,6 +423,30 @@ def test_aes_cbc_matches_fips_vectors():
     assert cbc_decrypt(key, b"short") == b""  # malformed: no crash
 
 
+def test_outlines_and_link_annotations():
+    from pdf_extraction_spark.operators.pdffile import build_pdf_nav
+
+    pf = PdfFile(build_pdf_nav(5, TEXT))
+    p = TEXT + PAD
+    assert pf.outlines() == [(0, p[:20], 0), (1, p[24:44], 1),
+                             (0, p[54:74], 1)]
+    assert pf.link_annotations() == [
+        (0, "https://example.com/doc5"), (0, "mailto:a@b5.org"),
+        (1, "http://h0.test/p5")]
+
+
+def test_outline_cycle_terminates():
+    # /Next pointing back at an earlier item must not loop (the
+    # length-changing splice also stales the xref: rebuild + walk)
+    from pdf_extraction_spark.operators.pdffile import build_pdf_nav
+    raw = build_pdf_nav(0, TEXT)
+    cyc = raw.replace(b"/Parent 7 0 R /Prev 8 0 R ",
+                      b"/Parent 7 0 R /Next 08 0 R ", 1)
+    pf = PdfFile(cyc)
+    rows = pf.outlines()
+    assert 1 <= len(rows) <= 6  # finite, no hang
+
+
 # ------------------------------------------------------ Spark kernels
 
 @pytest.fixture(scope="module")
