@@ -1008,17 +1008,38 @@ class PdfFile:
             result.append((filters, b"\n".join(decoded)))
         return result
 
-    def page_texts(self) -> list[str]:
+    def page_texts(self, apply_rotation: bool = True) -> list[str]:
         """Decoded content streams as str (UTF-8 first, latin-1
         fallback — content-stream text encoding is font-dependent in
         general; this matches the writer below and degrades
-        deterministically on foreign corpora)."""
+        deterministically on foreign corpora).
+
+        ``apply_rotation`` prepends the §14.11.2-style display
+        transform for pages with inherited ``/Rotate`` 90/180/270 as
+        a synthetic ``cm`` — the CTM then rotates every run into
+        display space, so the layout stage clusters in READING order
+        on rotated (scanner-output) pages.  The y-down conversion's
+        fixed page height only shifts absolute coordinates, never
+        their order."""
+        pages = self.pages()
         out = []
-        for _, raw in self.page_streams():
+        for page, (_, raw) in zip(pages, self.page_streams()):
             try:
-                out.append(raw.decode("utf-8"))
+                txt = raw.decode("utf-8")
             except UnicodeDecodeError:
-                out.append(raw.decode("latin-1"))
+                txt = raw.decode("latin-1")
+            if apply_rotation:
+                rot = int(self.get(page.get("Rotate")) or 0) % 360
+                box = self.get(page.get("MediaBox")) or [0, 0, 612, 792]
+                w = float(self.get(box[2])) - float(self.get(box[0]))
+                h = float(self.get(box[3])) - float(self.get(box[1]))
+                if rot == 90:     # (x,y) -> (y, W - x)
+                    txt = f"0 -1 1 0 0 {w:g} cm " + txt
+                elif rot == 180:  # (x,y) -> (W - x, H - y)
+                    txt = f"-1 0 0 -1 {w:g} {h:g} cm " + txt
+                elif rot == 270:  # (x,y) -> (H - y, x)
+                    txt = f"0 1 -1 0 {h:g} 0 cm " + txt
+            out.append(txt)
         return out
 
     def info(self) -> dict:

@@ -423,6 +423,32 @@ def test_aes_cbc_matches_fips_vectors():
     assert cbc_decrypt(key, b"short") == b""  # malformed: no crash
 
 
+def test_rotated_page_reads_in_display_order():
+    """A /Rotate 90 page (scanner output) must cluster in DISPLAY
+    space: two runs side-by-side in content coordinates become
+    vertically stacked lines after rotation."""
+    from pdf_extraction_spark.operators.layout import spans_from_runs
+    from pdf_extraction_spark.operators.pdffile import (
+        wrap_content_stream)
+    from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+    content = (b"BT /F1 10 Tf 100 500 Td (alpha) Tj "
+               b"1 0 0 1 300 0 Td (beta) Tj ET")
+    base = wrap_content_stream(0, content)
+    rotated = base.replace(
+        b"/Contents 4 0 R", b"/Contents 4 0 R /Rotate 90")
+    # same byte length not required: wrap files carry a valid xref,
+    # and the splice grows the dict -> stale xref -> rebuild path
+    pf = PdfFile(rotated)
+    runs = extract_runs(pf.page_texts()[0])
+    # display coords: both runs share x' (=500), stacked in y'
+    assert runs[0][5] == runs[1][5] == 500.0
+    assert runs[0][6] > runs[1][6]  # alpha above beta after y-flip
+    plain = PdfFile(base)
+    runs0 = extract_runs(plain.page_texts()[0])
+    assert runs0[0][6] == runs0[1][6]  # unrotated: one shared line
+
+
 def test_outlines_and_link_annotations():
     from pdf_extraction_spark.operators.pdffile import build_pdf_nav
 
