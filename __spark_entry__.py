@@ -94,9 +94,9 @@ _DRIVER_WINDOW_R5 = [
     # whole-PDF-file layer (landed after the r04 window freeze)
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
     "pdf_file_cmap", "pdf_file_encrypted", "pdf_file_outline",
-    "pdf_file_links",
-    # cheap fillers (scored in r04's window; re-confirmation)
-    "fingerprint", "langid",
+    "pdf_file_links", "pdf_file_attach",
+    # cheap filler (scored in r04's window; re-confirmation)
+    "fingerprint",
 ]
 
 

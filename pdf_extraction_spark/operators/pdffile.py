@@ -1129,6 +1129,47 @@ class PdfFile:
                     out.append((idx, str(uri)))
         return out
 
+    def _name_tree(self, node_ref: Any,
+                   seen: set[int] | None = None) -> list[tuple]:
+        """Flatten a §7.9.6 name tree (/Kids intermediate nodes,
+        /Names leaf pairs) to (name, value) in key order;
+        cycle-guarded."""
+        seen = set() if seen is None else seen
+        if isinstance(node_ref, Ref):
+            if node_ref.num in seen:
+                return []
+            seen.add(node_ref.num)
+        node = self.get(node_ref)
+        if not isinstance(node, dict):
+            return []
+        out: list[tuple] = []
+        names = self.get(node.get("Names"))
+        if isinstance(names, list):
+            for i in range(0, len(names) - 1, 2):
+                out.append((str(self.get(names[i])), names[i + 1]))
+        for kid in self.get(node.get("Kids")) or []:
+            out.extend(self._name_tree(kid, seen))
+        return out
+
+    def embedded_files(self) -> list[tuple[str, bytes]]:
+        """(name, decoded bytes) for every §7.11.4 attachment under
+        /Names -> /EmbeddedFiles: filespec /EF /F stream, filters
+        applied — attachments are documents too, and a corpus miner
+        wants them as rows."""
+        root = self.get(self.trailer.get("Root")) or {}
+        names_dict = self.get(root.get("Names")) or {}
+        out: list[tuple[str, bytes]] = []
+        for name, spec_ref in self._name_tree(
+                names_dict.get("EmbeddedFiles")):
+            spec = self.get(spec_ref)
+            if not isinstance(spec, dict):
+                continue
+            ef = self.get(spec.get("EF")) or {}
+            stm = self.get(ef.get("F") or ef.get("UF"))
+            if isinstance(stm, StreamObj):
+                out.append((name, decode_stream(stm, self.get)))
+        return out
+
     def page_font_maps(self) -> list[dict]:
         """Per page (aligned with :meth:`pages`): {font resource name:
         (code->unicode dict, code byte width)} for every font carrying
@@ -1481,8 +1522,11 @@ def build_pdf_nav(doc_id: int, text: str) -> bytes:
     page2 = f"BT /F1 12 Tf 72 714 Td ({sl['a']}) Tj ET".encode()
     odd = doc_id % 2 == 1
     annots2 = b" /Annots [12 0 R]" if odd else b""
+    attach = (f"att {doc_id}: " + p[80:80 + 40]).encode("utf-8")
+    attach_enc = zlib.compress(attach)
     bodies = {
-        1: (b"<< /Type /Catalog /Pages 2 0 R /Outlines 7 0 R >>"),
+        1: (b"<< /Type /Catalog /Pages 2 0 R /Outlines 7 0 R "
+            b"/Names << /EmbeddedFiles 14 0 R >> >>"),
         2: (b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
             b"/MediaBox [0 0 612 792] >>"),
         3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
@@ -1513,6 +1557,15 @@ def build_pdf_nav(doc_id: int, text: str) -> bytes:
              f"/A << /S /URI /URI (mailto:a@b{doc_id % 7}.org) "
              f">> >>").encode(),
     }
+    bodies[14] = b"<< /Kids [15 0 R] >>"  # name-tree intermediate
+    bodies[15] = (f"<< /Limits [(a{doc_id % 3}.txt) (a{doc_id % 3}"
+                  f".txt)] /Names [(a{doc_id % 3}.txt) 16 0 R] >>"
+                  ).encode()
+    bodies[16] = (b"<< /Type /Filespec /F (a.txt) "
+                  b"/EF << /F 17 0 R >> >>")
+    bodies[17] = (f"<< /Length {len(attach_enc)} /Type /EmbeddedFile "
+                  f"/Filter /FlateDecode >>\nstream\n".encode()
+                  + attach_enc + b"\nendstream")
     if odd:
         bodies[12] = (
             f"<< /Type /Annot /Subtype /Link /Rect [0 0 50 10] "

@@ -300,6 +300,47 @@ FROM u ORDER BY doc_id, page, uri
 """
 
 
+def q_pdf_file_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-file extraction (§7.11.4): /Names -> /EmbeddedFiles
+    name tree (-> /Kids intermediates -> /Names leaves) -> filespec
+    /EF stream, filters applied — attachments as corpus rows."""
+    import pyarrow as pa
+    from .operators.pdffile import PdfFile
+
+    files = _nav_files(spark, sf_dir)
+
+    def _parse(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            o_id, o_nm, o_tx = [], [], []
+            for doc_id, blob in zip(ids, blobs):
+                for name, data in PdfFile(blob).embedded_files():
+                    o_id.append(doc_id)
+                    o_nm.append(name)
+                    o_tx.append(data.decode("utf-8"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, type=pa.string()),
+                 pa.array(o_nm, type=pa.string()),
+                 pa.array(o_tx, type=pa.string())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("name", pa.string()),
+                                  ("content", pa.string())]))
+
+    t = files.mapInArrow(
+        _parse, schema="doc_id string, name string, content string")
+    return t.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "name", "content").orderBy("doc_id", "name")
+
+
+_SQL_ATTACH = f"""
+WITH {_BASE}
+SELECT doc_id, 'a' || (doc_id % 3) || '.txt' AS name,
+       'att ' || doc_id || ': ' || substr(p, 81, 40) AS content
+FROM b ORDER BY doc_id, name
+"""
+
+
 QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_pages": q_pdf_file_pages,
     "pdf_file_meta": q_pdf_file_meta,
@@ -308,6 +349,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_encrypted": q_pdf_file_encrypted,
     "pdf_file_outline": q_pdf_file_outline,
     "pdf_file_links": q_pdf_file_links,
+    "pdf_file_attach": q_pdf_file_attach,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -321,4 +363,5 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_encrypted": _SQL_CMAP,
     "pdf_file_outline": _SQL_OUTLINE,
     "pdf_file_links": _SQL_PDF_LINKS,
+    "pdf_file_attach": _SQL_ATTACH,
 }

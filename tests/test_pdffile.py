@@ -461,6 +461,18 @@ def test_outlines_and_link_annotations():
         (1, "http://h0.test/p5")]
 
 
+def test_embedded_files_name_tree():
+    from pdf_extraction_spark.operators.pdffile import build_pdf_nav
+
+    for doc_id in (0, 5):
+        pf = PdfFile(build_pdf_nav(doc_id, TEXT))
+        p = TEXT + PAD
+        want = (f"att {doc_id}: " + p[80:120]).encode()
+        assert pf.embedded_files() == [(f"a{doc_id % 3}.txt", want)]
+    # a file without /Names yields no attachments, not a crash
+    assert PdfFile(build_pdf(0, TEXT)).embedded_files() == []
+
+
 def test_outline_cycle_terminates():
     # /Next pointing back at an earlier item must not loop (the
     # length-changing splice also stales the xref: rebuild + walk)
