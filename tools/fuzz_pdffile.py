@@ -31,7 +31,14 @@ gates, every structural axis is randomized per seed:
   its cache): every stream and the Info title carry ciphertext,
   composed with every filter choice, both xref flavors, and the
   update axis;
-- random comments and whitespace are injected between objects.
+- random comments and whitespace are injected between objects;
+- navigation axis (p=.6 outlines / p=.5 attachments): a random
+  outline tree (nested /First//Next//Prev chains, /Dest arrays vs
+  /A GoTo actions, destination-less items) and an embedded-files
+  name tree (random /Kids nesting) — expected rows recorded at
+  construction time in display order; on encrypted seeds every nav
+  string (titles, filespec names, name-tree keys) is ciphertext
+  under its object's key like any other string.
 
 Any divergence is a real parser bug: there is no floating point here.
 """
@@ -90,7 +97,7 @@ class Writer:
 
     def __init__(self, rng: random.Random):
         self.rng = rng
-        self.nums = rng.sample(range(1, 61), 40)  # draw pool
+        self.nums = rng.sample(range(1, 101), 70)  # draw pool
         self.next_i = 0
         self.bodies: dict[int, bytes] = {}       # num -> body (no hdr)
         self.stream_nums: set[int] = set()
@@ -140,7 +147,8 @@ class Writer:
 
 def build_tree(w: Writer, page_content_nums: list[list[int]],
                parent_decl: bytes | None, depth: int,
-               pages: list[int]) -> int:
+               pages: list[int],
+               page_obj_nums: dict[int, int] | None = None) -> int:
     """Create a /Pages node over `pages` (indices into
     page_content_nums), randomly nesting; returns its object num."""
     rng = w.rng
@@ -165,9 +173,12 @@ def build_tree(w: Writer, page_content_nums: list[list[int]],
                 pnum = w.add(
                     (f"<< /Type /Page /Parent {node_num} 0 R "
                      f"/Contents {c_decl} >>").encode("latin-1"))
+                if page_obj_nums is not None:
+                    page_obj_nums[p] = pnum
                 kid_nums.append(pnum)
         else:
-            sub = build_tree(w, page_content_nums, None, depth + 1, g)
+            sub = build_tree(w, page_content_nums, None, depth + 1, g,
+                             page_obj_nums)
             w.bodies[sub] = w.bodies[sub].replace(
                 b"/Type /Pages",
                 f"/Type /Pages /Parent {node_num} 0 R"
@@ -368,6 +379,106 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
     return out, offsets, xref_off
 
 
+def add_nav(w: Writer, rng: random.Random, root_extra: list,
+            page_obj_nums: list[int]) -> tuple[list, list]:
+    """Random navigation structures with by-construction truth:
+    an outline tree (random depth/fan-out, /Dest arrays vs /A GoTo
+    actions, some items with no destination -> page -1) and an
+    embedded-files name tree (random /Kids nesting).  Expected rows
+    are recorded AT CONSTRUCTION TIME in display (pre-order): the
+    written bodies are not re-readable on encrypted seeds, where
+    every literal string is ciphertext under its object's key.
+    Returns (expected_outline_rows, expected_attachments); appends
+    the /Outlines and /Names entries to ``root_extra``."""
+    expected_outline: list[tuple] = []
+
+    def lit(num: int, data: bytes) -> bytes:
+        """Literal string as the reader will see it decrypted."""
+        if w.fkey is not None:
+            return _lit_bytes(w.enc_bytes(num, data))
+        return _lit_bytes(data)
+
+    def make_items(depth: int, budget: list[int]) -> list[int]:
+        nums = []
+        n = rng.randrange(1, 4)
+        for _ in range(n):
+            if budget[0] <= 0:
+                break
+            budget[0] -= 1
+            num = w.alloc()
+            nums.append(num)
+            title = f"t{num} " + "".join(
+                rng.choice("ab (c) \\d") for _ in range(6))
+            page_i = rng.randrange(-1, len(page_obj_nums))
+            # pre-order append: this row, then (maybe) its children
+            # via the recursive call below, then the next sibling —
+            # exactly the reader's /First-then-/Next display walk
+            expected_outline.append((depth, title, page_i))
+            dest = b""
+            if page_i >= 0:
+                target = page_obj_nums[page_i]
+                if rng.random() < 0.5:
+                    dest = (f" /Dest [{target} 0 R /XYZ 0 0 0]"
+                            ).encode()
+                else:
+                    dest = (f" /A << /S /GoTo /D [{target} 0 R "
+                            f"/Fit] >>").encode()
+            kids = b""
+            if depth < 2 and budget[0] > 0 and rng.random() < 0.4:
+                child_nums = make_items(depth + 1, budget)
+                if child_nums:
+                    kids = (f" /First {child_nums[0]} 0 R "
+                            f"/Last {child_nums[-1]} 0 R "
+                            f"/Count {len(child_nums)}").encode()
+            w.bodies[num] = (
+                b"<< /Title " + lit(num, title.encode("latin-1"))
+                + dest + kids + b" >>")
+        # link siblings
+        for i, num in enumerate(nums):
+            body = w.bodies[num][:-3]
+            if i + 1 < len(nums):
+                body += f" /Next {nums[i + 1]} 0 R".encode()
+            if i > 0:
+                body += f" /Prev {nums[i - 1]} 0 R".encode()
+            w.bodies[num] = body + b" >>"
+        return nums
+
+    if rng.random() < 0.6:
+        budget = [rng.randrange(1, 9)]
+        top = make_items(0, budget)
+        if top:
+            onum = w.add(
+                (f"<< /Type /Outlines /First {top[0]} 0 R "
+                 f"/Last {top[-1]} 0 R /Count {len(top)} >>"
+                 ).encode())
+            root_extra.append(f" /Outlines {onum} 0 R")
+
+    expected_attach: list[tuple] = []
+    if rng.random() < 0.5:
+        n_att = rng.randrange(1, 4)
+        leaf_entries = []
+        for k in range(n_att):
+            data = rand_content(rng)
+            snum = w.add_stream(data)
+            fnum = w.alloc()
+            w.bodies[fnum] = (
+                b"<< /Type /Filespec /F " + lit(fnum, f"f{k}".encode())
+                + f" /EF << /F {snum} 0 R >> >>".encode())
+            name = f"n{k:02d}"
+            leaf_entries.append((name, fnum))
+            expected_attach.append((name, data))
+        leaf = w.alloc()
+        w.bodies[leaf] = (
+            b"<< /Names ["
+            + b" ".join(lit(leaf, n.encode()) + f" {f} 0 R".encode()
+                        for n, f in leaf_entries) + b"] >>")
+        if rng.random() < 0.5:  # nest through a /Kids intermediate
+            leaf = w.add(f"<< /Kids [{leaf} 0 R] >>".encode())
+        nnum = w.add(f"<< /EmbeddedFiles {leaf} 0 R >>".encode())
+        root_extra.append(f" /Names {nnum} 0 R")
+    return expected_outline, expected_attach
+
+
 def one_case(seed: int) -> None:
     rng = random.Random(seed)
     w = Writer(rng)
@@ -434,10 +545,14 @@ def one_case(seed: int) -> None:
         page_parts.append(parts)
         page_content_nums.append([w.add_stream(p) for p in parts])
 
+    page_obj_nums_map: dict[int, int] = {}
     pages_root = build_tree(w, page_content_nums, None, 0,
-                            list(range(n_pages)))
-    root = w.add(f"<< /Type /Catalog /Pages {pages_root} 0 R >>"
-                 .encode("latin-1"))
+                            list(range(n_pages)), page_obj_nums_map)
+    page_objs = [page_obj_nums_map[i] for i in range(n_pages)]
+    root_extra: list[str] = []
+    want_outline, want_attach = add_nav(w, rng, root_extra, page_objs)
+    root = w.add((f"<< /Type /Catalog /Pages {pages_root} 0 R"
+                  + "".join(root_extra) + " >>").encode("latin-1"))
     title = f"fuzz {seed}"
 
     def info_body(num: int, t: str) -> bytes:
@@ -515,6 +630,13 @@ def one_case(seed: int) -> None:
         f"seed {seed}: page texts diverge\n"
         f" got {got!r}\n want {expected_pages!r}")
     assert pf.info().get("Title") == title, seed
+    assert pf.outlines() == want_outline, (
+        f"seed {seed}: outlines diverge\n got {pf.outlines()!r}\n"
+        f" want {want_outline!r}")
+    got_attach = pf.embedded_files()
+    assert got_attach == want_attach, (
+        f"seed {seed}: attachments diverge\n got {got_attach!r}\n"
+        f" want {want_attach!r}")
     assert pf.n_revisions == 1 + n_updates, seed
     assert pf.xref_kind == ("stream" if use_xref_stream else "table"), \
         seed
