@@ -93,10 +93,8 @@ _DRIVER_WINDOW_R5 = [
     "causal_chains", "pdf_runs", "pdf_spans",
     # whole-PDF-file layer (landed after the r04 window freeze)
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
-    "pdf_file_cmap", "pdf_file_encrypted", "pdf_file_outline",
-    "pdf_file_links", "pdf_file_attach",
-    # cheap filler (scored in r04's window; re-confirmation)
-    "fingerprint",
+    "pdf_file_cmap", "pdf_file_encoding", "pdf_file_encrypted",
+    "pdf_file_outline", "pdf_file_links", "pdf_file_attach",
 ]
 
 

@@ -1174,8 +1174,13 @@ class PdfFile:
         """Per page (aligned with :meth:`pages`): {font resource name:
         (code->unicode dict, code byte width)} for every font carrying
         a /ToUnicode CMap (§9.10.3) — the way embedded-font PDFs map
-        shown glyph codes back to text.  Fonts without ToUnicode are
-        omitted (their strings pass through unmapped)."""
+        shown glyph codes back to text — or, failing that, a simple
+        /Encoding (§9.6.5: a base-encoding Name, or a dict with
+        /BaseEncoding + /Differences; ToUnicode wins when both are
+        present per §9.10.2).  Fonts with neither are omitted (their
+        strings pass through unmapped — symbolic fonts' built-in
+        encodings live inside the font program, out of scope)."""
+        from ..functions.glyphlist import _BASE_TABLES, encoding_map
         from .pdfstream import parse_cmap
 
         out = []
@@ -1201,6 +1206,18 @@ class PdfFile:
                                 .decode("latin-1"))
                         except Exception:
                             entry = None  # a bad CMap: pass through
+                    if entry is None:
+                        enc = self.get(fdict.get("Encoding"))
+                        if isinstance(enc, dict):
+                            base = enc.get("BaseEncoding")
+                            diffs = self.get(enc.get("Differences"))
+                            entry = (encoding_map(
+                                str(base) if base is not None else None,
+                                diffs if isinstance(diffs, list)
+                                else None), 1)
+                        elif isinstance(enc, str) \
+                                and str(enc) in _BASE_TABLES:
+                            entry = (encoding_map(str(enc)), 1)
                 if key is not None:
                     cache[key] = entry
                 if entry is not None:
@@ -1504,6 +1521,71 @@ def build_pdf_cmap(doc_id: int, text: str) -> bytes:
     for num in range(1, 8):
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
     out.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
+# decorations the simple-font encodings resolve, stated once so the
+# queries_pdffile oracle can quote the same unicode literals:
+# WinAnsi 0x93/0x94 -> curly quotes; the /Differences array remaps
+# 0x24 '$' -> Euro and 0x25 '%' -> bullet (consecutive-code rule) and
+# 0xD8 -> emdash (second int), while 0xC7 falls through to the
+# MacRoman base table as guillemotleft.
+ENC_WIN_PREFIX, ENC_WIN_SUFFIX = "“", "”"
+ENC_DIFF_PREFIX = "€•—« "
+
+
+def build_pdf_encoding(doc_id: int, text: str) -> bytes:
+    """Single-page file whose body lines are shown through SIMPLE
+    fonts carrying /Encoding entries (§9.6.5) instead of a /ToUnicode
+    CMap: a plain passthrough line (/F1, no map), a
+    ``/Encoding /WinAnsiEncoding`` line wrapped in cp1252 curly-quote
+    bytes (0x93/0x94), and a ``/Encoding << /BaseEncoding
+    /MacRomanEncoding /Differences [...] >>`` line whose prefix bytes
+    exercise both Differences rules (an int sets the next code, names
+    assign consecutive codes) AND base-table fallthrough.  Parsing it
+    back to the decorated text proves the glyphlist/encoding_map path
+    end-to-end (reference src/extraction/text_extractor.pyc reads
+    already-decoded text from its PDF library; rebuilt from scratch
+    the §9.6.5 resolution is explicit — functions/glyphlist.py)."""
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in CMAP_SLICES.items()}
+    a_lit = b"\x93" + sl["a"].encode("latin-1") + b"\x94"
+    b_lit = b"$%\xd8\xc7 " + sl["b"].encode("latin-1")
+    content = (
+        f"BT /F1 14 Tf 72 714 Td ({sl['p']}) Tj "
+        f"/FW 10 Tf 12 TL 0 -40 Td ".encode("latin-1")
+        + b"(" + a_lit + b") Tj T* /FD 10 Tf ("
+        + b_lit + b") Tj ET")
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R /FW 6 0 R /FD 7 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/Encoding /WinAnsiEncoding >>"),
+        7: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            b"/Encoding 8 0 R >>"),
+        8: (b"<< /Type /Encoding /BaseEncoding /MacRomanEncoding "
+            b"/Differences [36 /Euro /bullet 216 /emdash] >>"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 9\n0000000000 65535 f \n")
+    for num in range(1, 9):
+        out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
+    out.extend(b"trailer\n<< /Size 9 /Root 1 0 R >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return bytes(out)
 

@@ -190,6 +190,61 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+def q_pdf_file_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-font /Encoding resolution end-to-end (§9.6.5): files
+    whose body lines ride a /WinAnsiEncoding font and a /BaseEncoding
+    + /Differences font (operators/pdffile.build_pdf_encoding) parse
+    back to the decorated text — page_font_maps composes the
+    glyphlist tables when no /ToUnicode is present and the width-1
+    maps decode inside the tokenize pass."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_encoding
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_encoding(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    spans = files_to_spans(files)
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text")) \
+        .orderBy("doc_id", "offset")
+
+
+# same slices/geometry as the cmap gate; the decorations are the
+# closed-form images of the encoding bytes (pdffile.ENC_*): WinAnsi
+# 0x93/0x94 curly quotes around line a; Differences Euro/bullet/
+# emdash + MacRoman-base guillemotleft prefixing line b
+_SQL_ENCODING = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, {_CE['p']} AS text FROM b
+  UNION ALL SELECT doc_id, 1, 'text',
+    '“' || {_CE['a']} || '”' || chr(10) || '€•—« ' || {_CE['b']}
+  FROM b)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 def q_pdf_file_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.6 standard-security decryption end-to-end: owner-locked
     RC4 files (40-bit V1/R2 even docs, 128-bit V2/R3 odd) parse to
@@ -346,6 +401,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_meta": q_pdf_file_meta,
     "pdf_file_spans": q_pdf_file_spans,
     "pdf_file_cmap": q_pdf_file_cmap,
+    "pdf_file_encoding": q_pdf_file_encoding,
     "pdf_file_encrypted": q_pdf_file_encrypted,
     "pdf_file_outline": q_pdf_file_outline,
     "pdf_file_links": q_pdf_file_links,
@@ -357,6 +413,7 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_meta": _SQL_META,
     "pdf_file_spans": _SQL_SPANS,
     "pdf_file_cmap": _SQL_CMAP,
+    "pdf_file_encoding": _SQL_ENCODING,
     # same slices and page geometry as the cmap gate by design: the
     # expected plaintext spans are identical, only the on-disk
     # representation differs (glyph codes there, ciphertext here)

@@ -572,6 +572,59 @@ def test_cmap_file_to_spans_end_to_end(spark):
             [sl["p"], sl["a"] + "\n" + sl["b"]]
 
 
+def test_encoding_map_semantics():
+    from pdf_extraction_spark.functions.glyphlist import (
+        STANDARD_ENCODING, encoding_map, glyph_to_unicode)
+
+    assert glyph_to_unicode("Euro") == "€"
+    assert glyph_to_unicode("uni20AC") == "€"
+    assert glyph_to_unicode("u20AC") == "€"
+    assert glyph_to_unicode("g123") is None
+    assert encoding_map("WinAnsiEncoding")[0x93] == "“"
+    assert encoding_map("MacRomanEncoding")[0xC7] == "«"
+    # Annex D.2: typographic quotes at 0x27/0x60
+    assert STANDARD_ENCODING[0x27] == "’"
+    assert STANDARD_ENCODING[0x60] == "‘"
+    # /Differences: an int sets the next code, names assign
+    # consecutive codes, unknown names unmap their code
+    m = encoding_map("WinAnsiEncoding",
+                     [36, "Euro", "bullet", 216, "emdash", "gXY"])
+    assert m[36] == "€" and m[37] == "•" and m[216] == "—"
+    assert 217 not in m
+    # missing/unknown base -> StandardEncoding (nonsymbolic default)
+    assert encoding_map(None)[0x60] == "‘"
+    assert encoding_map("PDFDocEncoding")[0x60] == "‘"
+
+
+def test_encoding_file_to_spans_end_to_end(spark):
+    """Simple-font /Encoding files (§9.6.5: a WinAnsi base name; a
+    dict with /BaseEncoding + /Differences): page_font_maps falls
+    back to the glyphlist tables when no /ToUnicode is present, and
+    the width-1 maps decode inside the tokenize pass — the path the
+    pdf_file_encoding oracle gate proves exactly at sf0.01."""
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, ENC_DIFF_PREFIX, ENC_WIN_PREFIX, ENC_WIN_SUFFIX,
+        PAD, PdfFile, build_pdf_encoding, files_to_spans)
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    maps = PdfFile(build_pdf_encoding(0, text)).page_font_maps()[0]
+    assert set(maps) == {"FW", "FD"}
+    assert maps["FW"][1] == 1 and maps["FD"][0][216] == "—"
+
+    rows = [(str(i), bytearray(build_pdf_encoding(i, text + f" d{i}")))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = {r.doc_id: r.spans for r in files_to_spans(df).collect()}
+    for i in range(3):
+        p = (text + f" d{i}") + PAD
+        sl = {k: p[a - 1:a - 1 + n]
+              for k, (a, n) in CMAP_SLICES.items()}
+        assert [s.text for s in out[str(i)]] == \
+            [sl["p"],
+             ENC_WIN_PREFIX + sl["a"] + ENC_WIN_SUFFIX + "\n"
+             + ENC_DIFF_PREFIX + sl["b"]]
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)
