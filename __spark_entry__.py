@@ -81,7 +81,7 @@ _DRIVER_WINDOW = [
 # driver row from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     "status_detect", "sections", "segmentation", "priority",
-    "font_priority", "bbox_agg", "price_parse", "dedup_exact",
+    "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "ngram_shingles", "jaccard_pairs", "knn_vote",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables", "raw_sections", "property_meta",
@@ -91,10 +91,13 @@ _DRIVER_WINDOW_R5 = [
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains", "pdf_runs", "pdf_spans",
-    # whole-PDF-file layer (landed after the r04 window freeze)
+    # whole-PDF-file layer (landed after the r04 window freeze);
+    # price_parse dropped to stay at 50 — it already carries r03
+    # driver rows via both its own row and `tables`
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
-    "pdf_file_cmap", "pdf_file_encoding", "pdf_file_encrypted",
-    "pdf_file_outline", "pdf_file_links", "pdf_file_attach",
+    "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
+    "pdf_file_encrypted", "pdf_file_outline", "pdf_file_links",
+    "pdf_file_attach",
 ]
 
 

@@ -1180,50 +1180,131 @@ class PdfFile:
         present per §9.10.2).  Fonts with neither are omitted (their
         strings pass through unmapped — symbolic fonts' built-in
         encodings live inside the font program, out of scope)."""
+        cache: dict[int, tuple] = {}
+        return [self._fonts_for(
+                    self.get((self.get(p.get("Resources")) or {})
+                             .get("Font")) or {}, cache)
+                for p in self.pages()]
+
+    def _font_entry(self, fref: Any,
+                    cache: dict[int, tuple]) -> tuple | None:
+        """Resolve ONE font dict to a (code->unicode, byte width)
+        entry per the §9.10.2 order (ToUnicode, else /Encoding, else
+        None), memoized by object number."""
         from ..functions.glyphlist import _BASE_TABLES, encoding_map
         from .pdfstream import parse_cmap
 
-        out = []
-        cache: dict[int, tuple] = {}
-        for page in self.pages():
-            res = self.get(page.get("Resources")) or {}
-            fonts = self.get(res.get("Font")) or {}
-            maps = {}
-            for name, fref in fonts.items():
-                key = fref.num if isinstance(fref, Ref) else None
-                if key is not None and key in cache:
-                    if cache[key] is not None:
-                        maps[name] = cache[key]
-                    continue
-                entry = None
-                fdict = self.get(fref)
-                if isinstance(fdict, dict):
-                    tu = self.get(fdict.get("ToUnicode"))
-                    if isinstance(tu, StreamObj):
-                        try:
-                            entry = parse_cmap(
-                                decode_stream(tu, self.get)
-                                .decode("latin-1"))
-                        except Exception:
-                            entry = None  # a bad CMap: pass through
-                    if entry is None:
-                        enc = self.get(fdict.get("Encoding"))
-                        if isinstance(enc, dict):
-                            base = enc.get("BaseEncoding")
-                            diffs = self.get(enc.get("Differences"))
-                            entry = (encoding_map(
-                                str(base) if base is not None else None,
-                                diffs if isinstance(diffs, list)
-                                else None), 1)
-                        elif isinstance(enc, str) \
-                                and str(enc) in _BASE_TABLES:
-                            entry = (encoding_map(str(enc)), 1)
-                if key is not None:
-                    cache[key] = entry
-                if entry is not None:
-                    maps[name] = entry
-            out.append(maps)
-        return out
+        key = fref.num if isinstance(fref, Ref) else None
+        if key is not None and key in cache:
+            return cache[key]
+        entry = None
+        fdict = self.get(fref)
+        if isinstance(fdict, dict):
+            tu = self.get(fdict.get("ToUnicode"))
+            if isinstance(tu, StreamObj):
+                try:
+                    entry = parse_cmap(
+                        decode_stream(tu, self.get)
+                        .decode("latin-1"))
+                except Exception:
+                    entry = None  # a bad CMap: pass through
+            if entry is None:
+                enc = self.get(fdict.get("Encoding"))
+                if isinstance(enc, dict):
+                    base = enc.get("BaseEncoding")
+                    diffs = self.get(enc.get("Differences"))
+                    entry = (encoding_map(
+                        str(base) if base is not None else None,
+                        diffs if isinstance(diffs, list)
+                        else None), 1)
+                elif isinstance(enc, str) \
+                        and str(enc) in _BASE_TABLES:
+                    entry = (encoding_map(str(enc)), 1)
+        if key is not None:
+            cache[key] = entry
+        return entry
+
+    def _fonts_for(self, fonts: dict, cache: dict,
+                   keep_unmapped: bool = False) -> dict:
+        """Font resource dict -> {name: map entry}.  Unmapped fonts
+        are omitted (page scope: the tokenizer passes absent names
+        through) unless ``keep_unmapped`` — form scopes keep them as
+        explicit None so a form-local plain font SHADOWS a mapped
+        outer font of the same name."""
+        maps = {}
+        for name, fref in (fonts or {}).items():
+            entry = self._font_entry(fref, cache)
+            if entry is not None or keep_unmapped:
+                maps[name] = entry
+        return maps
+
+    def page_forms(self) -> list[dict]:
+        """Per page (aligned with :meth:`pages`): {XObject resource
+        name: form spec} for every ``/Subtype /Form`` XObject (§8.10)
+        reachable from the page — decoded content text, the /Matrix
+        (when non-identity-relevant), and the form's OWN font / form
+        resources resolved recursively (absent keys inherit the
+        invoking scope downstream; the reference's PDF library
+        flattens forms internally — rebuilt from scratch the resource
+        scoping is explicit).  Cycle-guarded by object number: a
+        self-referential form is omitted from its own scope and its
+        ``Do`` degrades to a media run.  Image XObjects are never
+        listed (they stay media runs carrying the resource name)."""
+        spec_cache: dict[int, dict] = {}
+        font_cache: dict[int, tuple] = {}
+
+        def build(xref: Any, seen: frozenset) -> dict | None:
+            key = xref.num if isinstance(xref, Ref) else None
+            if key is not None:
+                if key in seen:
+                    return None
+                if key in spec_cache:
+                    return spec_cache[key]
+            stm = self.get(xref)
+            if not isinstance(stm, StreamObj) or \
+                    str(stm.dict.get("Subtype") or "") != "Form":
+                return None
+            try:
+                raw = decode_stream(stm, self.get)
+            except Exception:
+                return None
+            try:
+                txt = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                txt = raw.decode("latin-1")
+            spec: dict = {"text": txt}
+            mtx = self.get(stm.dict.get("Matrix"))
+            if isinstance(mtx, list) and len(mtx) == 6:
+                spec["mtx"] = [float(self.get(v)) for v in mtx]
+            res = self.get(stm.dict.get("Resources"))
+            if isinstance(res, dict):
+                fonts = self.get(res.get("Font"))
+                if isinstance(fonts, dict):
+                    spec["fonts"] = self._fonts_for(
+                        fonts, font_cache, keep_unmapped=True)
+                sub = forms_in(
+                    res,
+                    seen | {key} if key is not None else seen)
+                if sub:
+                    spec["forms"] = sub
+            if key is not None:
+                spec_cache[key] = spec
+            return spec
+
+        def forms_in(res: dict, seen: frozenset) -> dict:
+            xobjs = self.get(res.get("XObject")) \
+                if isinstance(res, dict) else None
+            out = {}
+            if isinstance(xobjs, dict):
+                for name, xref in xobjs.items():
+                    spec = build(xref, seen)
+                    if spec is not None:
+                        out[name] = spec
+            return out
+
+        return [forms_in(self.get(p.get("Resources")) or {},
+                         frozenset())
+                for p in self.pages()]
 
 
 def extract_pages(pdf_bytes: bytes) -> list[str]:
@@ -1586,6 +1667,75 @@ def build_pdf_encoding(doc_id: int, text: str) -> bytes:
     for num in range(1, 9):
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
     out.extend(b"trailer\n<< /Size 9 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
+def build_pdf_xobject(doc_id: int, text: str) -> bytes:
+    """Single-page file that draws through FORM XOBJECTS (§8.10) —
+    the content-reuse shape real PDFs use for letterheads, stamps and
+    generated-report templates: the page shows one plain line, then
+    invokes form /Fm1 TWICE at different CTM translations.  /Fm1
+    carries its own /Matrix, its own WinAnsi-encoded font /FE (scope
+    shadowing: the name resolves in the form's resources, not the
+    page's), an image /Im1 (media run inside a form), and a NESTED
+    form /Fm2 with no resources of its own whose /F1 falls back to
+    the invoking scope.  Expected spans are closed-form: each
+    invocation re-emits the form's text at its translated position,
+    so layout yields p | enc(a) | b | enc(a) | b | Im1 | Im1 in
+    y-order."""
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in CMAP_SLICES.items()}
+    page = (f"BT /F1 14 Tf 72 714 Td ({sl['p']}) Tj ET "
+            f"q 1 0 0 1 0 -60 cm /Fm1 Do Q "
+            f"q 1 0 0 1 0 -130 cm /Fm1 Do Q").encode("latin-1")
+    # /Fm1: encoded line + image + nested form, own Matrix (0,-6)
+    fm1 = (b"BT /FE 10 Tf 72 640 Td (\x93"
+           + sl["a"].encode("latin-1") + b"\x94) Tj ET "
+           b"q 1 0 0 1 60 300 cm /Im1 Do Q /Fm2 Do")
+    # /Fm2: no Resources -> /F1 resolves in the INVOKING scope
+    fm2 = (f"BT /F1 9 Tf 72 600 Td ({sl['b']}) Tj ET"
+           .encode("latin-1"))
+    img = bytes(16)
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << "
+            b"/Font << /F1 5 0 R >> "
+            b"/XObject << /Fm1 6 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(page)} >>\nstream\n".encode("latin-1")
+            + page + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (f"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 -6] "
+            f"/BBox [0 0 612 792] /Resources << "
+            f"/Font << /FE 7 0 R >> "
+            f"/XObject << /Im1 8 0 R /Fm2 9 0 R >> >> "
+            f"/Length {len(fm1)} >>\nstream\n".encode("latin-1")
+            + fm1 + b"\nendstream"),
+        7: (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/Encoding /WinAnsiEncoding >>"),
+        8: (f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Length {len(img)} >>\nstream\n".encode("latin-1")
+            + img + b"\nendstream"),
+        9: (f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            f"/Length {len(fm2)} >>\nstream\n".encode("latin-1")
+            + fm2 + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 10\n0000000000 65535 f \n")
+    for num in range(1, 10):
+        out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
+    out.extend(b"trailer\n<< /Size 10 /Root 1 0 R >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return bytes(out)
 
@@ -1963,11 +2113,30 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
             ids = batch.column(0).to_pylist()
             blobs = batch.column(1).to_pylist()
             o_id, o_pg, o_st, o_fm = [], [], [], []
+            def enc_fonts(fm: dict) -> dict:
+                return {name: ({"w": e[1],
+                                "m": {str(k): v
+                                      for k, v in e[0].items()}}
+                               if e else None)
+                        for name, e in fm.items()}
+
+            def enc_form(spec: dict) -> dict:
+                d: dict = {"t": spec["text"]}
+                if "mtx" in spec:
+                    d["x"] = spec["mtx"]
+                if "fonts" in spec:
+                    d["f"] = enc_fonts(spec["fonts"])
+                if "forms" in spec:
+                    d["s"] = {n: enc_form(s)
+                              for n, s in spec["forms"].items()}
+                return d
+
             for doc_id, blob in zip(ids, blobs):
                 try:
                     pf = PdfFile(blob or b"")
                     texts = pf.page_texts()
                     fmaps = pf.page_font_maps()
+                    forms = pf.page_forms()
                 except Exception:
                     if strict:
                         raise
@@ -1976,12 +2145,14 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
                     o_id.append(doc_id)
                     o_pg.append(pg)
                     o_st.append(txt)
-                    fm = fmaps[pg] if pg < len(fmaps) else {}
-                    o_fm.append(_json.dumps(
-                        {name: {"w": w,
-                                "m": {str(k): v for k, v in m.items()}}
-                         for name, (m, w) in fm.items()},
-                        sort_keys=True) if fm else "{}")
+                    payload = enc_fonts(
+                        fmaps[pg] if pg < len(fmaps) else {})
+                    fo = forms[pg] if pg < len(forms) else {}
+                    if fo:  # reserved key the tokenizer splits off
+                        payload["__forms__"] = {
+                            n: enc_form(s) for n, s in fo.items()}
+                    o_fm.append(_json.dumps(payload, sort_keys=True)
+                                if payload else "{}")
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_id, type=pa.string()),
                  pa.array(o_pg, type=pa.int32()),

@@ -290,10 +290,17 @@ def _apply_cmap(raw: str, cmap: dict[int, str],
             len(codes), n_sp)
 
 
+_MAX_FORM_DEPTH = 8  # §8.10 nesting bound: cyclic/degenerate form
+# graphs terminate deterministically (deeper calls degrade to media
+# runs, never hang an executor)
+
+
 def machine_runs(tokens: Iterator[tuple[str, Any]],
                  char_width: float = DEFAULT_CHAR_WIDTH,
                  font_maps: dict[str, tuple[dict[int, str], int]]
-                 | None = None) -> list[tuple]:
+                 | None = None,
+                 forms: dict[str, dict] | None = None,
+                 _init: tuple | None = None) -> list[tuple]:
     """Run the §9.4 text-object machine over lexed tokens; returns
     emitted runs as tuples
     (kind, text, media_ref, font, size, x, y, w, h) in stream order.
@@ -302,13 +309,29 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
     through Tm x CTM); w is the device-space advance consumed by the
     shown text; h is the effective font size (size scaled by the
     matrix d terms).  Media runs (``Do``) report the unit square
-    through the CTM: origin (e, f), w = a, h = d."""
+    through the CTM: origin (e, f), w = a, h = d.
+
+    ``forms`` maps XObject resource names to FORM specs (§8.10 —
+    dicts with ``text`` (decoded content), optional ``mtx`` (the
+    /Matrix 6-tuple), optional ``fonts``/``forms`` (the form's OWN
+    resources; absent keys inherit the invoking scope, present ones
+    shadow it per name — a ``fonts`` value of None marks a defined-
+    but-unmapped font so it shadows a mapped outer font of the same
+    name).  ``Do`` on a registered form executes its content in
+    place: graphics+text state saved, /Matrix premultiplied onto the
+    CTM, runs emitted in stream order, state restored — the §8.10.1
+    semantics minus BBox clipping.  Unregistered names (images) stay
+    media runs; calls beyond ``_MAX_FORM_DEPTH`` degrade to media
+    runs too."""
     ctm = _ID
     stack: list[tuple] = []
     tm = tlm = _ID
     font, size = "", 0.0
     tc = tw = tl = 0.0
     tz = 100.0
+    depth = 0
+    if _init is not None:  # re-entry from an invoking stream's Do
+        ctm, font, size, tc, tw, tl, tz, depth = _init
     operands: list[tuple[str, Any]] = []
     runs: list[tuple] = []
 
@@ -407,8 +430,26 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
             elif op == "Do":
                 names = [v for k, v in operands if k == "name"]
                 if names:
-                    runs.append(("media", None, names[-1], font, 0.0,
-                                 ctm[4], ctm[5], ctm[0], ctm[3]))
+                    name = names[-1]
+                    form = forms.get(name) if forms else None
+                    if form is not None and depth < _MAX_FORM_DEPTH:
+                        sub_f = form.get("fonts")
+                        sub_x = form.get("forms")
+                        mtx = form.get("mtx")
+                        runs.extend(machine_runs(
+                            lex_content(form.get("text") or ""),
+                            char_width,
+                            {**(font_maps or {}), **sub_f}
+                            if sub_f else font_maps,
+                            {**(forms or {}), **sub_x}
+                            if sub_x else forms,
+                            _init=(_mult(tuple(mtx), ctm) if mtx
+                                   else ctm,
+                                   font, size, tc, tw, tl, tz,
+                                   depth + 1)))
+                    else:
+                        runs.append(("media", None, name, font, 0.0,
+                                     ctm[4], ctm[5], ctm[0], ctm[3]))
             elif op == "__inline_image__":
                 # BI .. ID <data> EI: an unnamed image placed like Do
                 # (unit square through the CTM); ref '[inline]' keeps
@@ -426,9 +467,11 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
 def extract_runs(stream: str,
                  char_width: float = DEFAULT_CHAR_WIDTH,
                  font_maps: dict[str, tuple[dict[int, str], int]]
-                 | None = None) -> list[tuple]:
+                 | None = None,
+                 forms: dict[str, dict] | None = None) -> list[tuple]:
     """Lex + run the machine over one content stream."""
-    return machine_runs(lex_content(stream), char_width, font_maps)
+    return machine_runs(lex_content(stream), char_width, font_maps,
+                        forms)
 
 
 # ------------------------------------------------------- Spark kernel
@@ -451,9 +494,13 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
     ``maps_col`` names an optional JSON column of per-row ToUnicode
     font maps (``{font: {"w": width, "m": {code: text}}}`` — the shape
     `pdffile.pages_from_files` emits): shown strings of those fonts
-    decode glyph codes to text inside the same pass.  Identical JSON
-    payloads deserialize once per batch (documents sharing embedded
-    fonts are the common case)."""
+    decode glyph codes to text inside the same pass.  The reserved
+    key ``"__forms__"`` carries Form-XObject specs for the same page
+    (``{name: {"t": content, "x": [6 matrix nums]?, "f": {fonts}?,
+    "s": {nested forms}?}}``) — ``Do`` on those names executes the
+    form content in place instead of emitting a media run.  Identical
+    JSON payloads deserialize once per batch (documents sharing
+    embedded fonts are the common case)."""
     import json as _json
 
     import pyarrow as pa
@@ -466,14 +513,31 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
               ("h", pa.float64())]
     out_schema = pa.schema(fields)
 
+    def _decode_fonts(d: dict) -> dict:
+        return {name: (({int(k): v for k, v in spec["m"].items()},
+                        int(spec["w"])) if spec else None)
+                for name, spec in d.items()}
+
+    def _decode_form(spec: dict) -> dict:
+        out: dict = {"text": spec.get("t") or ""}
+        if spec.get("x"):
+            out["mtx"] = tuple(spec["x"])
+        if "f" in spec:
+            out["fonts"] = _decode_fonts(spec["f"])
+        if "s" in spec:
+            out["forms"] = {n: _decode_form(s)
+                            for n, s in spec["s"].items()}
+        return out
+
     def _decode_maps(js: str | None, memo: dict):
         if not js or js == "{}":
-            return None
+            return (None, None)
         if js not in memo:
-            memo[js] = {name: ({int(k): v
-                                for k, v in spec["m"].items()},
-                               int(spec["w"]))
-                        for name, spec in _json.loads(js).items()}
+            d = _json.loads(js)
+            fspecs = d.pop("__forms__", None)
+            memo[js] = (_decode_fonts(d) if d else None,
+                        {n: _decode_form(s) for n, s in fspecs.items()}
+                        if fspecs else None)
         return memo[js]
 
     def _tokenize_batches(batches: Iterator["pa.RecordBatch"]
@@ -486,10 +550,10 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                        else [None] * len(ids))
             cols: list[list] = [[] for _ in fields]
             for doc_id, stream, js in zip(ids, streams, maps_js):
-                fmaps = _decode_maps(js, memo)
+                fmaps, forms = _decode_maps(js, memo)
                 for idx, run in enumerate(
                         extract_runs(stream or "", char_width,
-                                     fmaps)):
+                                     fmaps, forms)):
                     cols[0].append(doc_id)
                     cols[1].append(idx)
                     for j, v in enumerate(run, start=2):

@@ -245,6 +245,68 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+def q_pdf_file_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form-XObject execution end-to-end (§8.10): files whose page
+    invokes a form twice (own /Matrix, form-scoped WinAnsi font,
+    image inside the form, nested resource-less form falling back to
+    the page scope — operators/pdffile.build_pdf_xobject) parse to
+    each invocation's spans at its translated position; the forms
+    scope rides the pages kernel JSON and replays inside tokenize."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_xobject
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_xobject(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    spans = files_to_spans(files)
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+# closed-form spans of the double form invocation (H=792, tops:
+# page line 64; first invocation enc 208 / nested 249; second 278 /
+# 319; the form's image lands at 557 and 627) => reading order
+# p | “a” | b | “a” | b | Im1 | Im1
+_SQL_XOBJECT = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, {_CE['p']} AS text,
+    '' AS media_ref FROM b
+  UNION ALL SELECT doc_id, 1, 'text',
+    '“' || {_CE['a']} || '”', '' FROM b
+  UNION ALL SELECT doc_id, 2, 'text', {_CE['b']}, '' FROM b
+  UNION ALL SELECT doc_id, 3, 'text',
+    '“' || {_CE['a']} || '”', '' FROM b
+  UNION ALL SELECT doc_id, 4, 'text', {_CE['b']}, '' FROM b
+  UNION ALL SELECT doc_id, 5, 'media', '', 'Im1' FROM b
+  UNION ALL SELECT doc_id, 6, 'media', '', 'Im1' FROM b)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 def q_pdf_file_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§7.6 standard-security decryption end-to-end: owner-locked
     RC4 files (40-bit V1/R2 even docs, 128-bit V2/R3 odd) parse to
@@ -402,6 +464,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_spans": q_pdf_file_spans,
     "pdf_file_cmap": q_pdf_file_cmap,
     "pdf_file_encoding": q_pdf_file_encoding,
+    "pdf_file_xobject": q_pdf_file_xobject,
     "pdf_file_encrypted": q_pdf_file_encrypted,
     "pdf_file_outline": q_pdf_file_outline,
     "pdf_file_links": q_pdf_file_links,
@@ -414,6 +477,7 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_spans": _SQL_SPANS,
     "pdf_file_cmap": _SQL_CMAP,
     "pdf_file_encoding": _SQL_ENCODING,
+    "pdf_file_xobject": _SQL_XOBJECT,
     # same slices and page geometry as the cmap gate by design: the
     # expected plaintext spans are identical, only the on-disk
     # representation differs (glyph codes there, ciphertext here)

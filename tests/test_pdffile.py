@@ -625,6 +625,74 @@ def test_encoding_file_to_spans_end_to_end(spark):
              + ENC_DIFF_PREFIX + sl["b"]]
 
 
+def test_form_xobject_semantics():
+    """Form XObjects execute in place with §8.10 semantics: /Matrix
+    composed onto the CTM, resource-scope shadowing (form-local /FE),
+    invoking-scope fallback (/Fm2 has no resources, its /F1 resolves
+    at page level), images inside forms stay media runs, and a
+    self-referential form degrades to a media run instead of
+    recursing forever."""
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, PAD, PdfFile, build_pdf_xobject)
+    from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    pf = PdfFile(build_pdf_xobject(0, text))
+    forms = pf.page_forms()[0]
+    assert set(forms) == {"Fm1"}
+    assert forms["Fm1"]["mtx"] == [1.0, 0.0, 0.0, 1.0, 0.0, -6.0]
+    assert set(forms["Fm1"]["fonts"]) == {"FE"}
+    assert set(forms["Fm1"]["forms"]) == {"Fm2"}
+    assert "fonts" not in forms["Fm1"]["forms"]["Fm2"]
+
+    runs = extract_runs(pf.page_texts()[0],
+                        font_maps=pf.page_font_maps()[0], forms=forms)
+    p = text + PAD
+    sl = {k: p[a - 1:a - 1 + n] for k, (a, n) in CMAP_SLICES.items()}
+    texts = [r[1] for r in runs if r[0] == "text"]
+    assert texts == [sl["p"],
+                     "“" + sl["a"] + "”", sl["b"],
+                     "“" + sl["a"] + "”", sl["b"]]
+    # both invocations: the /Matrix (0,-6) composes under the cm
+    # translations (0,-60) and (0,-130)
+    ys = [r[6] for r in runs if r[0] == "text"]
+    assert ys == [714.0, 574.0, 534.0, 504.0, 464.0]
+    media = [(r[2], r[6]) for r in runs if r[0] == "media"]
+    assert media == [("Im1", 234.0), ("Im1", 164.0)]
+
+    # recursion bound: a form whose content invokes itself must
+    # terminate (the guarded call degrades to a media run)
+    cyclic = {"Loop": {"text": "/Loop Do"}}
+    out = extract_runs("q /Loop Do Q", forms=cyclic)
+    assert len(out) == 1 and out[0][0] == "media"
+
+
+def test_form_xobject_files_to_spans(spark):
+    """The forms scope rides the pages kernel JSON (__forms__ key)
+    and replays inside the tokenize pass — the path the
+    pdf_file_xobject oracle gate proves exactly at sf0.01."""
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, ENC_WIN_PREFIX, ENC_WIN_SUFFIX, PAD,
+        build_pdf_xobject, files_to_spans)
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    rows = [(str(i), bytearray(build_pdf_xobject(i, text + f" d{i}")))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = {r.doc_id: r.spans for r in files_to_spans(df).collect()}
+    for i in range(3):
+        p = (text + f" d{i}") + PAD
+        sl = {k: p[a - 1:a - 1 + n]
+              for k, (a, n) in CMAP_SLICES.items()}
+        enc_a = ENC_WIN_PREFIX + sl["a"] + ENC_WIN_SUFFIX
+        spans = out[str(i)]
+        assert [(s.kind, s.text or s.media_ref) for s in spans] == [
+            ("text", sl["p"]), ("text", enc_a), ("text", sl["b"]),
+            ("text", enc_a), ("text", sl["b"]),
+            ("media", "Im1"), ("media", "Im1")]
+        assert [s.offset for s in spans] == list(range(7))
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)
