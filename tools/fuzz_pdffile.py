@@ -6,7 +6,7 @@ exactly the expected per-page content streams, title, revision count
 and xref flavor.  Unlike the fixed `build_pdf` used by the oracle
 gates, every structural axis is randomized per seed:
 
-- object NUMBERS are random non-contiguous draws from 1..60 (classic
+- object NUMBERS are random non-contiguous draws from 1..300 (classic
   xref tables get multiple subsections; xref streams get multi-pair
   /Index arrays);
 - the page tree nests randomly up to depth 3 with random fan-out;
@@ -39,6 +39,16 @@ gates, every structural axis is randomized per seed:
   construction time in display order; on encrypted seeds every nav
   string (titles, filespec names, name-tree keys) is ciphertext
   under its object's key like any other string.
+- resources axis (p=.5 per page): a /Resources dict (inline or
+  indirect) carrying randomized FONTS — plain (no map expected),
+  /Encoding base Name, /Encoding dict with a random /Differences
+  array (sometimes indirect), a /ToUnicode bfchar CMap through the
+  full filter/encryption ladder, or BOTH (§9.10.2: ToUnicode must
+  win) — with p=.4 object sharing across pages (the resolution
+  cache), and FORM XOBJECTS — random /Matrix, own font / nested-form
+  / image resources up to depth 2, p=.15 a self-referential form
+  (the cycle guard must omit it, not hang) — checked against
+  by-construction `page_font_maps()` / `page_forms()` expectations.
 
 Any divergence is a real parser bug: there is no floating point here.
 """
@@ -54,6 +64,7 @@ import hashlib
 
 from pdf_extraction_spark.functions.aes import (cbc_encrypt,
                                                 cbc_encrypt_raw)
+from pdf_extraction_spark.functions.glyphlist import encoding_map
 from pdf_extraction_spark.operators.pdffile import (
     PdfFile, _ascii85_encode, _ascii_hex_encode, _lit_bytes,
     _png_up_encode, _run_length_encode, lzw_encode, object_key, r6_hash,
@@ -97,7 +108,7 @@ class Writer:
 
     def __init__(self, rng: random.Random):
         self.rng = rng
-        self.nums = rng.sample(range(1, 101), 70)  # draw pool
+        self.nums = rng.sample(range(1, 301), 200)  # draw pool
         self.next_i = 0
         self.bodies: dict[int, bytes] = {}       # num -> body (no hdr)
         self.stream_nums: set[int] = set()
@@ -128,8 +139,10 @@ class Writer:
                                iv, data)
         return rc4(object_key(self.fkey, num, 0), data)
 
-    def add_stream(self, data: bytes, extra: str = "") -> int:
-        num = self.alloc()
+    def add_stream(self, data: bytes, extra: str = "",
+                   num: int | None = None) -> int:
+        if num is None:  # preallocated num: self-referential bodies
+            num = self.alloc()
         enc, filt = encode_stream(self.rng, data)
         if self.fkey is not None:  # encrypt AFTER filter-encoding
             enc = self.enc_bytes(num, enc)
@@ -379,6 +392,187 @@ def serialize(w: Writer, root: int, info: int, use_xref_stream: bool,
     return out, offsets, xref_off
 
 
+# pools for the resources axis: known AGL names, algorithmic
+# uniXXXX/uXXXX forms, and unknown names (must UNMAP their code)
+_DIFF_NAMES = ["Euro", "bullet", "emdash", "quotedblleft", "ae",
+               "germandbls", "uni0041", "u00E9", "gXYZ", "cid99"]
+_ENC_BASES = ["WinAnsiEncoding", "MacRomanEncoding",
+              "StandardEncoding"]
+_MTX_VALS = [0.0, 1.0, -1.0, 0.5, 2.0, -6.0, 72.0]
+
+
+def make_font(w: Writer, rng: random.Random) -> tuple[int, tuple | None]:
+    """One randomized font object; returns (obj num, the entry
+    `page_font_maps` must produce for it — None for plain fonts)."""
+    kind = rng.randrange(5)
+    if kind == 0:  # plain: omitted from page maps, None in form maps
+        return w.add(b"<< /Type /Font /Subtype /Type1 "
+                     b"/BaseFont /Helvetica >>"), None
+    if kind == 1:  # base-encoding Name
+        base = rng.choice(_ENC_BASES)
+        return w.add(f"<< /Type /Font /Subtype /TrueType /BaseFont "
+                     f"/Arial /Encoding /{base} >>".encode("latin-1")
+                     ), (encoding_map(base), 1)
+    if kind == 2:  # encoding dict + /Differences (both maybe indirect)
+        base = rng.choice(_ENC_BASES + [None])
+        diffs: list = [rng.randrange(32, 240)]
+        for _ in range(rng.randrange(1, 5)):
+            if rng.random() < 0.3:
+                diffs.append(rng.randrange(32, 250))
+            diffs.append(rng.choice(_DIFF_NAMES))
+        dtoks = " ".join(str(d) if isinstance(d, int) else f"/{d}"
+                         for d in diffs)
+        if rng.random() < 0.3:
+            dnum = w.add(f"[{dtoks}]".encode("latin-1"))
+            ddecl = f"{dnum} 0 R"
+        else:
+            ddecl = f"[{dtoks}]"
+        bdecl = f"/BaseEncoding /{base} " if base else ""
+        enc_body = (f"<< /Type /Encoding {bdecl}"
+                    f"/Differences {ddecl} >>")
+        if rng.random() < 0.5:
+            enum = w.add(enc_body.encode("latin-1"))
+            edecl = f"{enum} 0 R"
+        else:
+            edecl = enc_body
+        return w.add(f"<< /Type /Font /Subtype /Type1 /BaseFont "
+                     f"/Custom /Encoding {edecl} >>".encode("latin-1")
+                     ), (encoding_map(base, diffs), 1)
+    # kinds 3/4: /ToUnicode bfchar CMap through the filter/encryption
+    # ladder; kind 4 ALSO carries an /Encoding the CMap must shadow
+    codes = rng.sample(range(0x20, 0x7F), rng.randrange(1, 6))
+    dsts = [rng.randrange(0x41, 0x5B) for _ in codes]
+    chars = "\n".join(f"<{c:02X}> <{d:04X}>"
+                      for c, d in zip(codes, dsts))
+    cmap = (f"/CIDInit /ProcSet findresource begin\n"
+            f"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            f"{len(codes)} beginbfchar\n{chars}\nendbfchar\n"
+            f"endcmap end end").encode("latin-1")
+    tu = w.add_stream(cmap)
+    shadow = (f" /Encoding /{rng.choice(_ENC_BASES)}"
+              if kind == 4 else "")
+    return w.add(f"<< /Type /Font /Subtype /Type0 /BaseFont /Emb "
+                 f"/ToUnicode {tu} 0 R{shadow} >>".encode("latin-1")
+                 ), ({c: chr(d) for c, d in zip(codes, dsts)}, 1)
+
+
+def make_form(w: Writer, rng: random.Random, depth: int,
+              font_pool: list) -> tuple[int, dict]:
+    """One randomized Form XObject; returns (obj num, the spec
+    `page_forms` must produce).  Recurses into nested forms up to
+    depth 2; p=.15 at depth 0 the form references ITSELF (the cycle
+    guard must omit it from its own scope)."""
+    content = rand_content(rng)
+    spec: dict = {"text": content.decode("latin-1")}
+    extra = " /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+    if rng.random() < 0.5:
+        mtx = [rng.choice(_MTX_VALS) for _ in range(6)]
+        extra += " /Matrix [" + " ".join(f"{v:g}" for v in mtx) + "]"
+        spec["mtx"] = mtx
+    res_parts = []
+    if rng.random() < 0.6:
+        n_fonts = rng.randrange(0, 3)
+        if n_fonts:
+            fonts = {}
+            decls = []
+            for i in range(n_fonts):
+                if font_pool and rng.random() < 0.4:
+                    fnum, fentry = rng.choice(font_pool)
+                else:
+                    fnum, fentry = make_font(w, rng)
+                    font_pool.append((fnum, fentry))
+                fonts[f"G{i}"] = fentry  # forms KEEP unmapped as None
+                decls.append(f"/G{i} {fnum} 0 R")
+            res_parts.append("/Font << " + " ".join(decls) + " >>")
+            spec["fonts"] = fonts
+        xdecls = []
+        sub_forms = {}
+        if depth < 2 and rng.random() < 0.4:
+            snum, sspec = make_form(w, rng, depth + 1, font_pool)
+            sub_forms["Sf0"] = sspec
+            xdecls.append(f"/Sf0 {snum} 0 R")
+        if rng.random() < 0.4:  # an image: never listed as a form
+            inum = w.add_stream(bytes(8),
+                                " /Type /XObject /Subtype /Image "
+                                "/Width 2 /Height 2 /ColorSpace "
+                                "/DeviceGray /BitsPerComponent 8")
+            xdecls.append(f"/Ig {inum} 0 R")
+        self_ref = depth == 0 and rng.random() < 0.15
+        if self_ref or xdecls:
+            num = w.alloc()
+            if self_ref:  # omitted from its own scope by the guard
+                xdecls.append(f"/Me {num} 0 R")
+            res_parts.append("/XObject << " + " ".join(xdecls)
+                             + " >>")
+            if sub_forms:
+                spec["forms"] = sub_forms
+            extra += (" /Resources << " + " ".join(res_parts)
+                      + " >>")
+            w.add_stream(content, extra, num=num)
+            return num, spec
+    if res_parts:
+        extra += " /Resources << " + " ".join(res_parts) + " >>"
+    return w.add_stream(content, extra), spec
+
+
+def add_resources(w: Writer, rng: random.Random, n_pages: int,
+                  page_objs: list[int]
+                  ) -> tuple[list[dict], list[dict]]:
+    """Resources axis: patch a /Resources dict (inline or indirect)
+    into a random subset of pages; returns the expected
+    (page_font_maps, page_forms) lists."""
+    want_maps: list[dict] = []
+    want_forms: list[dict] = []
+    font_pool: list = []  # (num, entry) — p=.4 reuse across sites
+    for p in range(n_pages):
+        maps: dict = {}
+        forms: dict = {}
+        if rng.random() < 0.5:
+            parts = []
+            n_fonts = rng.randrange(0, 3)
+            if n_fonts:
+                decls = []
+                for i in range(n_fonts):
+                    if font_pool and rng.random() < 0.4:
+                        fnum, fentry = rng.choice(font_pool)
+                    else:
+                        fnum, fentry = make_font(w, rng)
+                        font_pool.append((fnum, fentry))
+                    if fentry is not None:  # page scope OMITS plain
+                        maps[f"F{i}"] = fentry
+                    decls.append(f"/F{i} {fnum} 0 R")
+                parts.append("/Font << " + " ".join(decls) + " >>")
+            n_forms = rng.randrange(0, 3)
+            if n_forms:
+                decls = []
+                for i in range(n_forms):
+                    xnum, xspec = make_form(w, rng, 0, font_pool)
+                    forms[f"Fm{i}"] = xspec
+                    decls.append(f"/Fm{i} {xnum} 0 R")
+                if rng.random() < 0.4:
+                    inum = w.add_stream(
+                        bytes(8), " /Type /XObject /Subtype /Image "
+                        "/Width 2 /Height 2 /ColorSpace /DeviceGray "
+                        "/BitsPerComponent 8")
+                    decls.append(f"/Ip {inum} 0 R")
+                parts.append("/XObject << " + " ".join(decls)
+                             + " >>")
+            if parts:
+                body = "<< " + " ".join(parts) + " >>"
+                if rng.random() < 0.5:
+                    rnum = w.add(body.encode("latin-1"))
+                    rdecl = f"{rnum} 0 R"
+                else:
+                    rdecl = body
+                pnum = page_objs[p]
+                w.bodies[pnum] = w.bodies[pnum].replace(
+                    b" >>",
+                    f" /Resources {rdecl} >>".encode("latin-1"), 1)
+        want_maps.append(maps)
+        want_forms.append(forms)
+    return want_maps, want_forms
+
+
 def add_nav(w: Writer, rng: random.Random, root_extra: list,
             page_obj_nums: list[int]) -> tuple[list, list]:
     """Random navigation structures with by-construction truth:
@@ -550,6 +744,7 @@ def one_case(seed: int) -> None:
                             list(range(n_pages)), page_obj_nums_map)
     page_objs = [page_obj_nums_map[i] for i in range(n_pages)]
     root_extra: list[str] = []
+    want_maps, want_forms = add_resources(w, rng, n_pages, page_objs)
     want_outline, want_attach = add_nav(w, rng, root_extra, page_objs)
     root = w.add((f"<< /Type /Catalog /Pages {pages_root} 0 R"
                   + "".join(root_extra) + " >>").encode("latin-1"))
@@ -637,6 +832,14 @@ def one_case(seed: int) -> None:
     assert got_attach == want_attach, (
         f"seed {seed}: attachments diverge\n got {got_attach!r}\n"
         f" want {want_attach!r}")
+    got_maps = pf.page_font_maps()
+    assert got_maps == want_maps, (
+        f"seed {seed}: font maps diverge\n got {got_maps!r}\n"
+        f" want {want_maps!r}")
+    got_forms = pf.page_forms()
+    assert got_forms == want_forms, (
+        f"seed {seed}: forms diverge\n got {got_forms!r}\n"
+        f" want {want_forms!r}")
     assert pf.n_revisions == 1 + n_updates, seed
     assert pf.xref_kind == ("stream" if use_xref_stream else "table"), \
         seed
