@@ -1129,6 +1129,58 @@ class PdfFile:
                     out.append((idx, str(uri)))
         return out
 
+    def form_fields(self) -> list[tuple[str, str, str]]:
+        """(fully-qualified name, field type, value) for every
+        TERMINAL field of the §12.7 /AcroForm tree, in document
+        order — filled inspection forms carry their content here, not
+        in the page text.  /FT and /V inherit down the tree
+        (§12.7.3.1); kids WITHOUT a /T are widget annotations of
+        their parent (one field, many widgets), not separate fields;
+        qualified names join with '.'; /Btn values are the /V state
+        name (Yes/Off); missing values -> ''.  Cycle-guarded like
+        every other tree walk."""
+        root = self.get(self.trailer.get("Root")) or {}
+        acro = self.get(root.get("AcroForm")) \
+            if isinstance(root, dict) else None
+        out: list[tuple[str, str, str]] = []
+        seen: set[int] = set()
+
+        def walk(fref: Any, prefix: str, ft: Any, val: Any) -> None:
+            if isinstance(fref, Ref):
+                if fref.num in seen:
+                    return
+                seen.add(fref.num)
+            fd = self.get(fref)
+            if not isinstance(fd, dict):
+                return
+            t = self.get(fd.get("T"))
+            name = (f"{prefix}.{t}" if prefix and isinstance(t, str)
+                    else str(t) if isinstance(t, str) else prefix)
+            if fd.get("FT") is not None:
+                ft = self.get(fd["FT"])
+            if fd.get("V") is not None:
+                val = self.get(fd["V"])
+            kids = self.get(fd.get("Kids"))
+            named = []
+            if isinstance(kids, list):
+                for k in kids:
+                    kd = self.get(k)
+                    if isinstance(kd, dict) \
+                            and isinstance(self.get(kd.get("T")),
+                                           str):
+                        named.append(k)
+            if named:
+                for k in named:
+                    walk(k, name, ft, val)
+            elif isinstance(t, str):
+                out.append((name, str(ft) if ft is not None else "",
+                            str(val) if val is not None else ""))
+
+        if isinstance(acro, dict):
+            for f in self.get(acro.get("Fields")) or []:
+                walk(f, "", None, None)
+        return out
+
     def _name_tree(self, node_ref: Any,
                    seen: set[int] | None = None) -> list[tuple]:
         """Flatten a §7.9.6 name tree (/Kids intermediate nodes,
@@ -1740,6 +1792,64 @@ def build_pdf_xobject(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def build_pdf_acroform(doc_id: int, text: str) -> bytes:
+    """Single-page file with a filled INTERACTIVE FORM (§12.7) — the
+    shape scanned-and-filled inspection reports take: an /AcroForm
+    field tree with a flat text field, a parent whose kids exercise
+    both inheritance rules (/FT always from the parent; /V inherited
+    by the valueless `note` kid), an own-typed choice kid, and a
+    button field whose two /T-less widget kids must collapse to ONE
+    row.  Values are text slices / doc_id-parity picks so the oracle
+    states every row in closed form."""
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in CMAP_SLICES.items()}
+    grade = "A" if doc_id % 2 == 0 else "B"
+    state = "/Yes" if doc_id % 3 == 0 else "/Off"
+    content = b"BT /F1 10 Tf 72 714 Td (form) Tj ET"
+    bodies = {
+        1: (b"<< /Type /Catalog /Pages 2 0 R "
+            b"/AcroForm << /Fields [10 0 R 11 0 R 15 0 R] >> >>"),
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        10: (f"<< /T (owner) /FT /Tx /V ({sl['a']}) >>"
+             .encode("latin-1")),
+        11: (f"<< /T (insp) /FT /Tx /V ({sl['p']}) "
+             f"/Kids [12 0 R 13 0 R 14 0 R] >>".encode("latin-1")),
+        12: (f"<< /T (date) /Parent 11 0 R /V ({sl['b']}) >>"
+             .encode("latin-1")),
+        13: b"<< /T (note) /Parent 11 0 R >>",
+        14: (f"<< /T (grade) /Parent 11 0 R /FT /Ch /V ({grade}) >>"
+             .encode("latin-1")),
+        15: (f"<< /T (approved) /FT /Btn /V {state} "
+             f"/Kids [16 0 R 17 0 R] >>".encode("latin-1")),
+        16: (b"<< /Type /Annot /Subtype /Widget "
+             b"/Rect [72 100 90 118] >>"),
+        17: (b"<< /Type /Annot /Subtype /Widget "
+             b"/Rect [72 140 90 158] >>"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 1\n0000000000 65535 f \n")
+    for num in sorted(bodies):
+        out.extend(f"{num} 1\n{offsets[num]:010d} 00000 n \n"
+                   .encode("latin-1"))
+    out.extend(b"trailer\n<< /Size 18 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
 def build_pdf_nav(doc_id: int, text: str) -> bytes:
     """Two-page file with NAVIGATION structure: an /Outlines bookmark
     tree (top item -> page 1, nested child -> page 2 via /Dest, a
@@ -2282,6 +2392,50 @@ def pdf_link_table(files: DataFrame, bytes_col: str = "pdf",
                        F.col(bytes_col).alias("pdf"))
     return sel.mapInArrow(_parse,
                           schema="doc_id string, page int, uri string")
+
+
+def acroform_table(files: DataFrame, bytes_col: str = "pdf",
+                   id_col: str = "doc_id",
+                   strict: bool = False) -> DataFrame:
+    """(doc_id, pdf) -> (doc_id, ord, name, ftype, value) for every
+    terminal /AcroForm field — map-only; filled form values become
+    queryable corpus rows the enrichment plans can consume like any
+    other extracted attribute."""
+    import pyarrow as pa
+
+    fields = [("doc_id", pa.string()), ("ord", pa.int32()),
+              ("name", pa.string()), ("ftype", pa.string()),
+              ("value", pa.string())]
+    schema = pa.schema(fields)
+
+    def _parse(batches: Iterator["pa.RecordBatch"]
+               ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            cols: list[list] = [[] for _ in fields]
+            for doc_id, blob in zip(ids, blobs):
+                try:
+                    rows = PdfFile(blob or b"").form_fields()
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for k, (name, ftype, value) in enumerate(rows):
+                    cols[0].append(doc_id)
+                    cols[1].append(k)
+                    cols[2].append(name)
+                    cols[3].append(ftype)
+                    cols[4].append(value)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=t)
+                 for c, (_, t) in zip(cols, fields)], schema=schema)
+
+    sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(bytes_col).alias("pdf"))
+    return sel.mapInArrow(
+        _parse, schema="doc_id string, ord int, name string, "
+                       "ftype string, value string")
 
 
 def files_to_spans(files: DataFrame, bytes_col: str = "pdf",

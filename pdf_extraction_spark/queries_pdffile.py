@@ -417,6 +417,56 @@ FROM u ORDER BY doc_id, page, uri
 """
 
 
+def q_pdf_file_acroform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-form extraction end-to-end (§12.7): files carrying
+    a filled /AcroForm tree (operators/pdffile.build_pdf_acroform —
+    nested fields, /FT and /V inheritance, a choice kid, a button
+    whose /T-less widget kids collapse to one row) parse to
+    (name, ftype, value) rows the oracle states in closed form."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import acroform_table, build_pdf_acroform
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_acroform(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    t = acroform_table(files)
+    return t.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("ord").cast("long").alias("ord"),
+                    "name", "ftype", "value") \
+        .orderBy("doc_id", "ord")
+
+
+_SQL_ACROFORM = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS o, 'owner' AS name, 'Tx' AS ftype,
+    {_CE['a']} AS value FROM b
+  UNION ALL SELECT doc_id, 1, 'insp.date', 'Tx', {_CE['b']} FROM b
+  UNION ALL SELECT doc_id, 2, 'insp.note', 'Tx', {_CE['p']} FROM b
+  UNION ALL SELECT doc_id, 3, 'insp.grade', 'Ch',
+    CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END FROM b
+  UNION ALL SELECT doc_id, 4, 'approved', 'Btn',
+    CASE WHEN doc_id % 3 = 0 THEN 'Yes' ELSE 'Off' END FROM b)
+SELECT doc_id, CAST(o AS BIGINT) AS ord, name, ftype, value
+FROM u ORDER BY doc_id, ord
+"""
+
+
 def q_pdf_file_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded-file extraction (§7.11.4): /Names -> /EmbeddedFiles
     name tree (-> /Kids intermediates -> /Names leaves) -> filespec
@@ -469,6 +519,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_outline": q_pdf_file_outline,
     "pdf_file_links": q_pdf_file_links,
     "pdf_file_attach": q_pdf_file_attach,
+    "pdf_file_acroform": q_pdf_file_acroform,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -485,4 +536,5 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_outline": _SQL_OUTLINE,
     "pdf_file_links": _SQL_PDF_LINKS,
     "pdf_file_attach": _SQL_ATTACH,
+    "pdf_file_acroform": _SQL_ACROFORM,
 }

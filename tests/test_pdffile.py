@@ -693,6 +693,44 @@ def test_form_xobject_files_to_spans(spark):
         assert [s.offset for s in spans] == list(range(7))
 
 
+def test_acroform_fields(spark):
+    """§12.7 interactive forms: terminal-field rows with /FT and /V
+    inheritance, dotted qualified names, /T-less widget kids
+    collapsing to one row, and a field-tree cycle terminating."""
+    from pdf_extraction_spark.operators.pdffile import (
+        CMAP_SLICES, PAD, PdfFile, acroform_table,
+        build_pdf_acroform)
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    p = text + PAD
+    sl = {k: p[a - 1:a - 1 + n] for k, (a, n) in CMAP_SLICES.items()}
+    rows = PdfFile(build_pdf_acroform(0, text)).form_fields()
+    assert rows == [
+        ("owner", "Tx", sl["a"]),
+        ("insp.date", "Tx", sl["b"]),       # own V, inherited FT
+        ("insp.note", "Tx", sl["p"]),       # V inherited from parent
+        ("insp.grade", "Ch", "A"),          # own FT overrides
+        ("approved", "Btn", "Yes")]         # widget kids collapse
+
+    # a /Kids cycle must terminate, not recurse forever: point the
+    # button's Kids at ITSELF (a named kid already on the walk path
+    # is skipped, so the cyclic field yields no row and the walk ends)
+    from pdf_extraction_spark.operators.pdffile import Ref
+    pf = PdfFile(build_pdf_acroform(1, text))
+    pf.get(Ref(15, 0))["Kids"] = [Ref(15, 0)]
+    assert [r[0] for r in pf.form_fields()] == \
+        ["owner", "insp.date", "insp.note", "insp.grade"]
+
+    df = spark.createDataFrame(
+        [(str(i), bytearray(build_pdf_acroform(i, text)))
+         for i in range(4)], "doc_id string, pdf binary")
+    got = {(r.doc_id, r.ord): (r.name, r.ftype, r.value)
+           for r in acroform_table(df).collect()}
+    assert got[("2", 3)] == ("insp.grade", "Ch", "A")
+    assert got[("3", 4)] == ("approved", "Btn", "Yes")
+    assert got[("1", 4)] == ("approved", "Btn", "Off")
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)
