@@ -573,6 +573,81 @@ def add_resources(w: Writer, rng: random.Random, n_pages: int,
     return want_maps, want_forms
 
 
+def add_acroform(w: Writer, rng: random.Random, root_extra: list
+                 ) -> list[tuple[str, str, str]]:
+    """AcroForm axis (p=.4): a random §12.7 field tree — nested named
+    kids up to depth 2, /FT and /V randomly own vs inherited, /T-less
+    widget kids that must collapse, Tx/Ch string values (ciphertext
+    on encrypted seeds, like every other string) and /Btn name
+    values — returning the terminal rows `form_fields` must produce,
+    recorded at construction time."""
+    if rng.random() >= 0.4:
+        return []
+    want: list[tuple[str, str, str]] = []
+    fid = [0]
+
+    def lit(num: int, s: str) -> bytes:
+        data = s.encode("latin-1")
+        if w.fkey is not None:
+            data = w.enc_bytes(num, data)
+        return _lit_bytes(data)
+
+    def rand_val(rng: random.Random) -> str:
+        n = rng.randrange(0, 25)
+        return "".join(rng.choice(CHARS) for _ in range(n))
+
+    def make_field(depth: int, prefix: str, inh_ft: str | None,
+                   inh_val: str | None) -> int:
+        num = w.alloc()
+        t = f"f{fid[0]}"
+        fid[0] += 1
+        name = f"{prefix}.{t}" if prefix else t
+        # /T is a string too: ciphertext on encrypted seeds
+        parts = ["/T " + lit(num, t).decode("latin-1")]
+        ft = inh_ft
+        if rng.random() < 0.7 or ft is None:
+            ft = rng.choice(["Tx", "Ch", "Btn"])
+            parts.append(f"/FT /{ft}")
+        val = inh_val
+        if rng.random() < 0.7:
+            if ft == "Btn":
+                val = rng.choice(["Yes", "Off", "On"])
+                parts.append(f"/V /{val}")
+            else:
+                val = rand_val(rng)
+                parts.append("/V " + lit(num, val).decode("latin-1"))
+        kid_nums: list[int] = []
+        named = depth < 2 and rng.random() < 0.4
+        if named:
+            for _ in range(rng.randrange(1, 3)):
+                kid_nums.append(make_field(depth + 1, name, ft, val))
+        if rng.random() < 0.3:  # widget kids: never separate fields
+            kid_nums.append(w.add(
+                b"<< /Type /Annot /Subtype /Widget "
+                b"/Rect [0 0 1 1] >>"))
+        if kid_nums:
+            parts.append("/Kids [" + " ".join(f"{k} 0 R"
+                                              for k in kid_nums)
+                         + "]")
+        if not named:  # terminal: widget kids don't change that
+            want.append((name, ft or "", val if val is not None
+                         else ""))
+        w.bodies[num] = ("<< " + " ".join(parts) + " >>") \
+            .encode("latin-1")
+        return num
+
+    tops = [make_field(0, "", None, None)
+            for _ in range(rng.randrange(1, 4))]
+    body = "<< /Fields [" + " ".join(f"{t} 0 R" for t in tops) \
+        + "] >>"
+    if rng.random() < 0.5:
+        anum = w.add(body.encode("latin-1"))
+        root_extra.append(f" /AcroForm {anum} 0 R")
+    else:
+        root_extra.append(f" /AcroForm {body}")
+    return want
+
+
 def add_nav(w: Writer, rng: random.Random, root_extra: list,
             page_obj_nums: list[int]) -> tuple[list, list]:
     """Random navigation structures with by-construction truth:
@@ -746,6 +821,7 @@ def one_case(seed: int) -> None:
     root_extra: list[str] = []
     want_maps, want_forms = add_resources(w, rng, n_pages, page_objs)
     want_outline, want_attach = add_nav(w, rng, root_extra, page_objs)
+    want_fields = add_acroform(w, rng, root_extra)
     root = w.add((f"<< /Type /Catalog /Pages {pages_root} 0 R"
                   + "".join(root_extra) + " >>").encode("latin-1"))
     title = f"fuzz {seed}"
@@ -832,6 +908,10 @@ def one_case(seed: int) -> None:
     assert got_attach == want_attach, (
         f"seed {seed}: attachments diverge\n got {got_attach!r}\n"
         f" want {want_attach!r}")
+    got_fields = pf.form_fields()
+    assert got_fields == want_fields, (
+        f"seed {seed}: form fields diverge\n got {got_fields!r}\n"
+        f" want {want_fields!r}")
     got_maps = pf.page_font_maps()
     assert got_maps == want_maps, (
         f"seed {seed}: font maps diverge\n got {got_maps!r}\n"
