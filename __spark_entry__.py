@@ -82,7 +82,7 @@ _DRIVER_WINDOW = [
 _DRIVER_WINDOW_R5 = [
     "status_detect", "sections", "segmentation", "priority",
     "font_priority", "bbox_agg", "dedup_exact",
-    "cosine_topk", "jaccard_pairs", "knn_vote",
+    "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables", "raw_sections", "property_meta",
     "severity_normalize", "action_normalize", "urgency_score",
@@ -92,12 +92,13 @@ _DRIVER_WINDOW_R5 = [
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains", "pdf_runs", "pdf_spans",
     # whole-PDF-file layer (landed after the r04 window freeze);
-    # price_parse and ngram_shingles dropped to stay at 50 — both
-    # carry r03 driver rows (ngram_shingles also via jaccard_pairs)
+    # price_parse, ngram_shingles and knn_vote dropped to stay at
+    # 50 — all three carry r03 driver rows (and overlap tables /
+    # jaccard_pairs / cosine_topk respectively)
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
     "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
     "pdf_file_encrypted", "pdf_file_outline", "pdf_file_links",
-    "pdf_file_attach", "pdf_file_acroform",
+    "pdf_file_attach", "pdf_file_acroform", "pdf_file_annots",
 ]
 
 

@@ -1129,6 +1129,29 @@ class PdfFile:
                     out.append((idx, str(uri)))
         return out
 
+    def annotation_texts(self) -> list[tuple[int, str, str]]:
+        """(page_index, subtype, contents) for every page annotation
+        carrying a non-empty /Contents string (§12.5.6.2 /Text sticky
+        notes, §12.5.6.6 /FreeText callouts, /Highlight /Square …
+        markup) — reviewer commentary lives here, outside the content
+        stream.  /Link annotations never carry reviewer text and
+        /Popup is the display twin of its /Parent markup (same
+        /Contents), so both are excluded to keep rows distinct."""
+        out: list[tuple[int, str, str]] = []
+        for idx, page in enumerate(self.pages()):
+            for aref in self.get(page.get("Annots")) or []:
+                annot = self.get(aref)
+                if not isinstance(annot, dict):
+                    continue
+                sub = annot.get("Subtype")
+                if sub in ("Link", "Popup"):
+                    continue
+                contents = self.get(annot.get("Contents"))
+                if isinstance(contents, str) and contents:
+                    out.append((idx, str(sub) if sub else "",
+                                str(contents)))
+        return out
+
     def form_fields(self) -> list[tuple[str, str, str]]:
         """(fully-qualified name, field type, value) for every
         TERMINAL field of the §12.7 /AcroForm tree, in document
@@ -1850,6 +1873,69 @@ def build_pdf_acroform(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def build_pdf_annots(doc_id: int, text: str) -> bytes:
+    """Two-page file with MARKUP annotations (§12.5): a /FreeText
+    callout and a /Text sticky note (with its /Popup twin, which must
+    NOT produce a second row) on page 1 next to a /Link (no reviewer
+    text, excluded), a /Highlight on page 2 and — odd docs only — a
+    /Square; all /Contents are text slices so the oracle states every
+    row in closed form."""
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in SLICES.items()}
+    page1 = b"BT /F1 10 Tf 72 714 Td (one) Tj ET"
+    page2 = b"BT /F1 10 Tf 72 714 Td (two) Tj ET"
+    odd = doc_id % 2 == 1
+    annots2 = b"[12 0 R 13 0 R]" if odd else b"[12 0 R]"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 7 0 R >> >> >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/Annots [8 0 R 9 0 R 10 0 R 11 0 R] >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/Annots " + annots2 + b" >>"),
+        5: (f"<< /Length {len(page1)} >>\nstream\n".encode("latin-1")
+            + page1 + b"\nendstream"),
+        6: (f"<< /Length {len(page2)} >>\nstream\n".encode("latin-1")
+            + page2 + b"\nendstream"),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        8: (f"<< /Type /Annot /Subtype /FreeText /Rect [72 600 200 "
+            f"620] /Contents ({sl['a']}) >>".encode("latin-1")),
+        9: (b"<< /Type /Annot /Subtype /Link /Rect [72 560 200 580] "
+            b"/A << /S /URI /URI (https://example.com/x) >> >>"),
+        10: (f"<< /Type /Annot /Subtype /Text /Rect [72 520 90 538] "
+             f"/Contents ({sl['b']}) /Popup 11 0 R >>"
+             .encode("latin-1")),
+        11: (f"<< /Type /Annot /Subtype /Popup /Parent 10 0 R "
+             f"/Rect [100 500 300 600] /Contents ({sl['b']}) >>"
+             .encode("latin-1")),
+        12: (f"<< /Type /Annot /Subtype /Highlight /Rect [72 600 "
+             f"300 620] /Contents ({sl['c']}) >>".encode("latin-1")),
+        13: (f"<< /Type /Annot /Subtype /Square /Rect [72 500 300 "
+             f"560] /Contents ({sl['d']}) >>".encode("latin-1")),
+    }
+    if not odd:
+        del bodies[13]
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 1\n0000000000 65535 f \n")
+    for num in sorted(bodies):
+        out.extend(f"{num} 1\n{offsets[num]:010d} 00000 n \n"
+                   .encode("latin-1"))
+    out.extend(f"trailer\n<< /Size {max(bodies) + 1} /Root 1 0 R "
+               f">>\n".encode("latin-1"))
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
 def build_pdf_nav(doc_id: int, text: str) -> bytes:
     """Two-page file with NAVIGATION structure: an /Outlines bookmark
     tree (top item -> page 1, nested child -> page 2 via /Dest, a
@@ -2392,6 +2478,49 @@ def pdf_link_table(files: DataFrame, bytes_col: str = "pdf",
                        F.col(bytes_col).alias("pdf"))
     return sel.mapInArrow(_parse,
                           schema="doc_id string, page int, uri string")
+
+
+def annot_table(files: DataFrame, bytes_col: str = "pdf",
+                id_col: str = "doc_id",
+                strict: bool = False) -> DataFrame:
+    """(doc_id, pdf) -> (doc_id, page, subtype, contents) for every
+    text-carrying annotation — map-only; reviewer markup becomes
+    corpus rows alongside the extracted spans."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.string()), ("page", pa.int32()),
+                        ("subtype", pa.string()),
+                        ("contents", pa.string())])
+
+    def _parse(batches: Iterator["pa.RecordBatch"]
+               ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            o_id, o_pg, o_sub, o_txt = [], [], [], []
+            for doc_id, blob in zip(ids, blobs):
+                try:
+                    rows = PdfFile(blob or b"").annotation_texts()
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for page, sub, txt in rows:
+                    o_id.append(doc_id)
+                    o_pg.append(page)
+                    o_sub.append(sub)
+                    o_txt.append(txt)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, type=pa.string()),
+                 pa.array(o_pg, type=pa.int32()),
+                 pa.array(o_sub, type=pa.string()),
+                 pa.array(o_txt, type=pa.string())], schema=schema)
+
+    sel = files.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(bytes_col).alias("pdf"))
+    return sel.mapInArrow(
+        _parse, schema="doc_id string, page int, subtype string, "
+                       "contents string")
 
 
 def acroform_table(files: DataFrame, bytes_col: str = "pdf",

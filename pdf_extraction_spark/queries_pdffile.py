@@ -467,6 +467,52 @@ FROM u ORDER BY doc_id, ord
 """
 
 
+def q_pdf_file_annots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-annotation extraction end-to-end (§12.5): /FreeText,
+    /Text, /Highlight, parity-conditional /Square rows with /Link and
+    /Popup excluded (operators/pdffile.build_pdf_annots) — reviewer
+    commentary that lives outside the content streams."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import annot_table, build_pdf_annots
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_annots(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    t = annot_table(files)
+    return t.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "page", "subtype", "contents") \
+        .orderBy("doc_id", "page", "subtype")
+
+
+_SQL_ANNOTS = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS page, 'FreeText' AS subtype,
+    {_R['a']} AS contents FROM b
+  UNION ALL SELECT doc_id, 0, 'Text', {_R['b']} FROM b
+  UNION ALL SELECT doc_id, 1, 'Highlight', {_R['c']} FROM b
+  UNION ALL SELECT doc_id, 1, 'Square', {_R['d']} FROM b
+  WHERE doc_id % 2 = 1)
+SELECT doc_id, CAST(page AS INT) AS page, subtype, contents
+FROM u ORDER BY doc_id, page, subtype
+"""
+
+
 def q_pdf_file_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded-file extraction (§7.11.4): /Names -> /EmbeddedFiles
     name tree (-> /Kids intermediates -> /Names leaves) -> filespec
@@ -520,6 +566,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_links": q_pdf_file_links,
     "pdf_file_attach": q_pdf_file_attach,
     "pdf_file_acroform": q_pdf_file_acroform,
+    "pdf_file_annots": q_pdf_file_annots,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -537,4 +584,5 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_links": _SQL_PDF_LINKS,
     "pdf_file_attach": _SQL_ATTACH,
     "pdf_file_acroform": _SQL_ACROFORM,
+    "pdf_file_annots": _SQL_ANNOTS,
 }

@@ -731,6 +731,32 @@ def test_acroform_fields(spark):
     assert got[("1", 4)] == ("approved", "Btn", "Off")
 
 
+def test_annotation_texts(spark):
+    """§12.5 markup annotations: /FreeText//Text//Highlight//Square
+    rows; /Link (no reviewer text) and /Popup (display twin of its
+    parent note) excluded."""
+    from pdf_extraction_spark.operators.pdffile import (
+        SLICES, PAD, PdfFile, annot_table, build_pdf_annots)
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    p = text + PAD
+    sl = {k: p[a - 1:a - 1 + n] for k, (a, n) in SLICES.items()}
+    assert PdfFile(build_pdf_annots(0, text)).annotation_texts() == [
+        (0, "FreeText", sl["a"]), (0, "Text", sl["b"]),
+        (1, "Highlight", sl["c"])]
+    assert PdfFile(build_pdf_annots(1, text)).annotation_texts() == [
+        (0, "FreeText", sl["a"]), (0, "Text", sl["b"]),
+        (1, "Highlight", sl["c"]), (1, "Square", sl["d"])]
+
+    df = spark.createDataFrame(
+        [(str(i), bytearray(build_pdf_annots(i, text)))
+         for i in range(4)], "doc_id string, pdf binary")
+    rows = annot_table(df).collect()
+    assert len(rows) == 3 * 4 + 2
+    assert {r.subtype for r in rows} == \
+        {"FreeText", "Text", "Highlight", "Square"}
+
+
 def test_meta_kernel(spark, file_docs):
     from pdf_extraction_spark.operators.pdffile import (
         build_pdf_files, file_meta)
