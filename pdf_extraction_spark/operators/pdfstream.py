@@ -82,6 +82,18 @@ _ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
             "(": "(", ")": ")", "\\": "\\"}
 _OCTAL_RE = re.compile(r"[0-7]{1,3}")
 
+# §7.3.5 name escapes: /T1#5F0 is the name "T1_0" — the file-layer
+# resource dict decodes them, so the content-stream side must too or
+# the font-map/XObject lookup silently misses.  Malformed #s (no two
+# hex digits) pass through unchanged, mirroring the object parser.
+_NAME_ESC_RE = re.compile(r"#([0-9A-Fa-f]{2})")
+
+
+def _decode_name(raw: str) -> str:
+    if "#" not in raw:
+        return raw
+    return _NAME_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), raw)
+
 # inline-image terminator (§8.9.7): the first EI delimited by
 # whitespace on both sides (or stream end) — the documented scanning
 # heuristic every reader uses, since the binary payload carries no
@@ -160,7 +172,7 @@ def lex_content(stream: str) -> Iterator[tuple[str, Any]]:
         if kind == "num":
             yield ("num", float(m.group(0)))
         elif kind == "name":
-            yield ("name", m.group(0)[1:])
+            yield ("name", _decode_name(m.group(0)[1:]))
         elif kind == "hex":
             h = re.sub(r"\s", "", m.group(0)[1:-1])
             if len(h) % 2:

@@ -157,6 +157,22 @@ def test_show_through_tounicode_cmap():
     assert runs[0][1] == "�"
 
 
+def test_name_hex_escapes_decode():
+    """§7.3.5 #xx escapes in content-stream names: /T1#5F0 must look
+    up the font-map entry registered as 'T1_0' (the file-layer
+    resource parser decodes escapes, so the lexer must match or the
+    lookup silently misses); malformed #s pass through."""
+    from pdf_extraction_spark.operators.pdfstream import lex_content
+
+    maps = {"T1_0": ({0x41: "Z"}, 1)}
+    runs = extract_runs("BT /T1#5F0 10 Tf (A) Tj ET", font_maps=maps)
+    assert runs[0][1] == "Z"
+    # media refs decode too; malformed escapes pass through
+    runs = extract_runs("q /Im#231 Do Q /Bad#G Do")
+    assert runs[0][2] == "Im#1" and runs[1][2] == "Bad#G"
+    assert list(lex_content("/A#20B")) == [("name", "A B")]
+
+
 def test_inline_image_raw_scans_to_delimited_EI():
     """§8.9.7: the ID..EI payload is raw binary, not stream syntax —
     lexer poison inside it (unbalanced parens, backslashes, operator
