@@ -115,7 +115,20 @@ def twin_lex(s: str):
             j = i + 1
             while j < n and s[j] not in WS and s[j] not in DELIM:
                 j += 1
-            yield ("name", s[i + 1:j])
+            raw = s[i + 1:j]
+            # §7.3.5 #xx escapes, spelled independently of the main
+            # lexer's regex (malformed #s pass through there too)
+            buf, k = [], 0
+            while k < len(raw):
+                pair = raw[k + 1:k + 3]
+                if raw[k] == "#" and len(pair) == 2 and all(
+                        ch in "0123456789abcdefABCDEF" for ch in pair):
+                    buf.append(chr(int(pair, 16)))
+                    k += 3
+                else:
+                    buf.append(raw[k])
+                    k += 1
+            yield ("name", "".join(buf))
             i = j
         else:
             if c in "+-0123456789.":
@@ -332,8 +345,13 @@ def gen_stream(rng) -> str:
         elif r < 0.2:
             parts.append("Q")
         elif r < 0.28:
-            parts.append(f"/X{rng.randrange(4)} Do"
-                         if rng.random() < 0.8 else "Do")
+            nm = rng.randrange(4)
+            if rng.random() < 0.25:  # §7.3.5 escape: /X#3n == /Xn
+                parts.append(f"/X#3{nm} Do")
+            elif rng.random() < 0.8:
+                parts.append(f"/X{nm} Do")
+            else:
+                parts.append("Do")
         elif r < 0.32:
             # inline image: binary payload full of lexer poison —
             # parens, backslashes, operator names, unguarded 'EI'
