@@ -731,6 +731,56 @@ def test_acroform_fields(spark):
     assert got[("1", 4)] == ("approved", "Btn", "Off")
 
 
+def test_type3_font_decodes_via_differences():
+    """§9.6.4 Type3 fonts (TeX/scanned output: glyphs are content
+    streams under /CharProcs) carry their code->glyph mapping in the
+    REQUIRED /Encoding /Differences — exactly the §9.6.5 path, so
+    their shown strings decode with no Type3-specific code.  The
+    /CharProcs drawings themselves are rendering-only and ignored."""
+    from pdf_extraction_spark.operators.pdffile import (
+        PdfFile, build_pdf_encoding)
+    from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+    blob = build_pdf_encoding(0, "x")
+    # rewrite the dict-encoded font object into a Type3 shell around
+    # the same /Differences (CharProcs/FontMatrix/BBox present, as a
+    # real Type3 dict would be)
+    blob = blob.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding 8 0 R >>",
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs << >> "
+        b"/Encoding 8 0 R >>")
+    pf = PdfFile(_reindex(blob))
+    maps = pf.page_font_maps()[0]
+    assert maps["FD"][0][36] == "€"  # Differences still compose
+    runs = extract_runs(pf.page_texts()[0], font_maps=maps)
+    assert runs[2][1].startswith("€•—« ")
+
+
+def _reindex(blob: bytes) -> bytes:
+    """Rebuild the classic xref of a hand-edited single-revision
+    fixture (object offsets move when a body changes length)."""
+    import re as _re
+
+    out = bytearray()
+    offsets = {}
+    body_end = blob.rindex(b"xref\n")
+    i = 0
+    for m in _re.finditer(rb"(\d+) 0 obj\n", blob[:body_end]):
+        num = int(m.group(1))
+        offsets[num] = m.start()
+    out += blob[:body_end]
+    xref_off = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num in sorted(offsets):
+        out += f"{num} 1\n{offsets[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size "
+            + str(max(offsets) + 1).encode() + b" /Root 1 0 R >>\n")
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
 def test_annotation_texts(spark):
     """§12.5 markup annotations: /FreeText//Text//Highlight//Square
     rows; /Link (no reviewer text) and /Popup (display twin of its
