@@ -82,6 +82,25 @@ class Ref(NamedTuple):
     gen: int
 
 
+def text_string(s: Any) -> str:
+    """§7.9.2.2 TEXT-string decode for metadata strings (titles,
+    field names/values, annotation contents, name-tree keys): parsed
+    strings arrive one latin-1 char per byte; a UTF-16BE BOM (or the
+    PDF 2.0 UTF-8 BOM) marks a unicode payload, anything else is
+    PDFDocEncoding (byte-identical to latin-1 over the range these
+    corpora use).  Content-stream strings never come here — their
+    bytes are font-encoded and decode via font maps instead."""
+    if not isinstance(s, str):
+        return "" if s is None else str(s)
+    if s.startswith("\xfe\xff"):
+        return s.encode("latin-1", "replace")[2:].decode(
+            "utf-16-be", "replace")
+    if s.startswith("\xef\xbb\xbf"):
+        return s.encode("latin-1", "replace")[3:].decode(
+            "utf-8", "replace")
+    return s
+
+
 class Name(str):
     """PDF name object (§7.3.5).  A ``str`` subclass so every
     consumer treats it as its text — the distinction only matters to
@@ -1101,7 +1120,8 @@ class PdfFile:
                     return
                 title = item.get("Title")
                 if isinstance(title, str):
-                    out.append((depth, str(title), dest_page(item)))
+                    out.append((depth, text_string(title),
+                                dest_page(item)))
                 if item.get("First") is not None:
                     walk(item["First"], depth + 1)
                 item_ref = item.get("Next")
@@ -1149,7 +1169,7 @@ class PdfFile:
                 contents = self.get(annot.get("Contents"))
                 if isinstance(contents, str) and contents:
                     out.append((idx, str(sub) if sub else "",
-                                str(contents)))
+                                text_string(contents)))
         return out
 
     def form_fields(self) -> list[tuple[str, str, str]]:
@@ -1177,6 +1197,8 @@ class PdfFile:
             if not isinstance(fd, dict):
                 return
             t = self.get(fd.get("T"))
+            if isinstance(t, str):
+                t = text_string(t)
             name = (f"{prefix}.{t}" if prefix and isinstance(t, str)
                     else str(t) if isinstance(t, str) else prefix)
             if fd.get("FT") is not None:
@@ -1197,7 +1219,8 @@ class PdfFile:
                     walk(k, name, ft, val)
             elif isinstance(t, str):
                 out.append((name, str(ft) if ft is not None else "",
-                            str(val) if val is not None else ""))
+                            text_string(val) if val is not None
+                            else ""))
 
         if isinstance(acro, dict):
             for f in self.get(acro.get("Fields")) or []:
@@ -1221,7 +1244,8 @@ class PdfFile:
         names = self.get(node.get("Names"))
         if isinstance(names, list):
             for i in range(0, len(names) - 1, 2):
-                out.append((str(self.get(names[i])), names[i + 1]))
+                out.append((text_string(self.get(names[i])),
+                            names[i + 1]))
         for kid in self.get(node.get("Kids")) or []:
             out.extend(self._name_tree(kid, seen))
         return out
@@ -2387,7 +2411,8 @@ def file_meta(files: DataFrame, bytes_col: str = "pdf",
                 cols[2].append(int(pf.get(pf.trailer.get("Size")) or 0))
                 cols[3].append(pf.xref_kind)
                 cols[4].append(pf.n_revisions)
-                cols[5].append(str(pf.info().get("Title", "")))
+                cols[5].append(text_string(
+                    pf.info().get("Title", "")))
                 cols[6].append(f1[0] if f1 else "none")
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, type=t) for c, (_, t) in zip(cols, fields)],

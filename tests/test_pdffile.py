@@ -781,6 +781,44 @@ def _reindex(blob: bytes) -> bytes:
     return bytes(out)
 
 
+def test_text_string_decode():
+    """§7.9.2.2: metadata strings with a UTF-16BE (or PDF 2.0 UTF-8)
+    BOM decode to unicode; everything else passes through as
+    PDFDocEncoding/latin-1 — end-to-end through an outline title and
+    an AcroForm value."""
+    from pdf_extraction_spark.operators.pdffile import (
+        PdfFile, build_pdf_acroform, build_pdf_nav, text_string)
+
+    assert text_string("\xfe\xff\x00A\x00B") == "AB"
+    assert text_string("\xfe\xff\x04\x14\x04\x3e\x04\x3a") == "Док"
+    assert text_string("\xef\xbb\xbf\xc3\xa9t\xc3\xa9") == "été"
+    assert text_string("plain (x)") == "plain (x)"
+    assert text_string(None) == ""
+
+    def u16(s: str) -> bytes:
+        from pdf_extraction_spark.operators.pdffile import _lit_bytes
+        return _lit_bytes(b"\xfe\xff" + s.encode("utf-16-be"))
+
+    text = "Comments: attic vent blocked " * 4
+    blob = build_pdf_nav(0, text)
+    # swap the first outline title for a UTF-16BE payload of the
+    # same on-disk length story (offsets rebuilt below)
+    old = blob[blob.index(b"/Title (") + 7:]
+    old = old[:old.index(b" /Parent")]
+    blob = blob.replace(b"/Title " + old,
+                        b"/Title " + u16("Раздел 1"), 1)
+    pf = PdfFile(_reindex(blob))
+    assert pf.outlines()[0][1] == "Раздел 1"
+
+    blob = build_pdf_acroform(0, text)
+    i = blob.index(b"/T (owner) /FT /Tx /V (")
+    end = blob.index(b") >>", i)
+    blob = blob[:i] + b"/T (owner) /FT /Tx /V " + u16("café 9") \
+        + blob[end + 1:]
+    pf = PdfFile(_reindex(blob))
+    assert pf.form_fields()[0] == ("owner", "Tx", "café 9")
+
+
 def test_annotation_texts(spark):
     """§12.5 markup annotations: /FreeText//Text//Highlight//Square
     rows; /Link (no reviewer text) and /Popup (display twin of its

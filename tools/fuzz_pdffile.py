@@ -587,14 +587,20 @@ def add_acroform(w: Writer, rng: random.Random, root_extra: list
     fid = [0]
 
     def lit(num: int, s: str) -> bytes:
-        data = s.encode("latin-1")
+        if any(ord(c) > 0x7E for c in s):  # §7.9.2.2 unicode payload
+            data = b"\xfe\xff" + s.encode("utf-16-be")
+        else:
+            data = s.encode("latin-1")
         if w.fkey is not None:
             data = w.enc_bytes(num, data)
         return _lit_bytes(data)
 
     def rand_val(rng: random.Random) -> str:
         n = rng.randrange(0, 25)
-        return "".join(rng.choice(CHARS) for _ in range(n))
+        v = "".join(rng.choice(CHARS) for _ in range(n))
+        if rng.random() < 0.2:  # unicode value -> UTF-16BE on disk
+            v += rng.choice(["é", "Δ", "Ж", "—", "日"])
+        return v
 
     def make_field(depth: int, prefix: str, inh_ft: str | None,
                    inh_val: str | None) -> int:
@@ -678,6 +684,9 @@ def add_nav(w: Writer, rng: random.Random, root_extra: list,
             nums.append(num)
             title = f"t{num} " + "".join(
                 rng.choice("ab (c) \\d") for _ in range(6))
+            u16 = rng.random() < 0.25  # §7.9.2.2 unicode title
+            if u16:
+                title += rng.choice(["é", "Δ", "Ж", "—", "日"])
             page_i = rng.randrange(-1, len(page_obj_nums))
             # pre-order append: this row, then (maybe) its children
             # via the recursive call below, then the next sibling —
@@ -699,8 +708,10 @@ def add_nav(w: Writer, rng: random.Random, root_extra: list,
                     kids = (f" /First {child_nums[0]} 0 R "
                             f"/Last {child_nums[-1]} 0 R "
                             f"/Count {len(child_nums)}").encode()
+            raw = (b"\xfe\xff" + title.encode("utf-16-be")) if u16 \
+                else title.encode("latin-1")
             w.bodies[num] = (
-                b"<< /Title " + lit(num, title.encode("latin-1"))
+                b"<< /Title " + lit(num, raw)
                 + dest + kids + b" >>")
         # link siblings
         for i, num in enumerate(nums):
