@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .validation_rules import validation_columns
+from .validation_rules import with_validation
 
 # per-case templates: (labor, materials, permits, total) bound pairs as
 # expression strings over b (None = component absent), plus scalar fields
@@ -141,17 +141,20 @@ def q_estimate_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("orders")
     flat = spark.sql("WITH " + _synth_sql("spark") + " SELECT * FROM flat")
     c = F.col
-    return flat.select(
+    out = with_validation(
+        flat,
+        c("labor_min"), c("labor_max"),
+        c("materials_min"), c("materials_max"),
+        c("permits_min"), c("permits_max"),
+        c("total_min"), c("total_max"),
+        c("confidence"), c("confidence_reasoning"),
+        c("timeline_min_days"), c("timeline_max_days"),
+        c("contractor_type"), c("urgency"),
+        c("category"), c("description"))
+    return out.select(
         c("k").alias("est_key"), c("m").alias("case_id"),
-        *validation_columns(
-            c("labor_min"), c("labor_max"),
-            c("materials_min"), c("materials_max"),
-            c("permits_min"), c("permits_max"),
-            c("total_min"), c("total_max"),
-            c("confidence"), c("confidence_reasoning"),
-            c("timeline_min_days"), c("timeline_max_days"),
-            c("contractor_type"), c("urgency"),
-            c("category"), c("description")))
+        "valid", "action", "n_errors", "n_warnings", "auto_corrected",
+        "total_min_final", "total_max_final", "adj_factor")
 
 
 def _sql_estimate_validate() -> str:

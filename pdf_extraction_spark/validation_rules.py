@@ -380,7 +380,7 @@ def validate_batch(estimates: list[dict],
 # Catalyst column-expression form (the scale path; auto_correct=True)
 # ---------------------------------------------------------------------------
 
-def validation_columns(
+def _cascade_parts(
     labor_min: Column, labor_max: Column,
     materials_min: Column, materials_max: Column,
     permits_min: Column, permits_max: Column,
@@ -389,18 +389,26 @@ def validation_columns(
     timeline_min_days: Column, timeline_max_days: Column,
     contractor_type: Column, urgency: Column,
     category: Column, description: Column,
-) -> list[Column]:
-    """The full decision cascade as column expressions (one row per
-    estimate; a NULL component bound pair means the component is absent).
+):
+    """The decision cascade split at its natural reuse frontier.
 
-    Outputs: valid boolean, action string, n_errors int, n_warnings int,
-    auto_corrected boolean, total_min_final / total_max_final double
-    (post swap -> component-sum correction -> confidence widening; NULL
-    for reject/recalculate/regenerate outcomes), adj_factor double.
+    Returns ``(mid, finish)``: ``mid`` is a dict of the eleven
+    intermediate columns every output re-reads (range-error count,
+    component-sum verdict, post-correction totals, warning tally,
+    widening factor, outcome flags), ``finish(refs)`` builds the eight
+    output columns from any mapping with those keys — the raw Columns
+    themselves (one-shot inlined form) or ``F.col`` references to a
+    projection that materialized them (staged form).
 
-    At 10^12 estimates this is one narrow projection — no shuffle, no
-    UDF, whole-stage codegen; the python core above is the per-batch
-    twin for drivers that need the full result object.
+    The split exists because Column reuse in pyspark is TREE reuse:
+    inlining ``mid`` into all eight outputs multiplies the shared
+    subtrees until the single generated ``project_doConsume`` method
+    passes janino's 64 KB bytecode limit and the whole projection
+    silently falls back to interpreted evaluation (observed at the
+    sf0.01 gate: a 2.6k-line generated class, `Code grows beyond
+    64 KB`, ~6s interpreted vs ~1s compiled). Materializing the
+    frontier keeps every generated method small so whole-stage
+    codegen actually engages at scale.
     """
     comps = {
         "labor": (labor_min, labor_max),
@@ -527,61 +535,143 @@ def validation_columns(
     # final totals: math correction first, then confidence widening
     fin_min = F.when(math_bad, exp_min).otherwise(act_min)
     fin_max = F.when(math_bad, exp_max).otherwise(act_max)
-    mid = (fin_min + fin_max) / 2
-    adj_applies = adj_factor.isNotNull() & ((fin_min > 0) | (fin_max > 0))
-    a_min_raw = F.greatest(z, mid * (1 - adj_factor))
-    a_max_raw = mid * (1 + adj_factor)
-    a_ratio = F.when(a_min_raw > 0, a_max_raw / a_min_raw).otherwise(z)
-    a_min = F.when(a_ratio < MIN_RANGE_RATIO, mid * 0.75) \
-        .when(a_ratio > 4.0, mid * 0.5).otherwise(a_min_raw)
-    a_max = F.when(a_ratio < MIN_RANGE_RATIO, mid * 1.25) \
-        .when(a_ratio > 4.0, mid * 2.0).otherwise(a_max_raw)
-    adj_min = F.when(adj_applies, F.round(a_min, 2)).otherwise(fin_min)
-    adj_max = F.when(adj_applies, F.round(a_max, 2)).otherwise(fin_max)
 
-    missing_cost = ~any_comp
-    missing_total = any_comp & ~present["total"]
-    extreme = t_max > EXTREME_COST_THRESHOLD
+    mid = {
+        "n_range_errors": n_range_errors,
+        "n_errors_late": n_errors_late,
+        "math_bad": math_bad,
+        "fin_min": fin_min,
+        "fin_max": fin_max,
+        "n_warn_base": n_warn_base,
+        "adj_factor": adj_factor,
+        "should_review": should_review,
+        "missing_cost": ~any_comp,
+        "missing_total": any_comp & ~present["total"],
+        "extreme": t_max > EXTREME_COST_THRESHOLD,
+    }
 
-    # outcome cascade, in reference check order
-    action = (
-        F.when(missing_cost, F.lit(REGENERATE))
-        .when(missing_total, F.lit(RECALCULATE))
-        .when(extreme, F.lit(REJECT))
-        .when(n_errors_late > 0, F.lit(FLAG_FOR_REVIEW))
-        .when(should_review, F.lit(FLAG_FOR_REVIEW))
-        .otherwise(F.lit(ACCEPT)))
-    valid = ~(missing_cost | missing_total | extreme | (n_errors_late > 0))
-    n_errors = (
-        F.when(missing_cost, F.lit(1))
-        .when(missing_total, n_range_errors + 1)
-        .when(extreme, F.lit(1))
-        .when(n_errors_late > 0, n_errors_late)
-        .otherwise(F.lit(0)))
-    # error-result constructor drops warnings; invalid flag_for_review
-    # keeps them; the valid low-confidence path appends the adjust warning
-    n_warnings = (
-        F.when(missing_cost | missing_total | extreme, F.lit(0))
-        .when(n_errors_late > 0, n_warn_base)
-        .otherwise(n_warn_base
-                   + F.when(adj_factor.isNotNull(), 1).otherwise(0)))
-    auto_corrected = F.when(
-        missing_cost | missing_total | extreme, F.lit(False)) \
-        .otherwise((n_range_errors > 0) | math_bad)
-    carries_estimate = ~(missing_cost | missing_total | extreme)
-    out_min = F.when(carries_estimate & valid, adj_min) \
-        .when(carries_estimate, fin_min)
-    out_max = F.when(carries_estimate & valid, adj_max) \
-        .when(carries_estimate, fin_max)
-    out_factor = F.when(valid, adj_factor)
+    def finish(v) -> list[Column]:
+        fin_min, fin_max = v["fin_min"], v["fin_max"]
+        adj_factor = v["adj_factor"]
+        n_range_errors = v["n_range_errors"]
+        n_errors_late = v["n_errors_late"]
+        n_warn_base = v["n_warn_base"]
+        missing_cost = v["missing_cost"]
+        missing_total = v["missing_total"]
+        extreme = v["extreme"]
 
-    return [
-        valid.alias("valid"),
-        action.alias("action"),
-        n_errors.cast("long").alias("n_errors"),
-        n_warnings.cast("long").alias("n_warnings"),
-        auto_corrected.alias("auto_corrected"),
-        out_min.cast("double").alias("total_min_final"),
-        out_max.cast("double").alias("total_max_final"),
-        out_factor.cast("double").alias("adj_factor"),
-    ]
+        mid_pt = (fin_min + fin_max) / 2
+        adj_applies = adj_factor.isNotNull() \
+            & ((fin_min > 0) | (fin_max > 0))
+        a_min_raw = F.greatest(z, mid_pt * (1 - adj_factor))
+        a_max_raw = mid_pt * (1 + adj_factor)
+        a_ratio = F.when(a_min_raw > 0, a_max_raw / a_min_raw).otherwise(z)
+        a_min = F.when(a_ratio < MIN_RANGE_RATIO, mid_pt * 0.75) \
+            .when(a_ratio > 4.0, mid_pt * 0.5).otherwise(a_min_raw)
+        a_max = F.when(a_ratio < MIN_RANGE_RATIO, mid_pt * 1.25) \
+            .when(a_ratio > 4.0, mid_pt * 2.0).otherwise(a_max_raw)
+        adj_min = F.when(adj_applies, F.round(a_min, 2)).otherwise(fin_min)
+        adj_max = F.when(adj_applies, F.round(a_max, 2)).otherwise(fin_max)
+
+        # outcome cascade, in reference check order
+        action = (
+            F.when(missing_cost, F.lit(REGENERATE))
+            .when(missing_total, F.lit(RECALCULATE))
+            .when(extreme, F.lit(REJECT))
+            .when(n_errors_late > 0, F.lit(FLAG_FOR_REVIEW))
+            .when(v["should_review"], F.lit(FLAG_FOR_REVIEW))
+            .otherwise(F.lit(ACCEPT)))
+        valid = ~(missing_cost | missing_total | extreme
+                  | (n_errors_late > 0))
+        n_errors = (
+            F.when(missing_cost, F.lit(1))
+            .when(missing_total, n_range_errors + 1)
+            .when(extreme, F.lit(1))
+            .when(n_errors_late > 0, n_errors_late)
+            .otherwise(F.lit(0)))
+        # error-result constructor drops warnings; invalid
+        # flag_for_review keeps them; the valid low-confidence path
+        # appends the adjust warning
+        n_warnings = (
+            F.when(missing_cost | missing_total | extreme, F.lit(0))
+            .when(n_errors_late > 0, n_warn_base)
+            .otherwise(n_warn_base
+                       + F.when(adj_factor.isNotNull(), 1).otherwise(0)))
+        auto_corrected = F.when(
+            missing_cost | missing_total | extreme, F.lit(False)) \
+            .otherwise((n_range_errors > 0) | v["math_bad"])
+        carries_estimate = ~(missing_cost | missing_total | extreme)
+        out_min = F.when(carries_estimate & valid, adj_min) \
+            .when(carries_estimate, fin_min)
+        out_max = F.when(carries_estimate & valid, adj_max) \
+            .when(carries_estimate, fin_max)
+        out_factor = F.when(valid, adj_factor)
+
+        return [
+            valid.alias("valid"),
+            action.alias("action"),
+            n_errors.cast("long").alias("n_errors"),
+            n_warnings.cast("long").alias("n_warnings"),
+            auto_corrected.alias("auto_corrected"),
+            out_min.cast("double").alias("total_min_final"),
+            out_max.cast("double").alias("total_max_final"),
+            out_factor.cast("double").alias("adj_factor"),
+        ]
+
+    return mid, finish
+
+
+def validation_columns(
+    labor_min: Column, labor_max: Column,
+    materials_min: Column, materials_max: Column,
+    permits_min: Column, permits_max: Column,
+    total_min: Column, total_max: Column,
+    confidence: Column, confidence_reasoning: Column,
+    timeline_min_days: Column, timeline_max_days: Column,
+    contractor_type: Column, urgency: Column,
+    category: Column, description: Column,
+) -> list[Column]:
+    """The full decision cascade as ONE-SHOT column expressions (one row
+    per estimate; a NULL component bound pair means the component is
+    absent).
+
+    Outputs: valid boolean, action string, n_errors int, n_warnings int,
+    auto_corrected boolean, total_min_final / total_max_final double
+    (post swap -> component-sum correction -> confidence widening; NULL
+    for reject/recalculate/regenerate outcomes), adj_factor double.
+
+    NOTE (scale path): inlining the shared intermediates into all eight
+    outputs makes the single generated projection method exceed janino's
+    64 KB limit, so Spark evaluates this form INTERPRETED (correct, ~6×
+    slower, one scary `CodeGenerator: Failed to compile` per plan). Use
+    ``with_validation`` for the hot path — it stages the same cascade
+    across two projections that stay inside whole-stage codegen.
+    """
+    mid, finish = _cascade_parts(
+        labor_min, labor_max, materials_min, materials_max,
+        permits_min, permits_max, total_min, total_max,
+        confidence, confidence_reasoning,
+        timeline_min_days, timeline_max_days,
+        contractor_type, urgency, category, description)
+    return finish(mid)
+
+
+def with_validation(df, *cols: Column):
+    """Append the eight validation output columns to ``df`` (the C22
+    scale path; reference src/validation/estimation_validator.py).
+
+    ``cols`` are the sixteen input columns in ``validation_columns``
+    order. The cascade runs as two stacked projections: the first
+    materializes the eleven shared intermediates under ``__val_*``
+    names, the second computes the outputs from those references and
+    drops the scratch columns. Catalyst keeps the stages separate
+    (CollapseProject declines to inline a non-cheap alias referenced
+    more than once), so every generated method stays under janino's
+    64 KB limit and the whole pipeline remains codegen'd — one narrow
+    map-only pass, no shuffle, no Python.
+    """
+    mid, finish = _cascade_parts(*cols)
+    scratch = {f"__val_{k}": c for k, c in mid.items()}
+    staged = df.withColumns(scratch)
+    refs = {k: F.col(f"__val_{k}") for k in mid}
+    return staged.select(*df.columns, *finish(refs))

@@ -185,22 +185,16 @@ def test_columnar_matches_python_core(spark):
     orders.createOrReplaceTempView("orders")
     flat = spark.sql("WITH " + _synth_sql("spark") + " SELECT * FROM flat")
     c = F.col
-    got = flat.select(
-        "k", flat["m"],
-        *[c(f) for f, _ in
-          [("labor_min", 0), ("labor_max", 0), ("materials_min", 0),
-           ("materials_max", 0), ("permits_min", 0), ("permits_max", 0),
-           ("total_min", 0), ("total_max", 0), ("confidence", 0),
-           ("confidence_reasoning", 0), ("timeline_min_days", 0),
-           ("timeline_max_days", 0), ("contractor_type", 0),
-           ("urgency", 0), ("category", 0), ("description", 0)]],
-        *vr.validation_columns(
-            c("labor_min"), c("labor_max"), c("materials_min"),
-            c("materials_max"), c("permits_min"), c("permits_max"),
-            c("total_min"), c("total_max"), c("confidence"),
-            c("confidence_reasoning"), c("timeline_min_days"),
-            c("timeline_max_days"), c("contractor_type"), c("urgency"),
-            c("category"), c("description"))).collect()
+    # the staged scale path (with_validation keeps the input columns,
+    # which _flat_to_estimate reads back out of each row)
+    got = vr.with_validation(
+        flat,
+        c("labor_min"), c("labor_max"), c("materials_min"),
+        c("materials_max"), c("permits_min"), c("permits_max"),
+        c("total_min"), c("total_max"), c("confidence"),
+        c("confidence_reasoning"), c("timeline_min_days"),
+        c("timeline_max_days"), c("contractor_type"), c("urgency"),
+        c("category"), c("description")).collect()
 
     for r in got:
         row = r.asDict()
