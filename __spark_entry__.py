@@ -87,14 +87,16 @@ _DRIVER_WINDOW_R5 = [
     "media_features", "tables", "raw_sections", "property_meta",
     "severity_normalize", "action_normalize", "urgency_score",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
-    "estimate_validate", "attributes", "cleaning", "quality_routing",
+    "estimate_validate", "attributes", "cleaning", "pdf_kerned",
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains", "pdf_runs", "pdf_spans",
     # whole-PDF-file layer (landed after the r04 window freeze);
-    # price_parse, ngram_shingles and knn_vote dropped to stay at
-    # 50 — all three carry r03 driver rows (and overlap tables /
-    # jaccard_pairs / cosine_topk respectively)
+    # price_parse, ngram_shingles, knn_vote and quality_routing
+    # dropped to stay at 50 — all four carry r03 driver rows (and
+    # overlap tables / jaccard_pairs / cosine_topk / boilerplate);
+    # pdf_kerned (gap-aware word joins, landed late r04) takes the
+    # freed slot
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
     "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
     "pdf_file_encrypted", "pdf_file_outline", "pdf_file_links",

@@ -83,12 +83,27 @@ def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
                            (F.sum(new_line).over(cum) - 1).cast("long"))
 
 
-def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
+def assemble_lines(runs_with_lines: DataFrame,
+                   space_frac: float | None = None) -> DataFrame:
     """Lines from line-assigned runs: text joined left-to-right,
     enclosing bbox, max run font size (null when runs carry none) and —
     when the corpus carries a ``font`` name column — the line's
     dominant font (the name on the largest run, size ties broken by
-    name: a deterministic max over (size, font))."""
+    name: a deterministic max over (size, font)).
+
+    ``space_frac=None`` (default) joins member texts with single spaces
+    — the contract for positioned-WORD corpora (pdfplumber
+    ``extract_words`` output), where every run boundary IS a word
+    boundary.  A float enables gap-aware joining for positioned-RUN
+    corpora (PDF show-string fragments): a space is inserted between
+    consecutive runs only when the horizontal gap (next ``x0`` minus
+    the running max right edge) exceeds ``space_frac`` × the larger of
+    the two runs' ``size`` — the pdfplumber ``x_tolerance`` semantic,
+    em-relative so one threshold serves 9pt footnotes and 18pt
+    headings.  A kerned TJ split mid-word ((W) -120 (orld)) stays one
+    word; an inter-word kern or Td hop still reads as a space.  Runs
+    without a ``size`` column fall back to threshold 0 (any positive
+    gap separates words)."""
     has_size = "size" in runs_with_lines.columns
     size_agg = (F.max("size") if has_size
                 else F.lit(None).cast("double")).alias("max_size")
@@ -100,12 +115,38 @@ def assemble_lines(runs_with_lines: DataFrame) -> DataFrame:
             sz.alias("s"),
             F.coalesce(F.col("font"), F.lit("")).alias("f")))["f"]
             .alias("font"))
-    parts = F.array_sort(F.collect_list(F.struct("x0", "text")))
+    if space_frac is None:
+        parts = F.array_sort(F.collect_list(F.struct("x0", "text")))
+        text = F.array_join(
+            F.transform(parts, lambda s: s["text"]), " ")
+    else:
+        rsz = (F.coalesce(F.col("size"), F.lit(0.0)) if has_size
+               else F.lit(0.0))
+        parts = F.array_sort(F.collect_list(F.struct(
+            F.col("x0"), F.col("x1"), rsz.alias("sz"), F.col("text"))))
+        head = F.element_at(parts, 1)
+        rest = F.slice(parts, 2,
+                       F.greatest(F.size(parts) - 1, F.lit(0)))
+        acc0 = F.struct(head["text"].alias("t"),
+                        head["x1"].alias("px"), head["sz"].alias("ps"))
+        # fold left-to-right carrying (text, running max right edge,
+        # previous size); per-group arrays are line-sized, so the
+        # lambda runs over a handful of elements per row
+        text = F.aggregate(
+            rest, acc0,
+            lambda a, s: F.struct(
+                F.concat(
+                    a["t"],
+                    F.when(s["x0"] - a["px"]
+                           > F.lit(float(space_frac))
+                           * F.greatest(a["ps"], s["sz"]),
+                           F.lit(" ")).otherwise(F.lit("")),
+                    s["text"]).alias("t"),
+                F.greatest(a["px"], s["x1"]).alias("px"),
+                s["sz"].alias("ps")))["t"]
     return (runs_with_lines
             .groupBy("doc_id", "line_id")
-            .agg(F.array_join(
-                     F.transform(parts, lambda s: s["text"]), " ")
-                 .alias("text"),
+            .agg(text.alias("text"),
                  F.min("x0").alias("x0"), F.min("y0").alias("y0"),
                  F.max("x1").alias("x1"), F.max("y1").alias("y1"),
                  size_agg,
@@ -147,7 +188,8 @@ def modal_font_size(runs: DataFrame) -> DataFrame:
 def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
                        gap_tol: float = 10.0,
                        size_slack: float = 0.5,
-                       with_headings: bool = True) -> DataFrame:
+                       with_headings: bool = True,
+                       space_frac: float | None = None) -> DataFrame:
     """Full layout parse: runs -> (doc_id, block_id, line_id, text, bbox,
     n_runs, is_heading).  One row per LINE, block-assigned, in reading
     order; heading-ness is per line (a block's first line may head a
@@ -157,7 +199,7 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
     ``size`` attribute (the same schema-tolerant fallback contract as
     C2/C3: fontless corpora get fontless semantics).
     """
-    lines = assemble_lines(cluster_lines(runs, y_tol))
+    lines = assemble_lines(cluster_lines(runs, y_tol), space_frac)
     blocks = cluster_blocks(lines, gap_tol)
     if with_headings and "size" in runs.columns:
         mode = modal_font_size(runs)
@@ -176,7 +218,8 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
 
 def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
                     gap_tol: float = 10.0,
-                    with_fonts: bool = False) -> DataFrame:
+                    with_fonts: bool = False,
+                    space_frac: float | None = None) -> DataFrame:
     """The bridge from a raw positioned-run corpus to the contract span
     rows the extraction plans consume: text runs are layout-parsed into
     blocks (one span of kind 'text' per block), rows with a non-null
@@ -203,7 +246,8 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     # select below, so skip the modal-font groupBy + join they'd cost
     blocks = block_text(reconstruct_blocks(
         text_runs.drop(*(["media_ref"] if has_media else [])),
-        y_tol, gap_tol, with_headings=False), with_size=with_fonts)
+        y_tol, gap_tol, with_headings=False, space_frac=space_frac),
+        with_size=with_fonts)
     nul = F.lit(None).cast("string")
     if with_fonts:
         attrs = [F.col("font") if "font" in blocks.columns else

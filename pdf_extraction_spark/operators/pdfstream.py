@@ -610,7 +610,8 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  y_tol: float = 3.0, gap_tol: float = 10.0,
                  with_fonts: bool = False,
                  page_col: str | None = None,
-                 maps_col: str | None = None) -> DataFrame:
+                 maps_col: str | None = None,
+                 space_frac: float | None = 0.3) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -625,6 +626,14 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     span struct — ``plans/extraction.py explode_spans`` then derives
     bold/italic formatting priority (bold names, size > 12pt, italic
     names) end-to-end from the raw content stream.
+
+    ``space_frac`` (default 0.3) is the em-relative word-gap threshold
+    forwarded to line assembly: consecutive show-string runs on a line
+    join WITHOUT a space unless the horizontal gap between them
+    exceeds ``space_frac`` × font size (pdfplumber's ``x_tolerance``
+    semantic) — so a kerned TJ split mid-word stays one word while
+    inter-word kerns and Td hops still separate.  ``None`` restores
+    the positioned-word contract (every run boundary a word boundary).
 
     ``page_col`` names an optional page-number column for corpora that
     arrive one content stream per PAGE (real PDFs): each page is
@@ -663,7 +672,8 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
             tokenize_streams(docs, stream_col, id_col,
                              maps_col=maps_col), page_height)
     span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
-                                with_fonts=with_fonts)
+                                with_fonts=with_fonts,
+                                space_frac=space_frac)
     if page_col is not None:
         w = Window.partitionBy("real_doc").orderBy("page", "offset")
         span_rows = span_rows.select(

@@ -177,8 +177,89 @@ u AS (
   UNION ALL SELECT doc_id, 4, 'media', '', 'Img1' FROM s WHERE c = 1
   UNION ALL SELECT doc_id, 4 + c, 'media', '', 'Fig0' FROM s
   UNION ALL SELECT doc_id, 5 + c, 'text',
-    {_TRAILER_SQL} || ' HEX!', '' FROM s)
+    {_TRAILER_SQL} || 'HEX!', '' FROM s)
 SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text, media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+# ------------------------------------------------- kerned word gate
+
+# fixed-length slices (the pad guarantees every slice is full), so all
+# advances below are compile-time constants: size 8 -> 4.0/char,
+# size 10 -> 5.0/char
+_K_SLICES = {"k1": (1, 10), "k2": (11, 10), "k3": (21, 10),
+             "a1": (31, 12), "a2": (43, 12),
+             "b1": (55, 8), "b2": (63, 8)}
+
+
+def _kern_stream_expr() -> str:
+    """Three lines probing the gap-aware word-join rule end to end:
+
+    - [(k1) -250 (k2) -1000 (k3)] TJ at 8pt: the -250 kern shifts
+      +2.0pt (< 0.3 em = 2.4) -> k1k2 stays ONE word; the -1000 kern
+      shifts +8.0pt (> 2.4) -> a word break before k3.
+    - (a1) Tj /F2 10 Tf (a2) Tj: font switch mid-line at gap 0 ->
+      one word spanning two fonts/sizes (threshold = 0.3 x max size).
+    - (b1) Tj then an absolute Tm hop leaving a 12pt gap -> a space
+      even with no space glyph anywhere on the line.
+    """
+    e = {k: _esc(f"substr(p, {a}, {n})")
+         for k, (a, n) in _K_SLICES.items()}
+    return f"""
+  'BT /F1 8 Tf 72 700 Td [(' || {e['k1']} || ') -250 ('
+  || {e['k2']} || ') -1000 (' || {e['k3']} || ')] TJ '
+  || '0 -40 Td (' || {e['a1']} || ') Tj /F2 10 Tf ('
+  || {e['a2']} || ') Tj '
+  || '/F1 8 Tf 1 0 0 1 72 600 Tm (' || {e['b1']}
+  || ') Tj 1 0 0 1 116 600 Tm (' || {e['b2']} || ') Tj ET'
+""".strip()
+
+
+def q_pdf_kerned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware word joining on kerned/font-split show strings
+    (operators/layout.py assemble_lines space_frac — the pdfplumber
+    x_tolerance semantic): TJ kerns inside a word must NOT synthesize
+    spaces, inter-word kerns and Tm hops MUST, via the default
+    ``pdf_to_spans`` path."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        F.expr(f"COALESCE(text, '') || '{_PAD}'").alias("p")) \
+        .select("doc_id", F.expr(_kern_stream_expr()).alias("stream"))
+    spans = pdf_to_spans(docs)
+    e = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+def _k_sql_slices() -> str:
+    cols = ", ".join(f"substr(p, {a}, {n}) AS {k}"
+                     for k, (a, n) in _K_SLICES.items())
+    return f"""
+b AS (SELECT doc_id, COALESCE(text, '') || '{_PAD}' AS p
+      FROM documents),
+s AS (SELECT doc_id, {cols} FROM b)
+""".strip()
+
+
+# expected spans in closed form: line tops 84 / 122 / 184 are >10pt
+# apart, so each line is its own block (offsets 0..2); the joins are
+# the gap rule applied to the constant geometry in _kern_stream_expr
+_SQL_PDF_KERNED = f"""
+WITH {_k_sql_slices()},
+u AS (
+  SELECT doc_id, 0 AS off, k1 || k2 || ' ' || k3 AS t FROM s
+  UNION ALL SELECT doc_id, 1, a1 || a2 FROM s
+  UNION ALL SELECT doc_id, 2, b1 || ' ' || b2 FROM s)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", 'text' AS kind,
+       t AS text, '' AS media_ref
 FROM u ORDER BY doc_id, "offset"
 """
 
@@ -186,9 +267,11 @@ FROM u ORDER BY doc_id, "offset"
 QUERIES_PDF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_runs": q_pdf_runs,
     "pdf_spans": q_pdf_spans,
+    "pdf_kerned": q_pdf_kerned,
 }
 
 ORACLES_PDF: dict[str, str] = {
     "pdf_runs": _SQL_PDF_RUNS,
     "pdf_spans": _SQL_PDF_SPANS,
+    "pdf_kerned": _SQL_PDF_KERNED,
 }

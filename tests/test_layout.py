@@ -149,3 +149,37 @@ def test_layout_plan_has_no_cartesian_product(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_aware_join_kerned_fragments_stay_one_word(spark):
+    # space_frac=0.3 at size 10 -> threshold 3pt: B/C abut or sit
+    # inside A's extent (the running MAX right edge, not the previous
+    # run's x1, is the reference), D sits 4pt past it -> one space
+    rows = [
+        (1, "A", 0.0, 0.0, 100.0, 10.0, 10.0),
+        (1, "B", 40.0, 0.0, 60.0, 10.0, 10.0),   # contained in A
+        (1, "C", 61.0, 0.0, 70.0, 10.0, 10.0),   # 1pt past B, inside A
+        (1, "D", 104.0, 0.0, 110.0, 10.0, 10.0),  # 4pt past A's edge
+    ]
+    gap = reconstruct_blocks(_runs(spark, rows),
+                             space_frac=0.3).collect()
+    assert [r.text for r in gap] == ["ABC D"]
+    # default (positioned-word contract): every boundary is a word gap
+    legacy = reconstruct_blocks(_runs(spark, rows)).collect()
+    assert [r.text for r in legacy] == ["A B C D"]
+
+
+def test_gap_aware_threshold_uses_larger_neighbor_size(spark):
+    # 8pt run then 16pt run with a 4pt gap: threshold is
+    # 0.3 x max(8, 16) = 4.8 -> joined; with equal 8pt sizes the same
+    # gap (> 2.4) separates
+    mixed = reconstruct_blocks(_runs(spark, [
+        (1, "big", 0.0, 0.0, 50.0, 16.0, 16.0),
+        (1, "small", 54.0, 1.0, 70.0, 9.0, 8.0),
+    ]), space_frac=0.3).collect()
+    assert [r.text for r in mixed] == ["bigsmall"]
+    flat = reconstruct_blocks(_runs(spark, [
+        (1, "one", 0.0, 0.0, 50.0, 8.0, 8.0),
+        (1, "two", 54.0, 0.0, 70.0, 8.0, 8.0),
+    ]), space_frac=0.3).collect()
+    assert [r.text for r in flat] == ["one two"]

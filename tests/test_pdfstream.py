@@ -418,7 +418,10 @@ def test_gate_queries_smoke(spark):
         assert [s.offset for s in ss] == list(range(len(ss)))
         assert len(ss) == 6 + (1 if doc_id % 3 == 0 else 0)
         assert ss[1].text.count("\n") == 2          # 3-line body block
-        assert ss[-1].text.endswith(" HEX!")        # same-line join
+        # same-line join: the HEX run starts exactly where the "
+        # advance left off (gap 0), so the gap-aware rule reads the
+        # pair as ONE word — no synthesized space
+        assert ss[-1].text.endswith("finHEX!")
         assert [s.media_ref for s in ss if s.kind == "media"][-1] == "Fig0"
 
 
