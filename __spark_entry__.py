@@ -80,7 +80,7 @@ _DRIVER_WINDOW = [
 # rotate, point _driver_order at this list.  Every name then carries a
 # driver row from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
-    "status_detect", "sections", "segmentation", "priority",
+    "status_detect", "sections", "segmentation", "pdf_file_widths",
     "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
@@ -96,7 +96,8 @@ _DRIVER_WINDOW_R5 = [
     # dropped to stay at 50 — all four carry r03 driver rows (and
     # overlap tables / jaccard_pairs / cosine_topk / boilerplate);
     # pdf_kerned (gap-aware word joins, landed late r04) takes the
-    # freed slot
+    # freed slot; pdf_file_widths (per-glyph /Widths metrics)
+    # displaces priority (r03-green, font_priority supersets it)
     "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
     "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
     "pdf_file_encrypted", "pdf_file_outline", "pdf_file_links",

@@ -1287,9 +1287,21 @@ class PdfFile:
 
     def _font_entry(self, fref: Any,
                     cache: dict[int, tuple]) -> tuple | None:
-        """Resolve ONE font dict to a (code->unicode, byte width)
-        entry per the §9.10.2 order (ToUnicode, else /Encoding, else
-        None), memoized by object number."""
+        """Resolve ONE font dict to a (code->unicode, byte width[,
+        glyph widths, missing width]) entry per the §9.10.2 order
+        (ToUnicode, else /Encoding, else metrics-only), memoized by
+        object number.
+
+        The optional third/fourth elements are the §9.6.2.1 simple-
+        font metrics — /FirstChar + /Widths re-keyed by code, and the
+        FontDescriptor /MissingWidth (default 0 per §9.8.1) — which
+        the text-object machine uses for per-glyph advances instead
+        of the uniform char_width.  A font carrying /Widths but no
+        character map still yields an entry (empty cmap = identity
+        text) so its metrics apply.  Type3 widths are glyph-space
+        values scaled by /FontMatrix, not /1000 (§9.6.4): they are
+        taken only when the matrix is the conventional 0.001 scale,
+        else skipped (uniform fallback) rather than misscaled."""
         from ..functions.glyphlist import _BASE_TABLES, encoding_map
         from .pdfstream import parse_cmap
 
@@ -1319,9 +1331,41 @@ class PdfFile:
                 elif isinstance(enc, str) \
                         and str(enc) in _BASE_TABLES:
                     entry = (encoding_map(str(enc)), 1)
+            gw = self._font_widths(fdict)
+            if gw is not None:
+                if entry is None:
+                    entry = ({}, 1)
+                entry = entry[:2] + gw
         if key is not None:
             cache[key] = entry
         return entry
+
+    def _font_widths(self, fdict: dict) -> tuple | None:
+        """§9.6.2.1 metrics of a simple font: (code->width dict,
+        missing width) in glyph-space /1000 units, or None when the
+        font carries no usable /Widths."""
+        try:
+            fc = self.get(fdict.get("FirstChar"))
+            ws = self.get(fdict.get("Widths"))
+            if not isinstance(ws, list) \
+                    or not isinstance(fc, (int, float)):
+                return None
+            if str(fdict.get("Subtype")) == "Type3":
+                mtx = self.get(fdict.get("FontMatrix"))
+                if not (isinstance(mtx, list) and len(mtx) == 6
+                        and float(self.get(mtx[0])) == 0.001):
+                    return None
+            gw = {int(fc) + i: float(self.get(w))
+                  for i, w in enumerate(ws)}
+            dw = 0.0
+            fd = self.get(fdict.get("FontDescriptor"))
+            if isinstance(fd, dict):
+                mw = self.get(fd.get("MissingWidth"))
+                if isinstance(mw, (int, float)):
+                    dw = float(mw)
+            return gw, dw
+        except (TypeError, ValueError):
+            return None  # malformed metrics: uniform fallback
 
     def _fonts_for(self, fonts: dict, cache: dict,
                    keep_unmapped: bool = False) -> dict:
@@ -1766,6 +1810,73 @@ def build_pdf_encoding(doc_id: int, text: str) -> bytes:
     for num in range(1, 9):
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
     out.extend(b"trailer\n<< /Size 9 /Root 1 0 R >>\n")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
+    return bytes(out)
+
+
+# slices for the /Widths gate (fixed lengths -> constant geometry)
+WIDTH_SLICES = {"p": (1, 16), "a": (17, 10), "b": (27, 10)}
+
+
+def build_pdf_widths(doc_id: int, text: str) -> bytes:
+    """Single-page file whose lines ride SIMPLE fonts carrying
+    §9.6.2.1 metrics (/FirstChar + /Widths + FontDescriptor
+    /MissingWidth), placed so the gap-aware word join is decided by
+    the per-glyph advances:
+
+    - /FV (i=250, m=1000, MissingWidth 500): ``(iii)`` then a Tm hop
+      to 83.5 — 4pt past the TRUE right edge 79.5 (word break), then
+      ``(zz)`` 2pt past mm's true edge 103.5 (joined).  Under the
+      uniform 0.5-em fallback iii would end at 87 and mm at 93.5,
+      flipping BOTH joins — the expected text 'iii mmzz' holds only
+      when the width table drives the advance.
+    - /FB (uniform 750 table + MissingWidth 750): a 10-char slice
+      advances exactly 75pt, and the next run sits 2pt past it —
+      joined with the table, a 27pt word gap without it.
+    """
+    p = (text or "") + PAD
+    sl = {k: escape_literal(p[a - 1:a - 1 + n])
+          for k, (a, n) in WIDTH_SLICES.items()}
+    content = (
+        f"BT /F1 14 Tf 72 714 Td ({sl['p']}) Tj "
+        f"/FV 10 Tf 1 0 0 1 72 690 Tm (iii) Tj "
+        f"1 0 0 1 83.5 690 Tm (mm) Tj "
+        f"1 0 0 1 105.5 690 Tm (zz) Tj "
+        f"/FB 10 Tf 1 0 0 1 72 650 Tm ({sl['a']}) Tj "
+        f"1 0 0 1 149 650 Tm ({sl['b']}) Tj ET").encode("latin-1")
+    fb_widths = " ".join(["750"] * 95)
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] /Resources << /Font "
+            b"<< /F1 5 0 R /FV 6 0 R /FB 7 0 R >> >> >>"),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Type /Font /Subtype /Type1 /BaseFont /VarWidths "
+            b"/FirstChar 105 /LastChar 109 "
+            b"/Widths [250 0 0 0 1000] /FontDescriptor 8 0 R >>"),
+        7: (f"<< /Type /Font /Subtype /TrueType /BaseFont /Mono750 "
+            f"/FirstChar 32 /LastChar 126 /Widths [{fb_widths}] "
+            f"/FontDescriptor 9 0 R >>").encode("latin-1"),
+        8: (b"<< /Type /FontDescriptor /FontName /VarWidths "
+            b"/MissingWidth 500 >>"),
+        9: (b"<< /Type /FontDescriptor /FontName /Mono750 "
+            b"/MissingWidth 750 >>"),
+    }
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode("latin-1"))
+        out.extend(bodies[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 10\n0000000000 65535 f \n")
+    for num in range(1, 10):
+        out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
+    out.extend(b"trailer\n<< /Size 10 /Root 1 0 R >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return bytes(out)
 
@@ -2334,11 +2445,16 @@ def pages_from_files(files: DataFrame, bytes_col: str = "pdf",
             blobs = batch.column(1).to_pylist()
             o_id, o_pg, o_st, o_fm = [], [], [], []
             def enc_fonts(fm: dict) -> dict:
-                return {name: ({"w": e[1],
-                                "m": {str(k): v
-                                      for k, v in e[0].items()}}
-                               if e else None)
-                        for name, e in fm.items()}
+                def one(e):
+                    if not e:
+                        return None
+                    d = {"w": e[1],
+                         "m": {str(k): v for k, v in e[0].items()}}
+                    if len(e) > 2 and e[2] is not None:
+                        d["gw"] = {str(k): v for k, v in e[2].items()}
+                        d["dw"] = e[3]
+                    return d
+                return {name: one(e) for name, e in fm.items()}
 
             def enc_form(spec: dict) -> dict:
                 d: dict = {"t": spec["text"]}

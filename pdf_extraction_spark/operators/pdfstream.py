@@ -286,11 +286,21 @@ def parse_cmap(text: str) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
-def _apply_cmap(raw: str, cmap: dict[int, str],
-                width: int) -> tuple[str, int, int]:
+def _apply_cmap(raw: str, cmap: dict[int, str], width: int,
+                gw: dict[int, float] | None = None,
+                dw: float = 0.0) -> tuple[str, int, int, float | None]:
     """Map glyph-code chars to unicode; returns (text, n_glyphs,
-    n_wordspaces).  Tw applies to code 32 in 1-byte encodings only
-    (§9.3.3)."""
+    n_wordspaces, advance_units).  Tw applies to code 32 in 1-byte
+    encodings only (§9.3.3).
+
+    An EMPTY cmap means the font carries metrics but no character
+    map (a /Widths-only simple font): the text passes through as-is
+    for 1-byte codes.  ``gw`` is the §9.6.2.1 per-glyph width table
+    in glyph-space units (/Widths, keyed from /FirstChar), ``dw`` the
+    FontDescriptor /MissingWidth fallback; ``advance_units`` is the
+    summed advance in text-space ems (Σ w_c / 1000) or None when the
+    font has no width table (caller falls back to the uniform
+    ``char_width``)."""
     if width == 2:
         codes = [(ord(raw[i]) << 8) | ord(raw[i + 1])
                  for i in range(0, len(raw) - 1, 2)]
@@ -298,8 +308,15 @@ def _apply_cmap(raw: str, cmap: dict[int, str],
     else:
         codes = [ord(c) for c in raw]
         n_sp = sum(1 for c in codes if c == 32)
-    return ("".join(cmap.get(c, "�") for c in codes),
-            len(codes), n_sp)
+    if cmap:
+        text = "".join(cmap.get(c, "�") for c in codes)
+    elif width == 1:
+        text = raw
+    else:
+        text = "".join("�" for _ in codes)
+    units = (sum(gw.get(c, dw) for c in codes) / 1000.0
+             if gw is not None else None)
+    return text, len(codes), n_sp, units
 
 
 _MAX_FORM_DEPTH = 8  # §8.10 nesting bound: cyclic/degenerate form
@@ -354,14 +371,24 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
         # advance counts glyphs (2-byte groups for Type0) and Tw only
         # applies to code 32 in 1-byte encodings (§9.3.3)
         fmap = font_maps.get(font) if font_maps else None
+        units = None
         if fmap is not None:
-            text, n_glyphs, n_sp = _apply_cmap(text, fmap[0], fmap[1])
+            gw = fmap[2] if len(fmap) > 2 else None
+            dw = fmap[3] if len(fmap) > 3 else 0.0
+            text, n_glyphs, n_sp, units = _apply_cmap(
+                text, fmap[0], fmap[1], gw, dw)
         else:
             n_glyphs, n_sp = len(text), text.count(" ")
         # advance in TEXT space (§9.4.4): per glyph
-        #   (w0*size + Tc + (Tw if space)) * Tz/100
-        adv = ((char_width * size + tc) * n_glyphs + tw * n_sp) \
-            * (tz / 100.0)
+        #   (w0*size + Tc + (Tw if space)) * Tz/100; w0 from the
+        #   font's /Widths table when it carries one, else the
+        #   uniform char_width fallback
+        if units is not None:
+            adv = (units * size + tc * n_glyphs + tw * n_sp) \
+                * (tz / 100.0)
+        else:
+            adv = ((char_width * size + tc) * n_glyphs + tw * n_sp) \
+                * (tz / 100.0)
         h = size * abs(tm[3]) * abs(ctm[3])
         w_dev = adv * abs(tm[0]) * abs(ctm[0])
         runs.append(("text", text, None, font, h,
@@ -526,9 +553,17 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
     out_schema = pa.schema(fields)
 
     def _decode_fonts(d: dict) -> dict:
-        return {name: (({int(k): v for k, v in spec["m"].items()},
-                        int(spec["w"])) if spec else None)
-                for name, spec in d.items()}
+        def one(spec):
+            if not spec:
+                return None
+            entry = ({int(k): v for k, v in spec["m"].items()},
+                     int(spec["w"]))
+            if "gw" in spec:
+                entry += ({int(k): float(v)
+                           for k, v in spec["gw"].items()},
+                          float(spec.get("dw", 0.0)))
+            return entry
+        return {name: one(spec) for name, spec in d.items()}
 
     def _decode_form(spec: dict) -> dict:
         out: dict = {"text": spec.get("t") or ""}

@@ -33,8 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.pdffile import (CMAP_SLICES, SLICES, PAD,
-                                build_pdf_files, file_meta,
-                                files_to_spans, pages_from_files)
+                                WIDTH_SLICES, build_pdf_files,
+                                file_meta, files_to_spans,
+                                pages_from_files)
 from .queries_pdf import _esc
 
 # slice expressions over the padded text, shared by all three oracles
@@ -554,6 +555,62 @@ FROM b ORDER BY doc_id, name
 """
 
 
+def q_pdf_file_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-glyph /Widths metrics end-to-end (§9.6.2.1): files whose
+    runs are placed so the gap-aware word join is decided by the
+    width table (operators/pdffile.build_pdf_widths) — 'iii mmzz'
+    and the joined FB line hold only when /FirstChar+/Widths+
+    /MissingWidth drive the advance instead of the uniform 0.5-em
+    fallback."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F2
+    from .operators.pdffile import build_pdf_widths
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _build(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], type=pa.string()),
+                 pa.array([build_pdf_widths(int(i), t or "")
+                           for i, t in zip(ids, texts)],
+                          type=pa.binary())],
+                schema=pa.schema([("doc_id", pa.string()),
+                                  ("pdf", pa.binary())]))
+
+    files = d.select(F2.col("doc_id").cast("string").alias("doc_id"),
+                     "text").mapInArrow(
+        _build, schema="doc_id string, pdf binary")
+    spans = files_to_spans(files)
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text")) \
+        .orderBy("doc_id", "offset")
+
+
+# analytic blocks (H=792): plain top 64/bottom 78, FV line top 92
+# (14pt gap -> own block), FB line top 132 (30pt gap -> own block);
+# the joins inside lines 1-2 are the closed-form images of the
+# /Widths-driven advances (see build_pdf_widths docstring)
+_WE = {k: f"substr(p, {a}, {n})"
+       for k, (a, n) in WIDTH_SLICES.items()}
+_SQL_WIDTHS = f"""
+WITH {_BASE},
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, {_WE['p']} AS text FROM b
+  UNION ALL SELECT doc_id, 1, 'text', 'iii mmzz' FROM b
+  UNION ALL SELECT doc_id, 2, 'text', {_WE['a']} || {_WE['b']} FROM b)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_pages": q_pdf_file_pages,
     "pdf_file_meta": q_pdf_file_meta,
@@ -567,6 +624,7 @@ QUERIES_PDFFILE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_file_attach": q_pdf_file_attach,
     "pdf_file_acroform": q_pdf_file_acroform,
     "pdf_file_annots": q_pdf_file_annots,
+    "pdf_file_widths": q_pdf_file_widths,
 }
 
 ORACLES_PDFFILE: dict[str, str] = {
@@ -585,4 +643,5 @@ ORACLES_PDFFILE: dict[str, str] = {
     "pdf_file_attach": _SQL_ATTACH,
     "pdf_file_acroform": _SQL_ACROFORM,
     "pdf_file_annots": _SQL_ANNOTS,
+    "pdf_file_widths": _SQL_WIDTHS,
 }

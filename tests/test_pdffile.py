@@ -625,6 +625,42 @@ def test_encoding_file_to_spans_end_to_end(spark):
              + ENC_DIFF_PREFIX + sl["b"]]
 
 
+def test_widths_metrics_drive_advances_and_joins(spark):
+    """§9.6.2.1 simple-font metrics: /FirstChar+/Widths re-key per
+    code, FontDescriptor /MissingWidth fills the gaps, a widths-only
+    font still decodes (empty cmap = identity text), and the
+    resulting advances decide the gap-aware word joins — the path the
+    pdf_file_widths oracle gate proves exactly at sf0.01."""
+    from pdf_extraction_spark.operators.pdffile import (
+        PAD, PdfFile, WIDTH_SLICES, build_pdf_widths, files_to_spans)
+    from pdf_extraction_spark.operators.pdfstream import extract_runs
+
+    text = "Comments: attic (vent) blocked\\badly " * 4
+    pf = PdfFile(build_pdf_widths(0, text))
+    maps = pf.page_font_maps()[0]
+    assert maps["FV"][2] == {105: 250.0, 106: 0.0, 107: 0.0,
+                             108: 0.0, 109: 1000.0}
+    assert maps["FV"][3] == 500.0          # /MissingWidth
+    assert maps["FV"][0] == {}             # widths-only: identity
+    runs = extract_runs(pf.page_texts()[0], font_maps=maps)
+    by_text = {r[1]: r for r in runs}
+    assert by_text["iii"][7] == 7.5        # 3 x 250/1000 x 10pt
+    assert by_text["mm"][7] == 20.0        # 2 x 1000/1000 x 10pt
+    assert by_text["zz"][7] == 10.0        # MissingWidth 500 x2
+
+    rows = [(str(i),
+             bytearray(build_pdf_widths(i, text + f" d{i}")))
+            for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = {r.doc_id: r.spans for r in files_to_spans(df).collect()}
+    for i in range(2):
+        p = (text + f" d{i}") + PAD
+        sl = {k: p[a - 1:a - 1 + n]
+              for k, (a, n) in WIDTH_SLICES.items()}
+        assert [s.text for s in out[str(i)]] == \
+            [sl["p"], "iii mmzz", sl["a"] + sl["b"]]
+
+
 def test_form_xobject_semantics():
     """Form XObjects execute in place with §8.10 semantics: /Matrix
     composed onto the CTM, resource-scope shadowing (form-local /FE),
