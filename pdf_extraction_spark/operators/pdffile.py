@@ -1331,7 +1331,10 @@ class PdfFile:
                 elif isinstance(enc, str) \
                         and str(enc) in _BASE_TABLES:
                     entry = (encoding_map(str(enc)), 1)
-            gw = self._font_widths(fdict)
+            if str(fdict.get("Subtype")) == "Type0":
+                gw = self._cid_widths(fdict)
+            else:
+                gw = self._font_widths(fdict)
             if gw is not None:
                 if entry is None:
                     entry = ({}, 1)
@@ -1366,6 +1369,54 @@ class PdfFile:
             return gw, dw
         except (TypeError, ValueError):
             return None  # malformed metrics: uniform fallback
+
+    # a hostile /W range (c1 .. c2) could span the whole 32-bit code
+    # space; cap the expansion at the 2-byte code limit so one bad
+    # font costs one dict, not executor memory
+    _MAX_W_RANGE = 0x10000
+
+    def _cid_widths(self, fdict: dict) -> tuple | None:
+        """§9.7.4.3 CIDFont metrics of a Type0 font: the descendant's
+        /W array in both forms (``c [w1 w2 ...]`` assigns consecutive
+        CIDs; ``c1 c2 w`` assigns a range) plus /DW (default 1000).
+        Keys are CIDs — for the /Identity-H encodings this layer
+        emits, CID == 2-byte code, so the same font-map channel
+        applies them directly; non-identity predefined CMaps are out
+        of scope (documented in SURVEY §2.8)."""
+        try:
+            desc = self.get(fdict.get("DescendantFonts"))
+            if not isinstance(desc, list) or not desc:
+                return None
+            d0 = self.get(desc[0])
+            if not isinstance(d0, dict):
+                return None
+            dw_obj = self.get(d0.get("DW"))
+            dw = float(dw_obj) if isinstance(dw_obj, (int, float)) \
+                else 1000.0
+            warr = self.get(d0.get("W"))
+            gw: dict[int, float] = {}
+            if isinstance(warr, list):
+                i = 0
+                while i < len(warr):
+                    c = int(self.get(warr[i]))
+                    nxt = self.get(warr[i + 1]) \
+                        if i + 1 < len(warr) else None
+                    if isinstance(nxt, list):
+                        for j, w in enumerate(nxt):
+                            gw[c + j] = float(self.get(w))
+                        i += 2
+                    else:
+                        c2 = int(nxt)
+                        w = float(self.get(warr[i + 2]))
+                        if 0 <= c2 - c < self._MAX_W_RANGE:
+                            for code in range(c, c2 + 1):
+                                gw[code] = w
+                        i += 3
+            if not gw and dw == 1000.0:
+                return None  # no metrics beyond the spec default
+            return gw, dw
+        except (TypeError, ValueError, IndexError):
+            return None  # malformed /W: uniform fallback
 
     def _fonts_for(self, fonts: dict, cache: dict,
                    keep_unmapped: bool = False) -> dict:
@@ -1833,23 +1884,40 @@ def build_pdf_widths(doc_id: int, text: str) -> bytes:
     - /FB (uniform 750 table + MissingWidth 750): a 10-char slice
       advances exactly 75pt, and the next run sits 2pt past it —
       joined with the table, a 27pt word gap without it.
+    - /FC (Type0/Identity-H, ToUnicode identity bfrange, descendant
+      /W [105 [250] 109 109 1000] /DW 500): the SAME iii/mm/zz
+      geometry through 2-byte CIDs, so the §9.7.4.3 /W parse (both
+      forms) and the /DW fallback are pinned by the same join
+      pattern.
     """
     p = (text or "") + PAD
     sl = {k: escape_literal(p[a - 1:a - 1 + n])
           for k, (a, n) in WIDTH_SLICES.items()}
+
+    def cid(s: str) -> str:
+        return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+
     content = (
         f"BT /F1 14 Tf 72 714 Td ({sl['p']}) Tj "
         f"/FV 10 Tf 1 0 0 1 72 690 Tm (iii) Tj "
         f"1 0 0 1 83.5 690 Tm (mm) Tj "
         f"1 0 0 1 105.5 690 Tm (zz) Tj "
         f"/FB 10 Tf 1 0 0 1 72 650 Tm ({sl['a']}) Tj "
-        f"1 0 0 1 149 650 Tm ({sl['b']}) Tj ET").encode("latin-1")
+        f"1 0 0 1 149 650 Tm ({sl['b']}) Tj "
+        f"/FC 10 Tf 1 0 0 1 72 610 Tm {cid('iii')} Tj "
+        f"1 0 0 1 83.5 610 Tm {cid('mm')} Tj "
+        f"1 0 0 1 105.5 610 Tm {cid('zz')} Tj ET").encode("latin-1")
     fb_widths = " ".join(["750"] * 95)
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange <0000> <00FF> <0000> endbfrange\n"
+            b"endcmap end end")
     bodies = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
             b"/MediaBox [0 0 612 792] /Resources << /Font "
-            b"<< /F1 5 0 R /FV 6 0 R /FB 7 0 R >> >> >>"),
+            b"<< /F1 5 0 R /FV 6 0 R /FB 7 0 R /FC 10 0 R >> >> >>"),
         3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
         4: (f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
             + content + b"\nendstream"),
@@ -1864,6 +1932,13 @@ def build_pdf_widths(doc_id: int, text: str) -> bytes:
             b"/MissingWidth 500 >>"),
         9: (b"<< /Type /FontDescriptor /FontName /Mono750 "
             b"/MissingWidth 750 >>"),
+        10: (b"<< /Type /Font /Subtype /Type0 /BaseFont /CidW "
+             b"/Encoding /Identity-H /DescendantFonts [11 0 R] "
+             b"/ToUnicode 12 0 R >>"),
+        11: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CidW "
+             b"/W [105 [250] 109 109 1000] /DW 500 >>"),
+        12: (f"<< /Length {len(cmap)} >>\nstream\n".encode("latin-1")
+             + cmap + b"\nendstream"),
     }
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -1873,10 +1948,10 @@ def build_pdf_widths(doc_id: int, text: str) -> bytes:
         out.extend(bodies[num])
         out.extend(b"\nendobj\n")
     xref_off = len(out)
-    out.extend(b"xref\n0 10\n0000000000 65535 f \n")
-    for num in range(1, 10):
+    out.extend(b"xref\n0 13\n0000000000 65535 f \n")
+    for num in range(1, 13):
         out.extend(f"{offsets[num]:010d} 00000 n \n".encode("latin-1"))
-    out.extend(b"trailer\n<< /Size 10 /Root 1 0 R >>\n")
+    out.extend(b"trailer\n<< /Size 13 /Root 1 0 R >>\n")
     out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode("latin-1"))
     return bytes(out)
 

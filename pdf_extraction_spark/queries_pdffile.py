@@ -561,7 +561,8 @@ def q_pdf_file_widths(spark: SparkSession, sf_dir: str) -> DataFrame:
     width table (operators/pdffile.build_pdf_widths) — 'iii mmzz'
     and the joined FB line hold only when /FirstChar+/Widths+
     /MissingWidth drive the advance instead of the uniform 0.5-em
-    fallback."""
+    fallback; the Type0 line repeats the pattern through 2-byte CIDs
+    and the descendant's §9.7.4.3 /W+/DW."""
     import pyarrow as pa
     from pyspark.sql import functions as F2
     from .operators.pdffile import build_pdf_widths
@@ -605,7 +606,8 @@ WITH {_BASE},
 u AS (
   SELECT doc_id, 0 AS off, 'text' AS kind, {_WE['p']} AS text FROM b
   UNION ALL SELECT doc_id, 1, 'text', 'iii mmzz' FROM b
-  UNION ALL SELECT doc_id, 2, 'text', {_WE['a']} || {_WE['b']} FROM b)
+  UNION ALL SELECT doc_id, 2, 'text', {_WE['a']} || {_WE['b']} FROM b
+  UNION ALL SELECT doc_id, 3, 'text', 'iii mmzz' FROM b)
 SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, text
 FROM u ORDER BY doc_id, "offset"
 """

@@ -658,7 +658,35 @@ def test_widths_metrics_drive_advances_and_joins(spark):
         sl = {k: p[a - 1:a - 1 + n]
               for k, (a, n) in WIDTH_SLICES.items()}
         assert [s.text for s in out[str(i)]] == \
-            [sl["p"], "iii mmzz", sl["a"] + sl["b"]]
+            [sl["p"], "iii mmzz", sl["a"] + sl["b"], "iii mmzz"]
+
+
+def test_cid_w_array_both_forms_and_dw_default():
+    """§9.7.4.3 /W parsing: the ``c [w...]`` form assigns consecutive
+    CIDs, the ``c1 c2 w`` form assigns a range (expansion capped
+    against hostile spans), /DW defaults to 1000, and a Type0 font
+    with only spec-default metrics yields NO width entry (the
+    documented uniform contract for metric-less fonts holds)."""
+    from pdf_extraction_spark.operators.pdffile import (
+        PAD, PdfFile, build_pdf_widths)
+
+    pf = PdfFile(build_pdf_widths(0, "x" * 40))
+    fc = pf.page_font_maps()[0]["FC"]
+    assert fc[2] == {105: 250.0, 109: 1000.0} and fc[3] == 500.0
+
+    # range form + default DW via a surgical body swap
+    blob = bytearray(build_pdf_widths(0, "x" * 40))
+    old = b"/W [105 [250] 109 109 1000] /DW 500"
+    new = b"/W [105 107 300]                   "
+    assert old in blob and len(old) == len(new)
+    pf2 = PdfFile(bytes(blob).replace(old, new))
+    fc2 = pf2.page_font_maps()[0]["FC"]
+    assert fc2[2] == {105: 300.0, 106: 300.0, 107: 300.0}
+    assert fc2[3] == 1000.0                   # /DW spec default
+    # metric-less Type0 (no /W, default /DW): no width entry at all
+    pf3 = PdfFile(bytes(blob).replace(old, b" " * len(old)))
+    fc3 = pf3.page_font_maps()[0]["FC"]
+    assert len(fc3) == 2
 
 
 def test_form_xobject_semantics():
