@@ -182,7 +182,8 @@ def _t(tx, ty):
     return _m(1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
-def twin_runs(stream: str, char_width: float = 0.5) -> list[tuple]:
+def twin_runs(stream: str, char_width: float = 0.5,
+              font_maps: dict | None = None) -> list[tuple]:
     I = np.eye(3)
     ctm = I.copy()
     stack: list[tuple] = []
@@ -205,8 +206,26 @@ def twin_runs(stream: str, char_width: float = 0.5) -> list[tuple]:
     def show(text: str) -> None:
         nonlocal tm
         trm = tm @ ctm
-        adv = ((char_width * size + tc) * len(text)
-               + tw * text.count(" ")) * (tz / 100.0)
+        fmap = font_maps.get(font) if font_maps else None
+        units = None
+        # Tw applies to the byte CODE 32, pre-decode (§9.3.3): count
+        # word spaces before any cmap substitution
+        n_sp = text.count(" ")
+        n_gl = len(text)
+        if fmap is not None:
+            cm = fmap[0]
+            codes = [ord(c) for c in text]
+            if cm:
+                text = "".join(cm.get(c, "�") for c in codes)
+            if len(fmap) > 2:
+                gw, dw = fmap[2], fmap[3]
+                units = sum(gw.get(c, dw) for c in codes) / 1000.0
+        if units is not None:
+            adv = (units * size + tc * n_gl
+                   + tw * n_sp) * (tz / 100.0)
+        else:
+            adv = ((char_width * size + tc) * n_gl
+                   + tw * n_sp) * (tz / 100.0)
         h = size * abs(tm[1, 1]) * abs(ctm[1, 1])
         runs.append(("text", text, None, font, h,
                      trm[2, 0], trm[2, 1],
@@ -401,14 +420,47 @@ def gen_stream(rng) -> str:
     return " ".join(parts)
 
 
+_MAP_CHARS = sorted(set(TEXT_CHARS))
+_W_CHOICES = [0.0, 250.0, 500.0, 750.0, 1000.0, 1250.0]
+
+
+def gen_maps(rng) -> dict | None:
+    """Random font-map table for /F0../F2 (drawn AFTER gen_stream so
+    historical seeds keep their streams): identity or partial 1-byte
+    cmaps (single-char values — multi-char expansions are a CMap
+    feature the positional fuzz would conflate with advances), and
+    random /Widths tables with a random MissingWidth, including
+    width-0 glyphs and maps that remap or produce spaces (Tw must
+    key on the pre-decode byte code)."""
+    if rng.random() < 0.5:
+        return None
+    maps: dict = {}
+    for i in range(3):
+        r = rng.random()
+        if r < 0.35:
+            continue
+        cm = {} if rng.random() < 0.5 else {
+            ord(c): rng.choice("XY Z*�")
+            for c in rng.sample(_MAP_CHARS, 5)}
+        entry: tuple = (cm, 1)
+        if rng.random() < 0.7:
+            gw = {ord(c): rng.choice(_W_CHOICES)
+                  for c in rng.sample(_MAP_CHARS,
+                                      rng.randrange(1, 9))}
+            entry += (gw, rng.choice([0.0, 250.0, 500.0, 750.0]))
+        maps[f"F{i}"] = entry
+    return maps or None
+
+
 def main() -> None:
     lo, hi = int(sys.argv[1]), int(sys.argv[2])
     bad = 0
     for seed in range(lo, hi):
         rng = random.Random(77000 + seed)
         stream = gen_stream(rng)
-        a = extract_runs(stream)
-        b = twin_runs(stream)
+        maps = gen_maps(rng)
+        a = extract_runs(stream, font_maps=maps)
+        b = twin_runs(stream, font_maps=maps)
         if a != b:
             bad += 1
             print(f"seed {seed}: DIVERGENCE ({len(a)} vs {len(b)} runs)")
