@@ -84,7 +84,8 @@ def cluster_lines(runs: DataFrame, y_tol: float = 3.0) -> DataFrame:
 
 
 def assemble_lines(runs_with_lines: DataFrame,
-                   space_frac: float | None = None) -> DataFrame:
+                   space_frac: float | None = None,
+                   col_gap: float | None = None) -> DataFrame:
     """Lines from line-assigned runs: text joined left-to-right,
     enclosing bbox, max run font size (null when runs carry none) and —
     when the corpus carries a ``font`` name column — the line's
@@ -103,7 +104,13 @@ def assemble_lines(runs_with_lines: DataFrame,
     headings.  A kerned TJ split mid-word ((W) -120 (orld)) stays one
     word; an inter-word kern or Td hop still reads as a space.  Runs
     without a ``size`` column fall back to threshold 0 (any positive
-    gap separates words)."""
+    gap separates words).
+
+    ``col_gap`` (a float) additionally emits a ``cells`` column —
+    array<struct<x0, text>> splitting the line wherever the gap from
+    the running max right edge exceeds ``col_gap`` points (runs
+    within a cell join with single spaces): the raw material for
+    geometric table detection (detect_table_lines)."""
     has_size = "size" in runs_with_lines.columns
     size_agg = (F.max("size") if has_size
                 else F.lit(None).cast("double")).alias("max_size")
@@ -144,6 +151,52 @@ def assemble_lines(runs_with_lines: DataFrame,
                     s["text"]).alias("t"),
                 F.greatest(a["px"], s["x1"]).alias("px"),
                 s["sz"].alias("ps")))["t"]
+    cell_aggs = []
+    if col_gap is not None:
+        csz = (F.coalesce(F.col("size"), F.lit(0.0)) if has_size
+               else F.lit(0.0))
+        cparts = F.array_sort(F.collect_list(F.struct(
+            F.col("x0"), F.col("x1"), csz.alias("sz"),
+            F.col("text"))))
+        chead = F.element_at(cparts, 1)
+        crest = F.slice(cparts, 2,
+                        F.greatest(F.size(cparts) - 1, F.lit(0)))
+        cacc0 = F.struct(
+            F.array(F.struct(chead["x0"].alias("x0"),
+                             chead["text"].alias("text")))
+            .alias("cells"),
+            chead["x1"].alias("px"), chead["sz"].alias("ps"))
+        # within a cell, members join under the SAME word-gap rule
+        # as the line text (space_frac; None = always-space), so a
+        # line's table_text and text never disagree on word breaks
+        wsep = (
+            (lambda a, s: F.lit(" ")) if space_frac is None
+            else (lambda a, s: F.when(
+                s["x0"] - a["px"] > F.lit(float(space_frac))
+                * F.greatest(a["ps"], s["sz"]),
+                F.lit(" ")).otherwise(F.lit(""))))
+
+        def cstep(a, s):
+            opened = F.concat(
+                a["cells"],
+                F.array(F.struct(s["x0"].alias("x0"),
+                                 s["text"].alias("text"))))
+            appended = F.transform(
+                a["cells"],
+                lambda c, i: F.when(
+                    i == F.size(a["cells"]) - 1,
+                    F.struct(c["x0"].alias("x0"),
+                             F.concat(c["text"], wsep(a, s),
+                                      s["text"]).alias("text")))
+                .otherwise(c))
+            return F.struct(
+                F.when(s["x0"] - a["px"] > F.lit(float(col_gap)),
+                       opened).otherwise(appended).alias("cells"),
+                F.greatest(a["px"], s["x1"]).alias("px"),
+                s["sz"].alias("ps"))
+
+        cell_aggs.append(
+            F.aggregate(crest, cacc0, cstep)["cells"].alias("cells"))
     return (runs_with_lines
             .groupBy("doc_id", "line_id")
             .agg(text.alias("text"),
@@ -151,7 +204,58 @@ def assemble_lines(runs_with_lines: DataFrame,
                  F.max("x1").alias("x1"), F.max("y1").alias("y1"),
                  size_agg,
                  F.count(F.lit(1)).cast("long").alias("n_runs"),
-                 *extra))
+                 *extra, *cell_aggs))
+
+
+def detect_table_lines(lines: DataFrame,
+                       col_tol: float = 6.0) -> DataFrame:
+    """Geometric table detection over cell-split lines (the pdfplumber
+    'text' table-strategy idea re-expressed as windows): a maximal run
+    of VERTICALLY ADJACENT lines (consecutive line_ids) whose cell
+    start positions agree — same column count, every cell x0 in the
+    same ``col_tol``-quantized bucket — and that have ≥2 columns is a
+    table; runs of length 1 are just a line with a wide gap.
+
+    Input: assemble_lines(..., col_gap=...) output (needs ``cells``).
+    Output: the same lines plus ``is_table`` boolean and
+    ``table_text`` (cells joined with ' | ', the TABLE_ROW_MARKER
+    shape plans/extraction.classify_spans routes to the S5 table
+    operators) — NULL on non-table lines.
+
+    Column agreement is exact bucket equality (floor(x0/col_tol)):
+    deterministic and oracle-expressible; a ragged real-world scan
+    whose columns drift across the bucket boundary splits into two
+    tables rather than silently misaligning cells.  Scale shape: one
+    lag + one cumulative sum + one count window, all on the existing
+    per-doc line order — no joins, no extra shuffle beyond the line
+    aggregation's."""
+    sig = F.transform(
+        F.col("cells"),
+        lambda c: F.floor(c["x0"] / F.lit(float(col_tol))))
+    lines = lines.withColumn("_sig", sig) \
+        .withColumn("_cand", F.size("cells") >= 2)
+    w = Window.partitionBy("doc_id").orderBy("line_id")
+    prev_sig = F.lag("_sig").over(w)
+    prev_cand = F.lag("_cand").over(w)
+    new_tbl = F.col("_cand") & ~(
+        F.coalesce(prev_cand, F.lit(False))
+        & (prev_sig == F.col("_sig")))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines = lines.withColumn(
+        "_tbl",
+        F.when(F.col("_cand"),
+               F.sum(new_tbl.cast("long")).over(cum)))
+    wt = Window.partitionBy("doc_id", "_tbl")
+    run_len = F.when(F.col("_tbl").isNotNull(),
+                     F.count(F.lit(1)).over(wt)).otherwise(F.lit(0))
+    is_table = run_len >= 2
+    table_text = F.when(
+        is_table,
+        F.array_join(F.transform("cells", lambda c: c["text"]),
+                     " | "))
+    return lines.withColumn("is_table", is_table) \
+        .withColumn("table_text", table_text) \
+        .drop("_sig", "_cand", "_tbl")
 
 
 def cluster_blocks(lines: DataFrame, gap_tol: float = 10.0) -> DataFrame:
@@ -219,7 +323,10 @@ def reconstruct_blocks(runs: DataFrame, y_tol: float = 3.0,
 def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
                     gap_tol: float = 10.0,
                     with_fonts: bool = False,
-                    space_frac: float | None = None) -> DataFrame:
+                    space_frac: float | None = None,
+                    detect_tables: bool = False,
+                    col_gap: float = 18.0,
+                    col_tol: float = 6.0) -> DataFrame:
     """The bridge from a raw positioned-run corpus to the contract span
     rows the extraction plans consume: text runs are layout-parsed into
     blocks (one span of kind 'text' per block), rows with a non-null
@@ -238,16 +345,49 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     run size) — the optional C2 attributes ``plans/extraction.py
     explode_spans`` reads, so font-driven formatting priority runs
     end-to-end from positioned runs (reference detect_formatting,
-    text_extractor.pyc:178-207)."""
+    text_extractor.pyc:178-207).
+
+    ``detect_tables=True`` runs geometric table detection first
+    (assemble_lines ``col_gap`` cells -> detect_table_lines): each
+    detected table LINE becomes its own span whose text is the cells
+    joined with ' | ' — the TABLE_ROW_MARKER shape classify_spans
+    routes into the S5/C6/T6 table operators — while the remaining
+    lines cluster into blocks as usual (a table whose vertical extent
+    is under ``gap_tol`` can bridge the surrounding blocks; real
+    tables are taller).  Opt-in: pipe-marked table rows change the
+    span stream's shape, which text-span corpora already encode
+    explicitly."""
     has_media = "media_ref" in runs.columns
     text_runs = runs.where(F.col("media_ref").isNull()) if has_media \
         else runs
-    # with_headings=False: the heading columns don't survive the span
-    # select below, so skip the modal-font groupBy + join they'd cost
-    blocks = block_text(reconstruct_blocks(
-        text_runs.drop(*(["media_ref"] if has_media else [])),
-        y_tol, gap_tol, with_headings=False, space_frac=space_frac),
-        with_size=with_fonts)
+    troot = text_runs.drop(*(["media_ref"] if has_media else []))
+    table_units = None
+    nul0 = F.lit(None).cast("string")
+    if detect_tables:
+        lines = assemble_lines(cluster_lines(troot, y_tol),
+                               space_frac, col_gap)
+        tl = detect_table_lines(lines, col_tol)
+        tattrs = []
+        if with_fonts:
+            tattrs = [(F.col("font") if "font" in tl.columns
+                       else nul0).alias("font"),
+                      F.col("max_size").alias("size")]
+        table_units = tl.where(F.col("is_table")).select(
+            "doc_id", "y0", "x0", F.lit("text").alias("kind"),
+            F.col("table_text").alias("text"),
+            nul0.alias("media_ref"), *tattrs)
+        body = tl.where(~F.col("is_table")) \
+            .drop("cells", "is_table", "table_text")
+        blocks = block_text(
+            cluster_blocks(body, gap_tol)
+            .withColumn("is_heading", F.lit(False)),
+            with_size=with_fonts)
+    else:
+        # with_headings=False: the heading columns don't survive the
+        # span select below, so skip the modal-font groupBy + join
+        blocks = block_text(reconstruct_blocks(
+            troot, y_tol, gap_tol, with_headings=False,
+            space_frac=space_frac), with_size=with_fonts)
     nul = F.lit(None).cast("string")
     if with_fonts:
         attrs = [F.col("font") if "font" in blocks.columns else
@@ -261,6 +401,8 @@ def spans_from_runs(runs: DataFrame, y_tol: float = 3.0,
     units = blocks.select(
         "doc_id", "y0", "x0", F.lit("text").alias("kind"),
         F.col("text"), nul.alias("media_ref"), *attrs)
+    if table_units is not None:
+        units = units.unionByName(table_units)
     if has_media:
         media = runs.where(F.col("media_ref").isNotNull()).select(
             "doc_id", "y0", "x0", F.lit("media").alias("kind"),

@@ -646,7 +646,10 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  with_fonts: bool = False,
                  page_col: str | None = None,
                  maps_col: str | None = None,
-                 space_frac: float | None = 0.3) -> DataFrame:
+                 space_frac: float | None = 0.3,
+                 detect_tables: bool = False,
+                 col_gap: float = 18.0,
+                 col_tol: float = 6.0) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -669,6 +672,14 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     semantic) — so a kerned TJ split mid-word stays one word while
     inter-word kerns and Td hops still separate.  ``None`` restores
     the positioned-word contract (every run boundary a word boundary).
+
+    ``detect_tables=True`` adds geometric table recovery (pdfplumber
+    'text'-strategy analog): lines whose wide-gap cell positions
+    repeat across ≥2 adjacent lines emit as ' | '-joined table_row
+    spans, which classify_spans routes into the S5/C6/T6 table
+    chain — so drawn tables in raw PDFs become queryable cost tables
+    end-to-end.  ``col_gap``/``col_tol`` are the cell-split gap and
+    the column-agreement quantum, in points.
 
     ``page_col`` names an optional page-number column for corpora that
     arrive one content stream per PAGE (real PDFs): each page is
@@ -708,7 +719,9 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                              maps_col=maps_col), page_height)
     span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
                                 with_fonts=with_fonts,
-                                space_frac=space_frac)
+                                space_frac=space_frac,
+                                detect_tables=detect_tables,
+                                col_gap=col_gap, col_tol=col_tol)
     if page_col is not None:
         w = Window.partitionBy("real_doc").orderBy("page", "offset")
         span_rows = span_rows.select(

@@ -264,14 +264,86 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+# ------------------------------------------------ geometric tables
+
+_T_SLICES = {"h": (1, 14), "c1": (15, 8), "c2": (23, 8),
+             "w": (31, 20)}
+
+
+def _table_stream_expr() -> str:
+    """A drawn 3x3 table (header + two data rows) at Tm-positioned
+    columns x = 72/240/420, rows y = 680/666/652, between a heading
+    and a trailing comment line — no pipe characters anywhere in the
+    bytes; the ' | ' markers must come from geometry alone."""
+    e = {k: _esc(f"substr(p, {a}, {n})")
+         for k, (a, n) in _T_SLICES.items()}
+    return f"""
+  'BT /F1 12 Tf 72 714 Td (' || {e['h']} || ') Tj '
+  || '/F2 10 Tf 1 0 0 1 72 680 Tm (Item) Tj '
+  || '1 0 0 1 240 680 Tm (Qty) Tj 1 0 0 1 420 680 Tm (Cost) Tj '
+  || '1 0 0 1 72 666 Tm (' || {e['c1']} || ') Tj '
+  || '1 0 0 1 240 666 Tm (2) Tj 1 0 0 1 420 666 Tm ($150) Tj '
+  || '1 0 0 1 72 652 Tm (' || {e['c2']} || ') Tj '
+  || '1 0 0 1 240 652 Tm (5) Tj 1 0 0 1 420 652 Tm ($1,200) Tj '
+  || '1 0 0 1 72 600 Tm (' || {e['w']} || ') Tj ET'
+""".strip()
+
+
+def q_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric table recovery (operators/layout.py
+    detect_table_lines — the pdfplumber 'text' table strategy as
+    windows): a drawn table whose cells are Tm-positioned runs with
+    NO delimiter bytes emits as ' | '-joined table_row spans, the
+    shape the S5/C6/T6 table operators consume."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        F.expr(f"COALESCE(text, '') || '{_PAD}'").alias("p")) \
+        .select("doc_id", F.expr(_table_stream_expr()).alias("stream"))
+    spans = pdf_to_spans(docs, detect_tables=True)
+    e = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+# closed form: heading block top 66, table lines top 102/116/130
+# (one span per detected row), comment top 182 — five spans in
+# y-order; the columns agree exactly so the 6pt buckets match
+_SQL_PDF_TABLES = f"""
+WITH b AS (SELECT doc_id, COALESCE(text, '') || '{_PAD}' AS p
+           FROM documents),
+s AS (SELECT doc_id,
+        {", ".join(f"substr(p, {a}, {n}) AS {k}"
+                   for k, (a, n) in _T_SLICES.items())}
+      FROM b),
+u AS (
+  SELECT doc_id, 0 AS off, h AS t FROM s
+  UNION ALL SELECT doc_id, 1, 'Item | Qty | Cost' FROM s
+  UNION ALL SELECT doc_id, 2, c1 || ' | 2 | $150' FROM s
+  UNION ALL SELECT doc_id, 3, c2 || ' | 5 | $1,200' FROM s
+  UNION ALL SELECT doc_id, 4, w FROM s)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", 'text' AS kind,
+       t AS text, '' AS media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 QUERIES_PDF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_runs": q_pdf_runs,
     "pdf_spans": q_pdf_spans,
     "pdf_kerned": q_pdf_kerned,
+    "pdf_tables": q_pdf_tables,
 }
 
 ORACLES_PDF: dict[str, str] = {
     "pdf_runs": _SQL_PDF_RUNS,
     "pdf_spans": _SQL_PDF_SPANS,
     "pdf_kerned": _SQL_PDF_KERNED,
+    "pdf_tables": _SQL_PDF_TABLES,
 }

@@ -183,3 +183,43 @@ def test_gap_aware_threshold_uses_larger_neighbor_size(spark):
         (1, "two", 54.0, 0.0, 70.0, 8.0, 8.0),
     ]), space_frac=0.3).collect()
     assert [r.text for r in flat] == ["one two"]
+
+
+_TABLE_RUNS = [
+    (1, "Heading", 0.0, 0.0, 60.0, 8.0, 10.0),
+    (1, "Item", 0.0, 20.0, 30.0, 28.0, 10.0),      # table row 1
+    (1, "Cost", 200.0, 20.0, 230.0, 28.0, 10.0),
+    (1, "Roof", 0.0, 34.0, 28.0, 42.0, 10.0),       # table row 2
+    (1, "$150", 200.0, 34.0, 228.0, 42.0, 10.0),
+    (1, "wide", 0.0, 60.0, 30.0, 68.0, 10.0),       # 2 cells but its
+    (1, "alone", 300.0, 60.0, 330.0, 68.0, 10.0),   # columns match no
+    (1, "tail", 0.0, 90.0, 30.0, 98.0, 10.0),       # neighbour: run of 1
+]
+
+
+def test_detect_table_lines_needs_two_aligned_multicol_lines(spark):
+    from pdf_extraction_spark.operators.layout import (
+        assemble_lines, cluster_lines, detect_table_lines)
+    lines = assemble_lines(cluster_lines(_runs(spark, _TABLE_RUNS)),
+                           col_gap=18.0)
+    out = {r.text: r for r in detect_table_lines(lines).collect()}
+    assert out["Item Cost"].is_table is True
+    assert out["Item Cost"].table_text == "Item | Cost"
+    assert out["Roof $150"].table_text == "Roof | $150"
+    # one cell -> never a candidate; misaligned 2-cell run of 1 -> no
+    assert out["Heading"].is_table is False
+    assert out["wide alone"].is_table is False
+    assert out["wide alone"].table_text is None
+    assert out["tail"].is_table is False
+
+
+def test_spans_from_runs_emits_table_rows_as_pipe_spans(spark):
+    from pdf_extraction_spark.operators.layout import spans_from_runs
+    out = spans_from_runs(_runs(spark, _TABLE_RUNS),
+                          detect_tables=True).orderBy("offset").collect()
+    assert [r.text for r in out] == \
+        ["Heading", "Item | Cost", "Roof | $150", "wide alone", "tail"]
+    # opt-out keeps the plain block contract (no pipes invented)
+    plain = spans_from_runs(_runs(spark, _TABLE_RUNS)) \
+        .orderBy("offset").collect()
+    assert not any("|" in r.text for r in plain)
