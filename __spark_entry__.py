@@ -43,15 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # scored set == list(queries())[:50]). Rotation so every registered query
 # accumulates a driver-artifact row: positions 1-27 are the 26 queries
 # never scored in r01-r03 plus `summaries` (fixed after its r02 red,
-# rotated out before re-proof); then 14 previously-green fillers; the
-# tail is the 9 round-4 additions (html/links/spans families, never
-# scored).  Once round 4's gate scores this window, EVERY query
-# registered at window-freeze time has a driver row on record (r01-r03
-# scored sets + this list cover all 89 — verified by set arithmetic over
-# CORRECTNESS_r0{1,2,3}.json).  pdf_runs/pdf_spans landed after the
-# freeze (local-exact only this round).  Round-5 rotation: front-load
-# the 39 names NOT in this list (all r02/r03-green, unchanged) plus the
-# pdf pair so each accumulates a driver row.
+# rotated out before re-proof); then the 9 round-4 html/links/spans
+# additions; then 14 of the 17 round-4 pdf-family gates (the newest,
+# least-proven code — the r03 verdict's lesson is never to ship new
+# families in the unscored tail, so they displace 14 r03-green fillers
+# whose rows already stand).  After round 4's gate scores this window,
+# the only registered names without a driver row are the 3 pdf gates
+# deferred to the round-5 window below (verified by set arithmetic over
+# CORRECTNESS_r0{1,2,3}.json + this list).
 _DRIVER_WINDOW = [
     # never driver-scored before round 4
     "span_sequence", "layout_blocks", "layout_text", "layout_spans",
@@ -63,45 +62,48 @@ _DRIVER_WINDOW = [
     "json_roundtrip", "stream_extract", "sink_metrics", "output_validate",
     # r02-red -> fixed (x100 BIGINT scaling), needs a driver re-proof
     "summaries",
-    # cheapest previously-green fillers (driver re-confirmation)
-    "fingerprint", "langid", "quality_score", "title", "token_stats",
-    "events_window", "group_discount", "calibration", "dedup_doc",
-    "metadata_enrich", "normalize_unicode", "boilerplate",
-    "checkpoint_cache", "classification",
-    # new in round 4 (never scored; displace nine r03-green fillers)
+    # new in round 4: web ingest (never scored)
     "html_main", "html_blocks", "html_curation", "html_spans",
     "html_links", "url_normalize", "host_stats", "html_head",
     "host_denylist",
+    # new in round 4: pdf content-stream + whole-file layer (never
+    # scored; core path + every post-freeze axis with new decode code)
+    "pdf_runs", "pdf_spans", "pdf_kerned", "pdf_tables",
+    "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
+    "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
+    "pdf_file_encrypted", "pdf_file_outline", "pdf_file_acroform",
+    "pdf_file_widths",
 ]
 
-# Round-5 window, pre-staged (INERT this round): the 39 names outside
-# the round-4 window (all r02/r03 driver-green, unchanged) + the
-# post-freeze pdf pair, padded to 50 with the cheapest fillers.  To
-# rotate, point _driver_order at this list.  Every name then carries a
-# driver row from round 4 or 5 (most from both).
+# Round-5 window, pre-staged (INERT this round): the 3 pdf gates the
+# round-4 window couldn't fit (front-loaded — they are the only names
+# with no driver row after r04) + the 47 r02/r03-green names outside
+# the round-4 window, so each accumulates a fresh driver row.  To
+# rotate, point _driver_order at this list.  Every registered name then
+# carries a driver row from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
-    "status_detect", "sections", "segmentation", "pdf_file_widths",
+    # the only never-scored names left after round 4
+    "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
+    # r02/r03-green re-proofs (every remaining registered name except
+    # price_parse, ngram_shingles, knn_vote, quality_routing, title and
+    # fingerprint — dropped to stay at 50; all six carry r03 driver
+    # rows and overlap tables / jaccard_pairs / cosine_topk /
+    # boilerplate / sections / token_stats)
+    "status_detect", "sections", "segmentation", "priority",
     "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables", "raw_sections", "property_meta",
     "severity_normalize", "action_normalize", "urgency_score",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
-    "estimate_validate", "attributes", "cleaning", "pdf_kerned",
+    "estimate_validate", "attributes", "cleaning",
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
-    "causal_chains", "pdf_runs", "pdf_spans",
-    # whole-PDF-file layer (landed after the r04 window freeze);
-    # price_parse, ngram_shingles, knn_vote and quality_routing
-    # dropped to stay at 50 — all four carry r03 driver rows (and
-    # overlap tables / jaccard_pairs / cosine_topk / boilerplate);
-    # pdf_kerned (gap-aware word joins, landed late r04) takes the
-    # freed slot; pdf_file_widths (per-glyph /Widths metrics)
-    # displaces priority (r03-green, font_priority supersets it)
-    "pdf_file_pages", "pdf_file_meta", "pdf_file_spans",
-    "pdf_file_cmap", "pdf_file_encoding", "pdf_file_xobject",
-    "pdf_file_encrypted", "pdf_file_outline", "pdf_file_links",
-    "pdf_file_attach", "pdf_file_acroform", "pdf_file_annots",
+    "causal_chains",
+    "langid", "quality_score", "token_stats",
+    "events_window", "group_discount", "calibration", "dedup_doc",
+    "metadata_enrich", "normalize_unicode", "boilerplate",
+    "checkpoint_cache", "classification",
 ]
 
 
