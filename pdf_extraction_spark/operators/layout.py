@@ -446,3 +446,147 @@ def block_text(blocks: DataFrame, with_size: bool = False) -> DataFrame:
                  F.max(F.col("is_heading").cast("int")).cast("boolean")
                  .alias("has_heading"),
                  *extra))
+
+
+def detect_ruled_tables(runs: DataFrame, *, snap_tol: float = 3.0,
+                        join_tol: float = 3.0, row_gap: float = 50.0,
+                        min_rows: int = 2,
+                        min_cols: int = 2) -> DataFrame:
+    """Ruled-line table detection — the pdfplumber DEFAULT table
+    strategy ('lines': cells come from drawn rulings, not text
+    alignment), which is what the reference's ``page.extract_tables()``
+    (`src/table_extractor.py:9-56`) actually runs on bordered report
+    tables.  :func:`detect_table_lines` remains the companion 'text'
+    strategy for borderless tables.
+
+    Input: ``tokenize_streams(..., with_rules=True)`` output — DEVICE
+    space, y UP: text runs (kind='text', origin x/y, extent w/h) plus
+    rulings (kind='rule', text 'h'|'v', min-corner x/y, extents w/h).
+
+    Algorithm (all array/higher-order expressions over per-doc ruling
+    arrays — rulings per page are tens, so the arrays are tiny even
+    when the run table is petabytes):
+
+      1. keep rulings that CROSS >= 2 perpendicular rulings (within
+         ``join_tol``) — isolated underlines / box decorations drop;
+      2. row boundaries: kept-horizontal y positions, sorted and
+         merged within ``snap_tol`` (a border drawn twice snaps to
+         one boundary);
+      3. tables: maximal boundary groups where consecutive rows are
+         <= ``row_gap`` apart — two stacked grids on one page split;
+      4. column boundaries per table: kept-vertical x positions whose
+         y-span overlaps the table, snapped like rows;
+      5. every text run lands in the cell containing its CENTER;
+         cell text joins member runs left-to-right with spaces, rows
+         join cells with ' | ' (the TABLE_ROW_MARKER shape the
+         S5/C6/T6 chain consumes), missing cells render as '' so
+         column positions stay aligned, fully-empty rows emit too
+         (pdfplumber emits them as all-empty lists).
+
+    Known scope limits (documented, not silent): side-by-side grids
+    whose rulings share y positions merge into one column space (the
+    'text' strategy or page segmentation separates them), and a table
+    inside a Form XObject is detected only because the machine emits
+    its rulings at the invocation site — as pdfplumber does.
+
+    Scale shape: one exchange over the (tiny) ruling rows for the
+    per-doc grid, one corpus-scale hash exchange of the text runs on
+    ``doc_id`` for the cell join; both downstream groupBys and the
+    final row join key on supersets of ``doc_id``, so they reuse that
+    partitioning (no further corpus-scale exchange).  Page-composed
+    doc keys bound skew exactly as in the line-clustering path.
+
+    Returns (doc_id, tbl_idx, row_idx, n_rows, n_cols, table_text):
+    one row per table row, ``tbl_idx`` numbering tables top-down per
+    doc, ``row_idx`` 0-based from the top row.
+    """
+    J, S, G = float(join_tol), float(snap_tol), float(row_gap)
+
+    rules = runs.where(F.col("kind") == "rule").select(
+        "doc_id", F.col("text").alias("o"), "x", "y", "w", "h")
+    grid = rules.groupBy("doc_id").agg(
+        F.collect_list(F.when(F.col("o") == "h",
+                              F.struct("x", "y", "w"))).alias("hs"),
+        F.collect_list(F.when(F.col("o") == "v",
+                              F.struct("x", "y", "h"))).alias("vs"))
+
+    cross_h = (f"filter(hs, r -> size(filter(vs, q -> "
+               f"q.x >= r.x - {J} AND q.x <= r.x + r.w + {J} AND "
+               f"r.y >= q.y - {J} AND r.y <= q.y + q.h + {J})) >= 2)")
+    cross_v = (f"filter(vs, q -> size(filter(hs, r -> "
+               f"q.x >= r.x - {J} AND q.x <= r.x + r.w + {J} AND "
+               f"r.y >= q.y - {J} AND r.y <= q.y + q.h + {J})) >= 2)")
+    # sorted positions merged within tol: single-linkage 1-D snap
+    snap = ("aggregate(array_sort({pos}), cast(array() as "
+            "array<double>), (acc, p) -> case when size(acc) > 0 "
+            "and p - element_at(acc, -1) <= {tol} then acc "
+            "else array_append(acc, p) end)")
+    ys_expr = snap.format(pos="transform(hk, r -> r.y)", tol=S)
+    groups = (f"aggregate({ys_expr}, cast(array() as "
+              f"array<array<double>>), (acc, p) -> case "
+              f"when size(acc) = 0 then array(array(p)) "
+              f"when p - element_at(element_at(acc, -1), -1) > {G} "
+              f"then array_append(acc, array(p)) "
+              f"else array_append(slice(acc, 1, size(acc) - 1), "
+              f"array_append(element_at(acc, -1), p)) end)")
+
+    cand = grid.select(
+        "doc_id",
+        F.expr(cross_h).alias("hk"), F.expr(cross_v).alias("vk")) \
+        .select("doc_id", "vk", F.explode(F.expr(groups)).alias("ys")) \
+        .where(F.size("ys") >= min_rows + 1)
+    xs_expr = snap.format(
+        pos=(f"transform(filter(vk, q -> "
+             f"q.y <= element_at(ys, -1) + {J} AND "
+             f"q.y + q.h >= element_at(ys, 1) - {J}), q -> q.x)"),
+        tol=S)
+    cand = cand.select("doc_id", "ys", F.expr(xs_expr).alias("xs")) \
+        .where(F.size("xs") >= min_cols + 1)
+    w_tbl = Window.partitionBy("doc_id") \
+        .orderBy(F.element_at("ys", -1).desc(), F.element_at("xs", 1))
+    tables = cand.select(
+        "doc_id", "ys", "xs",
+        (F.row_number().over(w_tbl) - 1).cast("int").alias("tbl_idx"),
+        (F.size("ys") - 1).alias("n_rows"),
+        (F.size("xs") - 1).alias("n_cols"))
+
+    words = runs.where((F.col("kind") == "text")
+                       & F.col("text").isNotNull()
+                       & (F.trim("text") != ""))
+    j = words.join(tables, "doc_id")
+    cx = F.col("x") + F.col("w") / 2
+    cy = F.col("y") + F.col("h") / 2
+    k = F.size(F.filter("ys", lambda b: b < cy))
+    c = F.size(F.filter("xs", lambda b: b < cx))
+    j = j.select(
+        "doc_id", "tbl_idx", "n_cols", "run_idx", "text", "x",
+        (F.size("ys") - 1 - k).cast("int").alias("row_idx"),
+        (c - 1).cast("int").alias("col_idx"),
+        k.alias("_k"), c.alias("_c"), F.size("ys").alias("_ny"),
+        F.size("xs").alias("_nx")) \
+        .where((F.col("_k") >= 1) & (F.col("_k") <= F.col("_ny") - 1)
+               & (F.col("_c") >= 1) & (F.col("_c") <= F.col("_nx") - 1))
+
+    cell_sort = F.array_sort(
+        F.collect_list(F.struct("x", "run_idx", "text")))
+    cells = j.groupBy("doc_id", "tbl_idx", "row_idx", "col_idx").agg(
+        F.array_join(F.transform(cell_sort, lambda s: s["text"]), " ")
+        .alias("cell"))
+    rowtexts = cells.groupBy("doc_id", "tbl_idx", "row_idx").agg(
+        F.map_from_entries(F.collect_list(F.struct("col_idx", "cell")))
+        .alias("m"))
+
+    allrows = tables.select(
+        "doc_id", "tbl_idx", "n_rows", "n_cols",
+        F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1))
+        .alias("row_idx")) \
+        .withColumn("row_idx", F.col("row_idx").cast("int"))
+    filled = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.col("n_cols") - 1),
+                    lambda i: F.coalesce(
+                        F.element_at("m", i.cast("int")), F.lit(""))),
+        " | ")
+    return (allrows
+            .join(rowtexts, ["doc_id", "tbl_idx", "row_idx"], "left")
+            .select("doc_id", "tbl_idx", "row_idx", "n_rows", "n_cols",
+                    filled.alias("table_text")))

@@ -319,6 +319,10 @@ def _apply_cmap(raw: str, cmap: dict[int, str], width: int,
     return text, len(codes), n_sp, units
 
 
+_RULE_EPS = 0.5  # device points: a painted segment whose minor extent
+# is below this is axis-aligned (a ruling); segments short in BOTH
+# axes are zero-length noise and diagonal segments are not rulings
+
 _MAX_FORM_DEPTH = 8  # §8.10 nesting bound: cyclic/degenerate form
 # graphs terminate deterministically (deeper calls degrade to media
 # runs, never hang an executor)
@@ -329,6 +333,7 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                  font_maps: dict[str, tuple[dict[int, str], int]]
                  | None = None,
                  forms: dict[str, dict] | None = None,
+                 with_rules: bool = False,
                  _init: tuple | None = None) -> list[tuple]:
     """Run the §9.4 text-object machine over lexed tokens; returns
     emitted runs as tuples
@@ -351,7 +356,23 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
     CTM, runs emitted in stream order, state restored — the §8.10.1
     semantics minus BBox clipping.  Unregistered names (images) stay
     media runs; calls beyond ``_MAX_FORM_DEPTH`` degrade to media
-    runs too."""
+    runs too.
+
+    ``with_rules=True`` additionally interprets the §8.5 path
+    operators (``m l re h c v y`` construction; ``S s f F f* B B* b
+    b*`` painting; ``n`` discard) and emits every PAINTED axis-aligned
+    segment as a ``rule`` run — the drawn table grid lines, cell
+    borders and underlines pdfplumber derives its default
+    'lines'-strategy table rulings from (the reference's
+    ``page.extract_tables()``, `src/table_extractor.py:9-56`, runs
+    that strategy).  Each rule row is
+    ``('rule', 'h'|'v', None, '', 0.0, x, y, w, h)`` with (x, y) the
+    device-space min corner and w/h the device-space extents (one of
+    them ~0 by construction); curve segments contribute only their
+    endpoints to the current point, diagonal segments are skipped
+    (not rulings), and clipping-only paths (``W n``) emit nothing.
+    Default False: path operators clear operands exactly as before,
+    so run tables and run_idx sequences stay byte-identical."""
     ctm = _ID
     stack: list[tuple] = []
     tm = tlm = _ID
@@ -363,6 +384,31 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
         ctm, font, size, tc, tw, tl, tz, depth = _init
     operands: list[tuple[str, Any]] = []
     runs: list[tuple] = []
+    # §8.5 path state (with_rules only): pending device-space segments
+    # of the CURRENT path, the current point, and the subpath start
+    path: list[tuple] = []
+    cur: tuple | None = None
+    sub0: tuple | None = None
+
+    def xf(px: float, py: float) -> tuple:
+        """User space -> device space through the current CTM."""
+        return (ctm[0] * px + ctm[2] * py + ctm[4],
+                ctm[1] * px + ctm[3] * py + ctm[5])
+
+    def paint_rules() -> None:
+        """Flush the pending path: axis-aligned segments become rule
+        runs (min-corner + extents; 'h'/'v' orientation in text)."""
+        for (x0, y0), (x1, y1) in path:
+            dx, dy = abs(x1 - x0), abs(y1 - y0)
+            if dx <= _RULE_EPS and dy <= _RULE_EPS:
+                continue  # zero-length
+            if dy <= _RULE_EPS:
+                runs.append(("rule", "h", None, "", 0.0,
+                             min(x0, x1), min(y0, y1), dx, dy))
+            elif dx <= _RULE_EPS:
+                runs.append(("rule", "v", None, "", 0.0,
+                             min(x0, x1), min(y0, y1), dx, dy))
+        path.clear()
 
     def show(text: str) -> None:
         nonlocal tm
@@ -482,6 +528,7 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                             if sub_f else font_maps,
                             {**(forms or {}), **sub_x}
                             if sub_x else forms,
+                            with_rules=with_rules,
                             _init=(_mult(tuple(mtx), ctm) if mtx
                                    else ctm,
                                    font, size, tc, tw, tl, tz,
@@ -495,8 +542,46 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                 # it distinct from any legal XObject name
                 runs.append(("media", None, "[inline]", font, 0.0,
                              ctm[4], ctm[5], ctm[0], ctm[3]))
-            # every other operator (ET, gs, re, W, n, BDC/EMC, Tr, Ts,
-            # color/path ops, inline dicts) only clears its operands
+            elif with_rules and op == "m":
+                a, b = [v for k, v in operands if k == "num"][-2:]
+                cur = sub0 = xf(a, b)
+            elif with_rules and op == "l":
+                a, b = [v for k, v in operands if k == "num"][-2:]
+                p = xf(a, b)
+                if cur is not None:
+                    path.append((cur, p))
+                cur = p
+            elif with_rules and op == "re":
+                a, b, rw, rh = [v for k, v in operands
+                                if k == "num"][-4:]
+                p00, p10 = xf(a, b), xf(a + rw, b)
+                p11, p01 = xf(a + rw, b + rh), xf(a, b + rh)
+                path.extend([(p00, p10), (p10, p11),
+                             (p11, p01), (p01, p00)])
+                cur = sub0 = p00
+            elif with_rules and op in ("c", "v", "y"):
+                # curves are not rulings; endpoint moves the point
+                a, b = [v for k, v in operands if k == "num"][-2:]
+                cur = xf(a, b)
+            elif with_rules and op == "h":
+                if cur is not None and sub0 is not None:
+                    path.append((cur, sub0))
+                cur = sub0
+            elif with_rules and op in ("S", "f", "F", "f*",
+                                       "B", "B*"):
+                paint_rules()
+                cur = sub0 = None
+            elif with_rules and op in ("s", "b", "b*"):
+                if cur is not None and sub0 is not None:
+                    path.append((cur, sub0))  # implicit close
+                paint_rules()
+                cur = sub0 = None
+            elif with_rules and op == "n":
+                path.clear()  # clipping-only path (W n): no paint
+                cur = sub0 = None
+            # every other operator (ET, gs, W, BDC/EMC, Tr, Ts, color
+            # ops, inline dicts — and, without with_rules, the whole
+            # path family) only clears its operands
         except (IndexError, ValueError, TypeError):
             pass  # malformed operand list: spec-prescribed skip
         operands.clear()
@@ -507,10 +592,11 @@ def extract_runs(stream: str,
                  char_width: float = DEFAULT_CHAR_WIDTH,
                  font_maps: dict[str, tuple[dict[int, str], int]]
                  | None = None,
-                 forms: dict[str, dict] | None = None) -> list[tuple]:
+                 forms: dict[str, dict] | None = None,
+                 with_rules: bool = False) -> list[tuple]:
     """Lex + run the machine over one content stream."""
     return machine_runs(lex_content(stream), char_width, font_maps,
-                        forms)
+                        forms, with_rules=with_rules)
 
 
 # ------------------------------------------------------- Spark kernel
@@ -524,7 +610,8 @@ RUNS_SCHEMA = (
 def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                      id_col: str = "doc_id",
                      char_width: float = DEFAULT_CHAR_WIDTH,
-                     maps_col: str | None = None) -> DataFrame:
+                     maps_col: str | None = None,
+                     with_rules: bool = False) -> DataFrame:
     """Batched byte-stream tokenization: (doc_id, stream) -> exploded
     positioned runs, ONE map-only ``mapInArrow`` pass (Arrow batches on
     both edges, no shuffle — the plan-shape test asserts zero
@@ -539,7 +626,14 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
     "s": {nested forms}?}}``) — ``Do`` on those names executes the
     form content in place instead of emitting a media run.  Identical
     JSON payloads deserialize once per batch (documents sharing
-    embedded fonts are the common case)."""
+    embedded fonts are the common case).
+
+    ``with_rules=True`` interleaves painted axis-aligned path
+    segments as ``kind='rule'`` rows (see :func:`machine_runs`) for
+    ruled-table detection; run_idx then numbers rules and text/media
+    together, so leave it False (the default, byte-identical output)
+    unless the consumer is rulings-aware
+    (`layout.detect_ruled_tables`)."""
     import json as _json
 
     import pyarrow as pa
@@ -600,7 +694,8 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                 fmaps, forms = _decode_maps(js, memo)
                 for idx, run in enumerate(
                         extract_runs(stream or "", char_width,
-                                     fmaps, forms)):
+                                     fmaps, forms,
+                                     with_rules=with_rules)):
                     cols[0].append(doc_id)
                     cols[1].append(idx)
                     for j, v in enumerate(run, start=2):
@@ -749,3 +844,27 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
 
     return (span_rows.groupBy("doc_id")
             .agg(F.transform(spans, span_struct).alias("spans")))
+
+
+def ruled_table_rows(docs: DataFrame, stream_col: str = "stream",
+                     id_col: str = "doc_id",
+                     maps_col: str | None = None,
+                     **kwargs) -> DataFrame:
+    """Content streams -> ruled-table rows: the pdfplumber-default
+    'lines' table strategy end-to-end (the reference's
+    ``page.extract_tables()``, `src/table_extractor.py:9-56`, over
+    bordered report tables).  One map-only tokenize pass with
+    ``with_rules=True`` (drawn grid lines emit as rule runs alongside
+    the text), then ``layout.detect_ruled_tables`` recovers the cell
+    grid from the rulings.  ``kwargs`` forward to the detector
+    (snap_tol/join_tol/row_gap/min_rows/min_cols).
+
+    Returns (doc_id, tbl_idx, row_idx, n_rows, n_cols, table_text);
+    ``table_text`` is the ' | '-joined TABLE_ROW_MARKER shape, so the
+    rows can re-enter the S5/C6/T6 table chain as ``table_row`` spans.
+    """
+    from .layout import detect_ruled_tables
+
+    runs = tokenize_streams(docs, stream_col, id_col,
+                            maps_col=maps_col, with_rules=True)
+    return detect_ruled_tables(runs, **kwargs)

@@ -223,3 +223,93 @@ def test_spans_from_runs_emits_table_rows_as_pipe_spans(spark):
     plain = spans_from_runs(_runs(spark, _TABLE_RUNS)) \
         .orderBy("offset").collect()
     assert not any("|" in r.text for r in plain)
+
+
+# ------------------------------------------------- ruled-line tables
+
+
+def _ruled_fixture(spark, stream, doc="d1"):
+    from pdf_extraction_spark.operators.pdfstream import \
+        tokenize_streams
+    df = spark.createDataFrame([(doc, stream)],
+                               "doc_id string, stream string")
+    return tokenize_streams(df, with_rules=True)
+
+
+_GRID_3X3 = ("72 628 420 72 re S "
+             "212 628 m 212 700 l S 352 628 m 352 700 l S "
+             "72 652 m 492 652 l S 72 676 m 492 676 l S ")
+
+
+def test_ruled_grid_rows_cells_and_empty_cell(spark):
+    from pdf_extraction_spark.operators.layout import \
+        detect_ruled_tables
+    txt = ("BT /F1 10 Tf "
+           "76 688 Td (Item) Tj 140 0 Td (Qty) Tj 140 0 Td (Cost) Tj "
+           "1 0 0 1 76 664 Tm (pipe) Tj 140 0 Td (2) Tj "
+           "140 0 Td (50) Tj "
+           "1 0 0 1 76 640 Tm (beam) Tj 280 0 Td (75) Tj "
+           "140 0 Td (usd) Tj ET")  # last run lands OUTSIDE the grid
+    out = detect_ruled_tables(
+        _ruled_fixture(spark, _GRID_3X3 + txt))
+    rows = [r.table_text for r in
+            out.orderBy("tbl_idx", "row_idx").collect()]
+    assert rows == ["Item | Qty | Cost", "pipe | 2 | 50",
+                    "beam |  | 75"]
+
+
+def test_ruled_multiword_cell_joins_left_to_right(spark):
+    from pdf_extraction_spark.operators.layout import \
+        detect_ruled_tables
+    txt = ("BT /F1 10 Tf 100 688 Td (two) Tj "
+           "1 0 0 1 76 688 Tm (one) Tj ET")
+    out = detect_ruled_tables(_ruled_fixture(spark, _GRID_3X3 + txt))
+    top = out.where("row_idx = 0").collect()[0].table_text
+    assert top == "one two |  | "
+
+
+def test_ruled_decoys_filtered_and_stacked_tables_split(spark):
+    from pdf_extraction_spark.operators.layout import \
+        detect_ruled_tables
+    tbl2 = ("50 452 200 48 re S 50 476 m 250 476 l S "
+            "150 452 m 150 500 l S ")
+    decoy = "72 580 m 200 580 l S 300 550 m 350 600 l S "
+    clip = "500 550 50 20 re W n "
+    txt = ("BT /F1 10 Tf 76 688 Td (a) Tj "
+           "1 0 0 1 76 484 Tm (b) Tj "
+           "1 0 0 1 90 578 Tm (underlined heading) Tj ET")
+    out = detect_ruled_tables(
+        _ruled_fixture(spark, _GRID_3X3 + tbl2 + decoy + clip + txt))
+    got = {(r.tbl_idx, r.row_idx): r.table_text
+           for r in out.collect()}
+    # table 0 = the 3x3 grid (top), table 1 = the 2x2 grid below;
+    # the underline/diagonal/clip contribute no table, and the
+    # underlined heading text joins NO table
+    assert got[(0, 0)] == "a |  | "
+    assert got[(1, 0)] == "b | "
+    assert len([k for k in got if k[0] == 0]) == 3
+    assert len([k for k in got if k[0] == 1]) == 2
+    assert not any("heading" in v for v in got.values())
+
+
+def test_ruled_isolated_crossing_pair_below_min_rows(spark):
+    from pdf_extraction_spark.operators.layout import \
+        detect_ruled_tables
+    # one h + one v crossing: passes the cross filter but yields a
+    # 1-boundary group per axis -> no table (needs min_rows+1 = 3 hs)
+    s = "72 580 m 200 580 l S 100 560 m 100 600 l S "
+    assert detect_ruled_tables(_ruled_fixture(spark, s)).count() == 0
+
+
+def test_ruled_table_rows_end_to_end_marker_shape(spark):
+    from pdf_extraction_spark.operators.pdfstream import \
+        ruled_table_rows
+    txt = "BT /F1 10 Tf 76 688 Td (Cost) Tj 140 0 Td (100) Tj ET"
+    df = spark.createDataFrame([("d9", _GRID_3X3 + txt)],
+                               "doc_id string, stream string")
+    out = ruled_table_rows(df)
+    rows = out.orderBy("row_idx").collect()
+    assert [r.table_text for r in rows] == \
+        ["Cost | 100 | ", " |  | ", " |  | "]
+    assert all(r.n_rows == 3 and r.n_cols == 3 for r in rows)
+    assert all(" | " in r.table_text for r in rows)

@@ -437,3 +437,64 @@ def test_pdf_to_spans_contract_shape(stream_docs):
     texts = [s.text for s in spans if s.kind == "text"]
     assert texts == ["roof leak found", "attic vent blocked",
                      "sump pump ok"]
+
+
+# ------------------------------------------------- §8.5 path -> rulings
+
+
+def test_rules_off_by_default_and_byte_identical():
+    s = ("72 628 420 72 re S 212 628 m 212 700 l S "
+         "BT /F1 10 Tf 76 684 Td (Item) Tj ET")
+    assert extract_runs(s) == [
+        ("text", "Item", None, "F1", 10.0, 76.0, 684.0, 20.0, 10.0)]
+
+
+def test_rect_stroke_emits_four_edges():
+    runs = extract_runs("72 628 420 72 re S", with_rules=True)
+    assert sorted(runs) == sorted([
+        ("rule", "h", None, "", 0.0, 72.0, 628.0, 420.0, 0.0),
+        ("rule", "h", None, "", 0.0, 72.0, 700.0, 420.0, 0.0),
+        ("rule", "v", None, "", 0.0, 72.0, 628.0, 0.0, 72.0),
+        ("rule", "v", None, "", 0.0, 492.0, 628.0, 0.0, 72.0)])
+
+
+def test_line_fill_close_and_clip_semantics():
+    # f paints, n discards (clip-only), h closes back to subpath start
+    runs = extract_runs(
+        "10 10 m 110 10 l 110 60 l 10 60 l h f "     # closed box, fill
+        "500 550 50 20 re W n "                      # clip: no edges
+        "300 550 m 350 600 l S",                     # diagonal: skipped
+        with_rules=True)
+    assert sorted(runs) == sorted([
+        ("rule", "h", None, "", 0.0, 10.0, 10.0, 100.0, 0.0),
+        ("rule", "v", None, "", 0.0, 110.0, 10.0, 0.0, 50.0),
+        ("rule", "h", None, "", 0.0, 10.0, 60.0, 100.0, 0.0),
+        ("rule", "v", None, "", 0.0, 10.0, 10.0, 0.0, 50.0)])
+
+
+def test_s_operator_implicit_close_and_ctm_transform():
+    # 's' closes then strokes; the CTM translate applies per point
+    runs = extract_runs(
+        "q 1 0 0 1 22 -148 cm 50 600 m 150 600 l 150 648 l s Q",
+        with_rules=True)
+    assert sorted(runs) == sorted([
+        ("rule", "h", None, "", 0.0, 72.0, 452.0, 100.0, 0.0),
+        ("rule", "v", None, "", 0.0, 172.0, 452.0, 0.0, 48.0),
+        # implicit close: (172,500)->(72,452) is diagonal, skipped
+    ])
+
+
+def test_curve_moves_point_without_edges():
+    runs = extract_runs(
+        "10 10 m 20 40 30 40 40 10 c 140 10 l S", with_rules=True)
+    # the curve itself is no ruling; the following l starts at (40,10)
+    assert runs == [
+        ("rule", "h", None, "", 0.0, 40.0, 10.0, 100.0, 0.0)]
+
+
+def test_rules_inside_form_xobject_emit_at_invocation():
+    forms = {"Hdr": {"text": "0 0 m 100 0 l S",
+                     "mtx": (1.0, 0.0, 0.0, 1.0, 72.0, 700.0)}}
+    runs = extract_runs("q /Hdr Do Q", forms=forms, with_rules=True)
+    assert runs == [
+        ("rule", "h", None, "", 0.0, 72.0, 700.0, 100.0, 0.0)]
