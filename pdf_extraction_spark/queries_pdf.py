@@ -334,11 +334,102 @@ FROM u ORDER BY doc_id, "offset"
 """
 
 
+# ------------------------------------------------ ruled-line tables
+
+_R_SLICES = {"r1": (180, 10), "r2": (190, 8), "r3": (198, 6)}
+
+
+def _ruled_stream_expr() -> str:
+    """A drawn (stroked) 3x3 grid — outer ``re`` + inner ``m/l/S``
+    lines at x = 72/212/352/492, y = 628/652/676/700 — and, on even
+    doc_ids, a second 2x2 grid below it (one line drawn under a
+    ``q/cm/Q`` translate to exercise the CTM on path points), plus
+    three decoys the detector must ignore: an underline with no
+    crossing verticals, a diagonal stroke, and a clipping-only
+    rectangle (``W n``).  Cell content is Tm-positioned text; row 2's
+    middle cell is EMPTY and its cost cell is TWO runs ('75' 'usd')
+    that must join left-to-right."""
+    e = {k: _esc(f"substr(p, {a}, {n})")
+         for k, (a, n) in _R_SLICES.items()}
+    return f"""
+  '72 628 420 72 re S '
+  || '212 628 m 212 700 l S 352 628 m 352 700 l S '
+  || '72 652 m 492 652 l S 72 676 m 492 676 l S '
+  || CASE WHEN doc_id % 2 = 0 THEN
+       '72 452 200 48 re S 172 452 m 172 500 l S '
+       || 'q 1 0 0 1 0 -24 cm 72 500 m 272 500 l S Q ' ELSE '' END
+  || '72 580 m 212 580 l S 300 550 m 350 600 l S '
+  || '500 550 50 20 re W n '
+  || 'BT /F2 10 Tf 76 688 Td (Item) Tj '
+  || '1 0 0 1 216 688 Tm (Qty) Tj 1 0 0 1 356 688 Tm (Cost) Tj '
+  || '1 0 0 1 76 660 Tm (' || {e['r1']} || ') Tj '
+  || '1 0 0 1 216 660 Tm (2) Tj '
+  || '1 0 0 1 356 660 Tm (' || {e['r2']} || ') Tj '
+  || '1 0 0 1 76 636 Tm (beam) Tj '
+  || '1 0 0 1 356 636 Tm (75) Tj 1 0 0 1 395 636 Tm (usd) Tj '
+  || CASE WHEN doc_id % 2 = 0 THEN
+       '1 0 0 1 76 484 Tm (A) Tj 1 0 0 1 176 484 Tm ('
+       || {e['r3']} || ') Tj 1 0 0 1 76 460 Tm (C) Tj ' ELSE '' END
+  || '1 0 0 1 90 578 Tm (heading outside) Tj ET'
+""".strip()
+
+
+def q_pdf_ruled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruled-line table detection (operators/layout.py
+    detect_ruled_tables over with_rules tokenization — the pdfplumber
+    DEFAULT 'lines' table strategy the reference's
+    ``page.extract_tables()`` runs, `src/table_extractor.py:9-56`):
+    painted path segments become the cell grid; isolated underlines,
+    diagonals and clip paths contribute nothing; stacked grids split
+    into separate tables; empty cells hold their column position."""
+    from .operators.pdfstream import ruled_table_rows
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        F.expr(f"COALESCE(text, '') || '{_PAD}'").alias("p")) \
+        .select("doc_id", F.expr(_ruled_stream_expr()).alias("stream"))
+    out = ruled_table_rows(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tbl_idx").cast("int").alias("tbl_idx"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.col("n_cols").cast("int").alias("n_cols"),
+        "table_text") \
+        .orderBy("doc_id", "tbl_idx", "row_idx")
+
+
+_SQL_PDF_RULED = f"""
+WITH b AS (SELECT doc_id, COALESCE(text, '') || '{_PAD}' AS p
+           FROM documents),
+s AS (SELECT doc_id,
+        {", ".join(f"substr(p, {a}, {n}) AS {k}"
+                   for k, (a, n) in _R_SLICES.items())}
+      FROM b),
+u AS (
+  SELECT doc_id, 0 AS tbl_idx, 0 AS row_idx, 3 AS n_rows, 3 AS n_cols,
+         'Item | Qty | Cost' AS t FROM s
+  UNION ALL SELECT doc_id, 0, 1, 3, 3, r1 || ' | 2 | ' || r2 FROM s
+  UNION ALL SELECT doc_id, 0, 2, 3, 3, 'beam |  | 75 usd' FROM s
+  UNION ALL SELECT doc_id, 1, 0, 2, 2, 'A | ' || r3 FROM s
+    WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id, 1, 1, 2, 2, 'C | ' FROM s
+    WHERE doc_id % 2 = 0)
+SELECT doc_id, CAST(tbl_idx AS INTEGER) AS tbl_idx,
+       CAST(row_idx AS INTEGER) AS row_idx,
+       CAST(n_rows AS INTEGER) AS n_rows,
+       CAST(n_cols AS INTEGER) AS n_cols, t AS table_text
+FROM u ORDER BY doc_id, tbl_idx, row_idx
+"""
+
+
 QUERIES_PDF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_runs": q_pdf_runs,
     "pdf_spans": q_pdf_spans,
     "pdf_kerned": q_pdf_kerned,
     "pdf_tables": q_pdf_tables,
+    "pdf_ruled": q_pdf_ruled,
 }
 
 ORACLES_PDF: dict[str, str] = {
@@ -346,4 +437,5 @@ ORACLES_PDF: dict[str, str] = {
     "pdf_spans": _SQL_PDF_SPANS,
     "pdf_kerned": _SQL_PDF_KERNED,
     "pdf_tables": _SQL_PDF_TABLES,
+    "pdf_ruled": _SQL_PDF_RULED,
 }
