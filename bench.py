@@ -182,6 +182,21 @@ def main() -> None:
     streams.count()
     timed("k_pdf_spans", lambda: noop(pdf_to_spans(streams)))
     streams.unpersist()
+    # ruled-line table recovery (pdfplumber 'lines' strategy): path
+    # interpretation + grid detection + the cell join
+    from pdf_extraction_spark.operators.pdfstream import \
+        ruled_table_rows
+    from pdf_extraction_spark.queries_pdf import (_PAD,
+                                                  _ruled_stream_expr)
+    rstreams = dtab.select(
+        "doc_id",
+        F.expr("COALESCE(text, '') || '" + _PAD + "'")
+        .alias("p")).select(
+        "doc_id", F.expr(_ruled_stream_expr()).alias("stream")) \
+        .persist()
+    rstreams.count()
+    timed("k_pdf_ruled", lambda: noop(ruled_table_rows(rstreams)))
+    rstreams.unpersist()
     from pdf_extraction_spark.operators.pdffile import files_to_spans
     from pdf_extraction_spark.queries_pdffile import _pdf_files
     pdfs = _pdf_files(spark, sf_dir).persist()

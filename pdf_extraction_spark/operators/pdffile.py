@@ -2797,3 +2797,38 @@ def files_to_spans(files: DataFrame, bytes_col: str = "pdf",
     kw.setdefault("maps_col", "fontmaps")
     return pdf_to_spans(pages, stream_col="stream", id_col="doc_id",
                         page_col="page", **kw)
+
+
+def files_to_ruled_tables(files: DataFrame, bytes_col: str = "pdf",
+                          id_col: str = "doc_id",
+                          **kw) -> DataFrame:
+    """Whole PDF files -> ruled-table rows: parse (map-only) ->
+    per-page ``with_rules`` tokenization -> `layout.
+    detect_ruled_tables` — the pdfplumber-default 'lines' table
+    strategy (the reference's ``page.extract_tables()``,
+    `src/table_extractor.py:9-56`) over raw file corpora.  Each page
+    detects in its OWN coordinate space (the composed doc||page key,
+    same skew story as `files_to_spans`); the output re-splits the
+    key, so tables number top-down per page.  Embedded-font CMaps
+    ride along, so glyph-coded cell text decodes before it lands in
+    cells.  ``kw`` forwards to the detector.
+
+    Returns (doc_id, page, tbl_idx, row_idx, n_rows, n_cols,
+    table_text); feed through `tables.ruled_rows_as_spans` ->
+    `tables.extract_tables` for S5/C6/T6 classification and costs
+    (compose the table key from (page, tbl_idx) first when per-doc
+    table numbering matters)."""
+    from .pdfstream import ruled_table_rows
+
+    _SEP = "\x1f"
+    pages = pages_from_files(files, bytes_col, id_col)
+    keyed = pages.select(
+        F.concat_ws(_SEP, F.col("doc_id"),
+                    F.col("page").cast("string")).alias("doc_id"),
+        "stream", "fontmaps")
+    rows = ruled_table_rows(keyed, maps_col="fontmaps", **kw)
+    return rows.select(
+        F.substring_index("doc_id", _SEP, 1).alias("doc_id"),
+        F.substring_index("doc_id", _SEP, -1).cast("int")
+        .alias("page"),
+        "tbl_idx", "row_idx", "n_rows", "n_cols", "table_text")

@@ -143,3 +143,27 @@ def link_costs(issues: DataFrame, tables: DataFrame) -> DataFrame:
             .select("doc_id", "issue_order", F.col("cost").alias("estimated_cost")))
 
     return issues.join(cand, ["doc_id", "issue_order"], "left")
+
+
+def ruled_rows_as_spans(rows: DataFrame) -> DataFrame:
+    """Bridge `layout.detect_ruled_tables` output (one row per ruled
+    table row) onto the span shape :func:`extract_tables` consumes, so
+    drawn-grid tables flow through the same S5 assembly → F10 size
+    gate → C6 classification → T6 price parsing as text-strategy
+    tables: ``extract_tables(ruled_rows_as_spans(ruled_rows))``.
+
+    Offsets are synthetic — ``tbl_idx * (TABLE_MAX_ROWS + 2) +
+    row_idx`` keeps each ruled table one contiguous offset run with a
+    gap between tables, so the run-detection trick reconstructs table
+    boundaries exactly.  No section_heading spans ride along, so W5
+    section context degrades to the reference's own ``PAGE_n``
+    fallback (src/table_extractor.py:119-145); callers that need real
+    section context should interleave table rows into the full span
+    pipeline instead."""
+    return rows.select(
+        "doc_id",
+        (F.col("tbl_idx").cast("long")
+         * (rules.TABLE_MAX_ROWS + 2)
+         + F.col("row_idx")).alias("offset"),
+        F.col("table_text").alias("norm"),
+        F.lit("table_row").alias("out_kind"))

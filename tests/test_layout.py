@@ -313,3 +313,28 @@ def test_ruled_table_rows_end_to_end_marker_shape(spark):
         ["Cost | 100 | ", " |  | ", " |  | "]
     assert all(r.n_rows == 3 and r.n_cols == 3 for r in rows)
     assert all(" | " in r.table_text for r in rows)
+
+
+def test_ruled_rows_feed_the_s5_table_chain(spark):
+    from pdf_extraction_spark.operators.pdfstream import \
+        ruled_table_rows
+    from pdf_extraction_spark.operators.tables import (
+        extract_tables, ruled_rows_as_spans)
+    txt = ("BT /F1 10 Tf "
+           "76 688 Td (Item) Tj 140 0 Td (Qty) Tj "
+           "140 0 Td (Total Cost) Tj "
+           "1 0 0 1 76 664 Tm (pipe repair) Tj 140 0 Td (2) Tj "
+           "140 0 Td ($150.00) Tj "
+           "1 0 0 1 76 640 Tm (beam) Tj 280 0 Td ($1,200.50) Tj ET")
+    df = spark.createDataFrame([("d1", _GRID_3X3 + txt)],
+                               "doc_id string, stream string")
+    tables = extract_tables(
+        ruled_rows_as_spans(ruled_table_rows(df))).collect()
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.headers == ["Item", "Qty", "Total Cost"]
+    assert t.table_data == [["pipe repair", "2", "$150.00"],
+                            ["beam", "", "$1,200.50"]]
+    assert t.table_type == "cost_estimate"
+    assert t.section == "PAGE_1"
+    assert t.cost.min == 150.0 and t.cost.max == 150.0

@@ -920,3 +920,30 @@ def test_meta_kernel(spark, file_docs):
         assert r.n_pages == 2 and r.n_revisions == 2
         assert r.xref_kind == ("table" if i % 2 == 0 else "stream")
         assert r.title == f"Doc {i} rev2"
+
+
+def test_files_to_ruled_tables_end_to_end(spark):
+    """A drawn grid inside a real (wrapped) PDF file extracts as
+    ruled-table rows through the whole file layer, per page."""
+    from pdf_extraction_spark.operators.pdffile import (
+        files_to_ruled_tables, wrap_content_stream)
+    content = (b"72 628 420 72 re S "
+               b"212 628 m 212 700 l S 352 628 m 352 700 l S "
+               b"72 652 m 492 652 l S 72 676 m 492 676 l S "
+               b"BT /F1 10 Tf 76 688 Td (Item) Tj "
+               b"1 0 0 1 216 688 Tm (Qty) Tj "
+               b"1 0 0 1 76 660 Tm (pipe) Tj "
+               b"1 0 0 1 356 636 Tm (75) Tj ET")
+    rows = []
+    for variant in (0, 1):  # classic and stream xref
+        pdf = wrap_content_stream(variant, content)
+        df = spark.createDataFrame([(f"d{variant}", bytearray(pdf))],
+                                   "doc_id string, pdf binary")
+        got = files_to_ruled_tables(df) \
+            .orderBy("row_idx").collect()
+        rows.append([(r.page, r.tbl_idx, r.row_idx, r.table_text)
+                     for r in got])
+    assert rows[0] == rows[1] == [
+        (0, 0, 0, "Item | Qty | "),
+        (0, 0, 1, "pipe |  | "),
+        (0, 0, 2, " |  | 75")]
