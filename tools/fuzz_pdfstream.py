@@ -6,7 +6,10 @@ independently-written twin (char-by-char lexer, numpy homogeneous
 set: q/cm/Q nesting, Tf/Td/TD/Tm/TL/T*, Tc/Tw/Tz spacing, Tj/'/"/TJ
 shows with kern arrays, Do placements, literal-string escapes
 (incl. octal + continuations), hex strings, comments, inline dicts,
-unknown ops and stray Q/ET.
+unknown ops and stray Q/ET — plus a path axis (drawn after all
+other axes so historical seeds keep their streams): m/l/re/h
+construction, curve point-moves, S/s/f/F/f*/B/B*/b/b* painting and
+W n clip-discards, checked against with_rules=True rule emission.
 
 All generated numeric values live on dyadic grids (multiples of
 0.25; kerns multiples of 125 so v/1000 is dyadic; Tz in
@@ -237,6 +240,16 @@ def twin_runs(stream: str, char_width: float = 0.5,
         tlm = _t(tx, ty) @ tlm
         tm = tlm.copy()
 
+    # §8.5 path state (independent of the main machine's tuple math:
+    # homogeneous row vectors through the full 3x3 CTM)
+    pth: list[tuple] = []
+    curp: tuple | None = None
+    sub: tuple | None = None
+
+    def devp(x, y):
+        v = np.array([x, y, 1.0]) @ ctm
+        return (v[0], v[1])
+
     for kind, val in twin_lex(stream):
         if kind != "op":
             ops.append((kind, val))
@@ -306,6 +319,52 @@ def twin_runs(stream: str, char_width: float = 0.5,
                 runs.append(("media", None, "[inline]", font, 0.0,
                              ctm[2, 0], ctm[2, 1],
                              ctm[0, 0], ctm[1, 1]))
+            elif val == "m":
+                x, y = nums()[-2:]
+                curp = sub = devp(x, y)
+            elif val == "l":
+                x, y = nums()[-2:]
+                p = devp(x, y)
+                if curp is not None:
+                    pth.append((curp, p))
+                curp = p
+            elif val == "re":
+                x, y, rw, rh = nums()[-4:]
+                c00, c10 = devp(x, y), devp(x + rw, y)
+                c11, c01 = devp(x + rw, y + rh), devp(x, y + rh)
+                pth.extend([(c00, c10), (c10, c11),
+                            (c11, c01), (c01, c00)])
+                curp = sub = c00
+            elif val in ("c", "v", "y"):
+                x, y = nums()[-2:]
+                curp = devp(x, y)
+            elif val == "h":
+                if curp is not None and sub is not None:
+                    pth.append((curp, sub))
+                curp = sub
+            elif val in ("S", "f", "F", "f*", "B", "B*",
+                         "s", "b", "b*"):
+                if val in ("s", "b", "b*") and curp is not None \
+                        and sub is not None:
+                    pth.append((curp, sub))
+                for p0, p1 in pth:
+                    ddx = abs(p1[0] - p0[0])
+                    ddy = abs(p1[1] - p0[1])
+                    if ddx <= 0.5 and ddy <= 0.5:
+                        continue
+                    if ddy <= 0.5:
+                        runs.append(("rule", "h", None, "", 0.0,
+                                     min(p0[0], p1[0]),
+                                     min(p0[1], p1[1]), ddx, ddy))
+                    elif ddx <= 0.5:
+                        runs.append(("rule", "v", None, "", 0.0,
+                                     min(p0[0], p1[0]),
+                                     min(p0[1], p1[1]), ddx, ddy))
+                pth.clear()
+                curp = sub = None
+            elif val == "n":
+                pth.clear()
+                curp = sub = None
         except (IndexError, ValueError, TypeError):
             pass
         ops.clear()
@@ -452,6 +511,69 @@ def gen_maps(rng) -> dict | None:
     return maps or None
 
 
+_PAINTS = ["S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n"]
+
+
+def _pc(rng) -> str:
+    """Dyadic path coordinate (ints and halves stay exact under the
+    dyadic cm factors)."""
+    return str(rng.randrange(-100, 1600) / 2)
+
+
+def gen_paths(rng) -> str:
+    """Path-axis suffix (drawn AFTER gen_maps so historical seeds
+    keep their streams): m/l chains incl. axis-aligned and diagonal
+    segments, h closes, re rects (incl. degenerate zero-extent),
+    curve point-moves, every paint/discard operator, CTM changes
+    mid-path, and malformed operand lists both machines must skip
+    identically."""
+    if rng.random() < 0.25:
+        return ""
+    parts: list[str] = []
+    for _ in range(rng.randrange(1, 12)):
+        r = rng.random()
+        if r < 0.10:
+            a, d = rng.choice([0.25, 0.5, 1.0, 2.0]), \
+                rng.choice([0.25, 0.5, 1.0, 2.0])
+            parts.append(f"q {a} 0 0 {d} {_pc(rng)} {_pc(rng)} cm")
+        elif r < 0.15:
+            parts.append("Q")
+        elif r < 0.40:
+            seg = [f"{_pc(rng)} {_pc(rng)} m"]
+            x, y = _pc(rng), _pc(rng)
+            for _ in range(rng.randrange(1, 5)):
+                rr = rng.random()
+                if rr < 0.4:    # axis-aligned horizontal
+                    x = _pc(rng)
+                elif rr < 0.8:  # axis-aligned vertical
+                    y = _pc(rng)
+                else:           # diagonal
+                    x, y = _pc(rng), _pc(rng)
+                seg.append(f"{x} {y} l")
+            if rng.random() < 0.3:
+                seg.append("h")
+            parts.append(" ".join(seg))
+        elif r < 0.55:
+            w = rng.choice(["0", _pc(rng)])
+            h = rng.choice(["0", _pc(rng)])
+            parts.append(f"{_pc(rng)} {_pc(rng)} {w} {h} re")
+        elif r < 0.62:
+            parts.append(f"{_pc(rng)} {_pc(rng)} {_pc(rng)} "
+                         f"{_pc(rng)} {_pc(rng)} {_pc(rng)} c")
+        elif r < 0.67:
+            parts.append(f"{_pc(rng)} {_pc(rng)} {_pc(rng)} "
+                         f"{_pc(rng)} v")
+        elif r < 0.85:
+            if rng.random() < 0.3:
+                parts.append("W")
+            parts.append(rng.choice(_PAINTS))
+        else:  # malformed operand lists: skipped by both machines
+            parts.append(rng.choice(
+                ["l", f"{_pc(rng)} re", "m", f"{_pc(rng)} l",
+                 f"{_pc(rng)} {_pc(rng)} {_pc(rng)} re"]))
+    return " ".join(parts)
+
+
 def main() -> None:
     lo, hi = int(sys.argv[1]), int(sys.argv[2])
     bad = 0
@@ -459,7 +581,8 @@ def main() -> None:
         rng = random.Random(77000 + seed)
         stream = gen_stream(rng)
         maps = gen_maps(rng)
-        a = extract_runs(stream, font_maps=maps)
+        stream = (stream + " " + gen_paths(rng)).rstrip()
+        a = extract_runs(stream, font_maps=maps, with_rules=True)
         b = twin_runs(stream, font_maps=maps)
         if a != b:
             bad += 1
