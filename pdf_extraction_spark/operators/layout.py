@@ -489,12 +489,23 @@ def detect_ruled_tables(runs: DataFrame, *, snap_tol: float = 3.0,
     inside a Form XObject is detected only because the machine emits
     its rulings at the invocation site — as pdfplumber does.
 
-    Scale shape: one exchange over the (tiny) ruling rows for the
-    per-doc grid, one corpus-scale hash exchange of the text runs on
-    ``doc_id`` for the cell join; both downstream groupBys and the
-    final row join key on supersets of ``doc_id``, so they reuse that
-    partitioning (no further corpus-scale exchange).  Page-composed
-    doc keys bound skew exactly as in the line-clustering path.
+    Scale shape: ONE pass, ONE exchange, ZERO joins.  A single
+    groupBy(doc_id) collects the doc's rulings AND words into arrays
+    (map-side partial aggregation applies; per-doc state is bounded
+    by page size exactly like the line-clustering windows — compose
+    the key as doc||page for real multi-page corpora), then the whole
+    grid recovery and cell assembly run as higher-order array
+    expressions, and two posexplodes unpack (table, row) rows.  An
+    earlier two-branch join formulation re-ran the upstream tokenize
+    map once per branch (3 corpus decodes, measured) because each
+    branch pruned different columns below its exchange and defeated
+    ReusedExchange — the single linear tree makes one scan structural
+    rather than optimizer-dependent.  Cell assembly visits the
+    in-table word array once per cell (O(rows x cols x words) per
+    table); real report grids are tens of cells over hundreds of
+    words, and the F10 gates (1000 rows / 50 cols) bound the
+    downstream consumer, so the quadratic corner needs a pathological
+    hand-built page AND survives it linearly in corpus size.
 
     Returns (doc_id, tbl_idx, row_idx, n_rows, n_cols, table_text):
     one row per table row, ``tbl_idx`` numbering tables top-down per
@@ -502,13 +513,24 @@ def detect_ruled_tables(runs: DataFrame, *, snap_tol: float = 3.0,
     """
     J, S, G = float(join_tol), float(snap_tol), float(row_gap)
 
-    rules = runs.where(F.col("kind") == "rule").select(
-        "doc_id", F.col("text").alias("o"), "x", "y", "w", "h")
-    grid = rules.groupBy("doc_id").agg(
-        F.collect_list(F.when(F.col("o") == "h",
-                              F.struct("x", "y", "w"))).alias("hs"),
-        F.collect_list(F.when(F.col("o") == "v",
-                              F.struct("x", "y", "h"))).alias("vs"))
+    is_rule = F.col("kind") == "rule"
+    is_word = ((F.col("kind") == "text") & F.col("text").isNotNull()
+               & (F.trim("text") != ""))
+    base = runs.select(
+        "doc_id",
+        F.when(is_rule & (F.col("text") == "h"),
+               F.struct("x", "y", "w")).alias("hrec"),
+        F.when(is_rule & (F.col("text") == "v"),
+               F.struct("x", "y", "h")).alias("vrec"),
+        F.when(is_word, F.struct(
+            "x", "run_idx", "text",
+            (F.col("x") + F.col("w") / 2).alias("cx"),
+            (F.col("y") + F.col("h") / 2).alias("cy"))).alias("wrec"))
+    # collect_list skips the NULLs the when()s leave on other kinds
+    grid = base.groupBy("doc_id").agg(
+        F.collect_list("hrec").alias("hs"),
+        F.collect_list("vrec").alias("vs"),
+        F.collect_list("wrec").alias("ws"))
 
     cross_h = (f"filter(hs, r -> size(filter(vs, q -> "
                f"q.x >= r.x - {J} AND q.x <= r.x + r.w + {J} AND "
@@ -529,64 +551,49 @@ def detect_ruled_tables(runs: DataFrame, *, snap_tol: float = 3.0,
               f"then array_append(acc, array(p)) "
               f"else array_append(slice(acc, 1, size(acc) - 1), "
               f"array_append(element_at(acc, -1), p)) end)")
-
-    cand = grid.select(
-        "doc_id",
-        F.expr(cross_h).alias("hk"), F.expr(cross_v).alias("vk")) \
-        .select("doc_id", "vk", F.explode(F.expr(groups)).alias("ys")) \
-        .where(F.size("ys") >= min_rows + 1)
-    xs_expr = snap.format(
+    # per-group column boundaries; a candidate survives with at least
+    # min_rows+1 row and min_cols+1 column boundaries.  groups are
+    # y-ascending and disjoint, so reverse() numbers tables top-down.
+    xs_of = snap.format(
         pos=(f"transform(filter(vk, q -> "
-             f"q.y <= element_at(ys, -1) + {J} AND "
-             f"q.y + q.h >= element_at(ys, 1) - {J}), q -> q.x)"),
+             f"q.y <= element_at(g, -1) + {J} AND "
+             f"q.y + q.h >= element_at(g, 1) - {J}), q -> q.x)"),
         tol=S)
-    cand = cand.select("doc_id", "ys", F.expr(xs_expr).alias("xs")) \
-        .where(F.size("xs") >= min_cols + 1)
-    w_tbl = Window.partitionBy("doc_id") \
-        .orderBy(F.element_at("ys", -1).desc(), F.element_at("xs", 1))
-    tables = cand.select(
-        "doc_id", "ys", "xs",
-        (F.row_number().over(w_tbl) - 1).cast("int").alias("tbl_idx"),
-        (F.size("ys") - 1).alias("n_rows"),
-        (F.size("xs") - 1).alias("n_cols"))
+    tarr = (f"reverse(filter(transform({groups}, "
+            f"g -> struct(g AS ys, {xs_of} AS xs)), "
+            f"t -> size(t.ys) >= {int(min_rows) + 1} "
+            f"AND size(t.xs) >= {int(min_cols) + 1}))")
 
-    words = runs.where((F.col("kind") == "text")
-                       & F.col("text").isNotNull()
-                       & (F.trim("text") != ""))
-    j = words.join(tables, "doc_id")
-    cx = F.col("x") + F.col("w") / 2
-    cy = F.col("y") + F.col("h") / 2
-    k = F.size(F.filter("ys", lambda b: b < cy))
-    c = F.size(F.filter("xs", lambda b: b < cx))
-    j = j.select(
-        "doc_id", "tbl_idx", "n_cols", "run_idx", "text", "x",
-        (F.size("ys") - 1 - k).cast("int").alias("row_idx"),
-        (c - 1).cast("int").alias("col_idx"),
-        k.alias("_k"), c.alias("_c"), F.size("ys").alias("_ny"),
-        F.size("xs").alias("_nx")) \
-        .where((F.col("_k") >= 1) & (F.col("_k") <= F.col("_ny") - 1)
-               & (F.col("_c") >= 1) & (F.col("_c") <= F.col("_nx") - 1))
+    tables = grid.select(
+        "doc_id",
+        F.expr(cross_h).alias("hk"), F.expr(cross_v).alias("vk"),
+        "ws") \
+        .select("doc_id", "ws",
+                F.posexplode(F.expr(tarr)).alias("tbl_idx", "t")) \
+        .select("doc_id", F.col("tbl_idx").cast("int").alias("tbl_idx"),
+                "t", "ws")
 
-    cell_sort = F.array_sort(
-        F.collect_list(F.struct("x", "run_idx", "text")))
-    cells = j.groupBy("doc_id", "tbl_idx", "row_idx", "col_idx").agg(
-        F.array_join(F.transform(cell_sort, lambda s: s["text"]), " ")
-        .alias("cell"))
-    rowtexts = cells.groupBy("doc_id", "tbl_idx", "row_idx").agg(
-        F.map_from_entries(F.collect_list(F.struct("col_idx", "cell")))
-        .alias("m"))
-
-    allrows = tables.select(
-        "doc_id", "tbl_idx", "n_rows", "n_cols",
-        F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1))
-        .alias("row_idx")) \
-        .withColumn("row_idx", F.col("row_idx").cast("int"))
-    filled = F.array_join(
-        F.transform(F.sequence(F.lit(0), F.col("n_cols") - 1),
-                    lambda i: F.coalesce(
-                        F.element_at("m", i.cast("int")), F.lit(""))),
-        " | ")
-    return (allrows
-            .join(rowtexts, ["doc_id", "tbl_idx", "row_idx"], "left")
-            .select("doc_id", "tbl_idx", "row_idx", "n_rows", "n_cols",
-                    filled.alias("table_text")))
+    # row r (0-based from the top) lies between the (size-r)th and
+    # (size-r-1)th 1-based boundaries; a word belongs to the cell
+    # containing its center, centers exactly on a boundary going to
+    # the cell above/left (strict > on the lower bound).  Cells sort
+    # member words by (x, run_idx) and join with spaces; rows join
+    # cells with ' | '; a row with no words renders as empty cells.
+    row_texts = ("transform(sequence(0, size(t.ys) - 2), r -> "
+                 "array_join(transform(sequence(0, size(t.xs) - 2), "
+                 "c -> array_join(transform(array_sort(filter(ws, "
+                 "w -> w.cy > element_at(t.ys, "
+                 "cast(size(t.ys) - r - 1 as int)) "
+                 "AND w.cy <= element_at(t.ys, "
+                 "cast(size(t.ys) - r as int)) "
+                 "AND w.cx > element_at(t.xs, cast(c + 1 as int)) "
+                 "AND w.cx <= element_at(t.xs, "
+                 "cast(c + 2 as int)))), w -> w.text), ' ')), ' | '))")
+    return tables.select(
+        "doc_id", "tbl_idx",
+        (F.size("t.ys") - 1).cast("int").alias("n_rows"),
+        (F.size("t.xs") - 1).cast("int").alias("n_cols"),
+        F.posexplode(F.expr(row_texts)).alias("row_idx", "table_text")) \
+        .select("doc_id", "tbl_idx",
+                F.col("row_idx").cast("int").alias("row_idx"),
+                "n_rows", "n_cols", "table_text")

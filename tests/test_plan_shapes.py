@@ -294,3 +294,24 @@ def test_pdf_bridge_two_docid_exchanges(spark):
     # window before its rename back to doc_id), doc_id (final groupBy)
     assert sum(k.startswith(("__pkey", "real_doc", "doc_id#"))
                for k in keys) == 3
+
+
+def test_ruled_tables_single_scan_single_exchange(spark):
+    """detect_ruled_tables is ONE linear tree: the upstream tokenize
+    map appears exactly once in the plan (an earlier two-branch join
+    formulation re-ran it 3x — column pruning below each branch's
+    exchange defeats ReusedExchange), there is exactly one hash
+    exchange (the doc_id groupBy), and no join operator at all."""
+    import re
+
+    from pdf_extraction_spark.operators.pdfstream import (
+        ruled_table_rows)
+
+    df = spark.createDataFrame(
+        [("d1", "72 628 420 72 re S BT /F1 10 Tf 76 688 Td (x) Tj ET")],
+        "doc_id string, stream string")
+    plan = _plan(ruled_table_rows(df))
+    assert len(re.findall(r"MapInArrow", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+        plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
