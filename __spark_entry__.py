@@ -83,12 +83,14 @@ _DRIVER_WINDOW = [
 # carries a driver row from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
-    "pdf_ruled", "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
+    "pdf_ruled", "html_tables",
+    "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
     # r02/r03-green re-proofs (every remaining registered name except
     # price_parse, ngram_shingles, knn_vote, quality_routing, title,
-    # fingerprint and classification — dropped to stay at 50; all
-    # seven carry r03 driver rows and overlap tables / jaccard_pairs /
-    # cosine_topk / boilerplate / sections / token_stats / strategy)
+    # fingerprint, classification and normalize_unicode — dropped to
+    # stay at 50; all eight carry r03 driver rows and overlap tables /
+    # jaccard_pairs / cosine_topk / boilerplate / sections /
+    # token_stats / strategy / cleaning)
     "status_detect", "sections", "segmentation", "priority",
     "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
@@ -102,7 +104,7 @@ _DRIVER_WINDOW_R5 = [
     "causal_chains",
     "langid", "quality_score", "token_stats",
     "events_window", "group_discount", "calibration", "dedup_doc",
-    "metadata_enrich", "normalize_unicode", "boilerplate",
+    "metadata_enrich", "boilerplate",
     "checkpoint_cache",
 ]
 

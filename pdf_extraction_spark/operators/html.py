@@ -281,3 +281,71 @@ def html_to_spans(docs: DataFrame, html_col: str = "html",
             i.cast("int").alias("offset")))
     return docs.select(F.col(id_col).cast("string").alias("doc_id"),
                        spans.alias("spans"))
+
+
+# ---------------------------------------------------------- tables
+
+# <table>/<tr>/<td|th> element bodies; non-greedy to the first close,
+# so a NESTED table truncates its outer row at the inner close — the
+# documented regex-tokenizer scope shared by the whole module (a tree
+# builder is the upgrade path, not a silent requirement)
+TABLE_PATTERN = r"(?is)<table(\s[^>]*)?>(.*?)</table\s*>"
+TR_PATTERN = r"(?is)<tr(\s[^>]*)?>(.*?)</tr\s*>"
+CELL_PATTERN = r"(?is)<t([dh])(\s[^>]*)?>(.*?)</t[dh]\s*>"
+
+
+def html_tables_col(html: Column) -> Column:
+    """``array<array<struct<txt,nc>>>`` — per table, per ``<tr>`` row:
+    the ' | '-joined cell text and the cell count
+    (``<td>``/``<th>`` cells, inline tags stripped,
+    entities decoded, whitespace collapsed — the same ``_plain_text``
+    normalization the block classifier applies).  Ragged rows keep
+    their own cell count (colspan markup is ignored, as the
+    reference's pdfplumber cell lists are ragged too); unclosed cells
+    merge into the enclosing match (regex scope).  Comment/script/
+    style/head content is dropped FIRST, so a table quoted inside a
+    script never extracts."""
+    cleaned = F.coalesce(html, F.lit(""))
+    for pat in DROP_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(""))
+    tbls = F.regexp_extract_all(cleaned, F.lit(TABLE_PATTERN), 2)
+
+    def row_struct(r: Column) -> Column:
+        cells = F.transform(
+            F.regexp_extract_all(r, F.lit(CELL_PATTERN), 3),
+            _plain_text)
+        return F.struct(
+            F.array_join(cells, " | ").alias("txt"),
+            F.size(cells).alias("nc"))
+
+    return F.transform(
+        tbls,
+        lambda t: F.transform(
+            F.regexp_extract_all(t, F.lit(TR_PATTERN), 2), row_struct))
+
+
+def html_table_rows(docs: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """HTML ``<table>`` markup -> one row per table row — the
+    crawl-side twin of the PDF ruled/text table strategies, emitting
+    the same ' | '-joined TABLE_ROW_MARKER shape, so
+    ``tables.ruled_rows_as_spans`` -> ``tables.extract_tables`` runs
+    the S5/C6/T6 classification chain on web tables unchanged.
+
+    Zero shuffle: the extraction is one regex/higher-order expression
+    chain in the scan stage; two posexplodes (narrow) unpack tables
+    and rows.  Returns (doc_id, tbl_idx, row_idx, n_rows, n_cells,
+    table_text), tables and rows both in document order."""
+    t = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(html_tables_col(F.col(html_col)))
+        .alias("tbl_idx", "rows"))
+    r = t.select(
+        "doc_id", F.col("tbl_idx").cast("int").alias("tbl_idx"),
+        F.size("rows").cast("int").alias("n_rows"),
+        F.posexplode("rows").alias("row_idx", "row"))
+    return r.select(
+        "doc_id", "tbl_idx",
+        F.col("row_idx").cast("int").alias("row_idx"), "n_rows",
+        F.col("row.nc").cast("int").alias("n_cells"),
+        F.col("row.txt").alias("table_text"))

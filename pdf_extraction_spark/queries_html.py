@@ -350,11 +350,90 @@ ORDER BY doc_id, u.off
 """
 
 
+# ---------------------------------------------------------- tables
+
+
+def _tables_html_expr() -> str:
+    """Deterministic page with <table> markup: a th header, entity +
+    inline-tag + empty + colspan-ragged cells, a doc-conditional
+    second table, and two traps the drop chain must eat first (a
+    table quoted inside <script>, a commented-out table)."""
+    return """
+  '<html><head><title>T</title><script>var x = '
+  || '"<table><tr><td>ghost</td></tr></table>";</script></head><body>'
+  || '<!-- <table><tr><td>c</td></tr></table> -->'
+  || '<h1>' || substr(t, 1, 16) || '</h1>'
+  || '<table class="data"><thead><tr><th>Item</th><th>Qty</th>'
+  || '<th>Cost</th></tr></thead><tbody>'
+  || '<tr><td>' || substr(t, 17, 18)
+  || '</td><td><b>2</b></td><td>$150</td></tr>'
+  || '<tr><td>beam &amp; joist</td><td></td><td>$1,200</td></tr>'
+  || '<tr><td>' || substr(t, 35, 12)
+  || '</td><td colspan="2">subtotal</td></tr>'
+  || '</tbody></table>'
+  || '<p>' || substr(t, 47, 60) || '</p>'
+  || CASE WHEN doc_id % 2 = 0 THEN '<table><tr><td>A</td><td>'
+       || substr(t, 59, 8) || '</td></tr><tr><td>C</td></tr></table>'
+       ELSE '' END
+  || '</body></html>'
+""".strip()
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> extraction (operators/html.py html_table_rows):
+    markup tables become ' | '-joined TABLE_ROW_MARKER rows, the
+    crawl-side twin of the PDF ruled/text table strategies, feeding
+    the same S5/C6/T6 chain.  Zero shuffle; two narrow posexplodes."""
+    from .operators.html import html_table_rows
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = d.select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id", F.expr(_tables_html_expr()).alias("html"))
+    return html_table_rows(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "tbl_idx", "row_idx", "n_rows", "n_cells", "table_text") \
+        .orderBy("doc_id", "tbl_idx", "row_idx")
+
+
+def _sql_html_tables() -> str:
+    # closed form: the corpus text carries no tags/entities/sentinels
+    # (checked at generation), so per-cell normalization reduces to
+    # the whitespace collapse + trim
+    def norm(expr: str) -> str:
+        return f"trim(regexp_replace({expr}, '{_WS_SQL}', ' ', 'g'))"
+
+    return f"""
+WITH b AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+s AS (SELECT doc_id,
+        {norm("substr(t, 17, 18)")} AS s1,
+        {norm("substr(t, 35, 12)")} AS s3,
+        {norm("substr(t, 59, 8)")} AS s4
+      FROM b),
+u AS (
+  SELECT doc_id, 0 AS tbl, 0 AS rw, 4 AS nr, 3 AS nc,
+         'Item | Qty | Cost' AS txt FROM s
+  UNION ALL SELECT doc_id, 0, 1, 4, 3, s1 || ' | 2 | $150' FROM s
+  UNION ALL SELECT doc_id, 0, 2, 4, 3,
+         'beam & joist |  | $1,200' FROM s
+  UNION ALL SELECT doc_id, 0, 3, 4, 2, s3 || ' | subtotal' FROM s
+  UNION ALL SELECT doc_id, 1, 0, 2, 2, 'A | ' || s4 FROM s
+    WHERE doc_id % 2 = 0
+  UNION ALL SELECT doc_id, 1, 1, 2, 1, 'C' FROM s
+    WHERE doc_id % 2 = 0)
+SELECT doc_id, CAST(tbl AS INTEGER) AS tbl_idx,
+       CAST(rw AS INTEGER) AS row_idx, CAST(nr AS INTEGER) AS n_rows,
+       CAST(nc AS INTEGER) AS n_cells, txt AS table_text
+FROM u ORDER BY doc_id, tbl_idx, row_idx
+"""
+
+
 QUERIES_HTML: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_main": q_html_main,
     "html_blocks": q_html_blocks,
     "html_curation": q_html_curation,
     "html_spans": q_html_spans,
+    "html_tables": q_html_tables,
 }
 
 ORACLES_HTML: dict[str, str] = {
@@ -362,4 +441,5 @@ ORACLES_HTML: dict[str, str] = {
     "html_blocks": sql_html_blocks(),
     "html_curation": _sql_html_curation(),
     "html_spans": sql_html_spans(),
+    "html_tables": _sql_html_tables(),
 }

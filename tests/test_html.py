@@ -232,3 +232,61 @@ def test_media_spans_chain_into_multimodal_decode(spark):
     assert {r.media_ref for r in feats} == \
         {"img://d/0", "img://d/1", "img://d/2", "chrome.png"}
     assert all(len(r.feature) > 0 for r in feats)
+
+
+# ---------------------------------------------------------- tables
+
+
+def test_html_table_rows_structure_and_normalization(spark):
+    from pdf_extraction_spark.operators.html import html_table_rows
+    html = ("<html><head><script>var t='<table><tr><td>ghost</td>"
+            "</tr></table>';</script></head><body>"
+            "<!-- <table><tr><td>c</td></tr></table> -->"
+            "<table class='data'>"
+            "<thead><tr><th>Item</th><th>Qty</th></tr></thead>"
+            "<tbody><tr><td>pipe &amp; joint</td><td><b>2</b></td></tr>"
+            "<tr><td></td><td>x</td></tr>"
+            "<tr><td colspan='2'>subtotal</td></tr></tbody></table>"
+            "<p>prose</p>"
+            "<table><tr><td>A</td><td>B</td></tr></table>"
+            "</body></html>")
+    df = spark.createDataFrame([("d1", html)],
+                               "doc_id string, html string")
+    got = [(r.tbl_idx, r.row_idx, r.n_rows, r.n_cells, r.table_text)
+           for r in html_table_rows(df)
+           .orderBy("tbl_idx", "row_idx").collect()]
+    assert got == [
+        (0, 0, 4, 2, "Item | Qty"),        # th cells, header row
+        (0, 1, 4, 2, "pipe & joint | 2"),  # entity + inline tag
+        (0, 2, 4, 2, " | x"),              # empty cell keeps position
+        (0, 3, 4, 1, "subtotal"),          # ragged row (colspan)
+        (1, 0, 1, 2, "A | B"),             # second table
+    ]
+
+
+def test_html_table_rows_feed_the_s5_chain(spark):
+    from pdf_extraction_spark.operators.html import html_table_rows
+    from pdf_extraction_spark.operators.tables import (
+        extract_tables, ruled_rows_as_spans)
+    html = ("<table><tr><th>Item</th><th>Total Cost</th></tr>"
+            "<tr><td>beam</td><td>$1,200.50</td></tr>"
+            "<tr><td>pipe</td><td>$150.00</td></tr></table>")
+    df = spark.createDataFrame([("d1", html)],
+                               "doc_id string, html string")
+    tables = extract_tables(
+        ruled_rows_as_spans(html_table_rows(df))).collect()
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.headers == ["Item", "Total Cost"]
+    assert t.table_data == [["beam", "$1,200.50"],
+                            ["pipe", "$150.00"]]
+    assert t.table_type == "cost_estimate"
+    assert t.cost.min == 1200.5
+
+
+def test_html_table_rows_null_and_tableless(spark):
+    from pdf_extraction_spark.operators.html import html_table_rows
+    df = spark.createDataFrame(
+        [("d1", None), ("d2", "<p>no tables here</p>")],
+        "doc_id string, html string")
+    assert html_table_rows(df).count() == 0
