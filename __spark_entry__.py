@@ -75,12 +75,14 @@ _DRIVER_WINDOW = [
     "pdf_file_widths",
 ]
 
-# Round-5 window, pre-staged (INERT this round): the 3 pdf gates the
-# round-4 window couldn't fit (front-loaded — they are the only names
-# with no driver row after r04) + the 47 r02/r03-green names outside
-# the round-4 window, so each accumulates a fresh driver row.  To
-# rotate, point _driver_order at this list.  Every registered name then
-# carries a driver row from round 4 or 5 (most from both).
+# Round-5 window, pre-staged and AUTO-ACTIVATED: _driver_order switches
+# to this list as soon as CORRECTNESS_r04.json exists in the repo (the
+# driver commits its artifact per round), so the rotation cannot be
+# forgotten.  Front: the only names with no driver row after r04 (the
+# 3 deferred pdf gates + the late-round pdf_ruled/html_tables); then
+# r02/r03-green names outside the round-4 window, so each accumulates
+# a fresh driver row.  Every registered name then carries a driver row
+# from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "pdf_ruled", "html_tables",
@@ -110,9 +112,18 @@ _DRIVER_WINDOW_R5 = [
 
 
 def _driver_order(merged: dict) -> dict:
-    missing = [n for n in _DRIVER_WINDOW if n not in merged]
-    assert not missing, f"_DRIVER_WINDOW names unknown: {missing}"
-    head = {n: merged[n] for n in _DRIVER_WINDOW}
+    # rotate automatically: once the round-4 driver artifact exists in
+    # the repo (the driver commits CORRECTNESS_r{N}.json per round),
+    # the round-5 window takes over — no manual edit to forget
+    import os.path
+    window = (_DRIVER_WINDOW_R5
+              if os.path.exists(os.path.join(
+                  os.path.dirname(os.path.abspath(__file__)),
+                  "CORRECTNESS_r04.json"))
+              else _DRIVER_WINDOW)
+    missing = [n for n in window if n not in merged]
+    assert not missing, f"driver window names unknown: {missing}"
+    head = {n: merged[n] for n in window}
     return {**head, **{n: q for n, q in merged.items() if n not in head}}
 
 
