@@ -512,6 +512,11 @@ def detect_ruled_tables(runs: DataFrame, *, snap_tol: float = 3.0,
     doc, ``row_idx`` 0-based from the top row.
     """
     J, S, G = float(join_tol), float(snap_tol), float(row_gap)
+    # at least one row and one column: below that a "table" has a
+    # single boundary per axis and sequence(0, n-2) would infer a
+    # NEGATIVE step (Spark's sequence picks the step sign from the
+    # bounds) and fabricate rows
+    min_rows, min_cols = max(1, int(min_rows)), max(1, int(min_cols))
 
     is_rule = F.col("kind") == "rule"
     is_word = ((F.col("kind") == "text") & F.col("text").isNotNull()
