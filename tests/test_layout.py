@@ -338,3 +338,26 @@ def test_ruled_rows_feed_the_s5_table_chain(spark):
     assert t.table_type == "cost_estimate"
     assert t.section == "PAGE_1"
     assert t.cost.min == 150.0 and t.cost.max == 150.0
+
+
+def test_ruled_fuzz_sample(spark):
+    """50 seeds of the by-construction ruled-table fuzz (the committed
+    campaign runs thousands): random grids, double-drawn and
+    translate-drawn boundaries, multi-word cells with x-tie
+    run_idx ordering, decoy family — expected rows computed from the
+    construction, one batched Spark job."""
+    import tools.fuzz_ruled as fz
+    from pdf_extraction_spark.operators.pdfstream import \
+        ruled_table_rows
+
+    cases = {s: fz.gen_case(s) for s in range(50)}
+    df = spark.createDataFrame(
+        [(str(s), stream) for s, (stream, _) in cases.items()],
+        "doc_id string, stream string")
+    got = {s: [] for s in cases}
+    for row in ruled_table_rows(df).collect():
+        got[int(row.doc_id)].append(
+            (row.tbl_idx, row.row_idx, row.n_rows, row.n_cols,
+             row.table_text))
+    for s, (_, expected) in cases.items():
+        assert sorted(got[s]) == sorted(expected), s
