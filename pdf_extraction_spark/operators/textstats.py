@@ -93,3 +93,26 @@ def fingerprint_col(text: Column) -> Column:
     token set (stable under token reordering / duplication)."""
     toks = F.array_sort(F.array_distinct(tokens_col(F.lower(text))))
     return F.md5(F.array_join(toks, " "))
+
+
+def dehyphenate(text: Column) -> Column:
+    """Re-join words hyphenated across line breaks — the cleaning step
+    between layout reconstruction (which joins block lines with
+    newlines) and a training corpus: ``exam-\\nple`` -> ``example``.
+
+    Conservative rule set, in order:
+      1. soft hyphens (U+00AD, the invisible break PDFs and web text
+         carry) drop unconditionally;
+      2. a LOWERCASE letter, ``-``, newline, optional indent,
+         lowercase letter joins with the hyphen removed (an
+         end-of-line break inside one word);
+      3. everything else is untouched — capitalized compounds
+         (``Sub-\\nCommittee``), digit ranges and em-dash line ends
+         keep their characters, because removing those hyphens is
+         lossy and a corpus consumer can't undo it.
+
+    ASCII letter classes only (the module's tri-engine parity rule);
+    pure column expression, zero shuffle."""
+    t = F.replace(text, F.lit("\u00ad"), F.lit(""))
+    return F.regexp_replace(
+        t, F.lit("([a-z])-\n[ \t]*([a-z])"), F.lit("$1$2"))

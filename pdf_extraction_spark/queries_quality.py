@@ -139,12 +139,50 @@ FROM c
 """
 
 
+# planted line-break corpus: two joinable lowercase breaks, one
+# capitalized compound that must KEEP its hyphen, a digit range, a
+# soft hyphen, and an indent after one break
+_DEHYPH_TEXT = (
+    "substr(t, 1, 20) || 'exam-' || chr(10) || 'ple ' "
+    "|| substr(t, 21, 20) || ' multi-' || chr(10) || '  line ' "
+    "|| 'Sub-' || chr(10) || 'Committee 10-' || chr(10) || '20 ' "
+    "|| 'so' || chr(173) || 'ft ' || substr(t, 41, 20)")
+
+
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-break dehyphenation (operators/textstats.py dehyphenate):
+    lowercase hyphen-newline breaks re-join, soft hyphens drop,
+    capitalized compounds and digit ranges keep their characters."""
+    from .operators.textstats import dehyphenate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id", F.expr(_DEHYPH_TEXT).alias("text"))
+    return planted.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dehyphenate(F.col("text")).alias("clean")).orderBy("doc_id")
+
+
+def _sql_dehyphenate() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+p AS (SELECT doc_id, {_DEHYPH_TEXT} AS text FROM d)
+SELECT doc_id,
+  regexp_replace(replace(text, chr(173), ''),
+                 '([a-z])-\n[ \t]*([a-z])', '\\1\\2', 'g') AS clean
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES_QUALITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
+    "dehyphenate": q_dehyphenate,
 }
 
 ORACLES_QUALITY: dict[str, str] = {
     "repetition": SQL_REPETITION,
     "pii_scrub": _sql_pii_scrub(),
+    "dehyphenate": _sql_dehyphenate(),
 }

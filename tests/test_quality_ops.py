@@ -133,3 +133,23 @@ def test_bpe_pretokenizer_tri_engine_parity(spark):
               [m.group(0) for m in re.finditer(BPE_TOKEN_PATTERN, s)]
               or [] for s in samples]
     assert spark_out == duck_out == py_out
+
+
+def test_dehyphenate_rules(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.textstats import dehyphenate
+    df = spark.createDataFrame(
+        [("a", "exam-\nple"),            # plain break: joins
+         ("b", "multi-\n  line"),        # indent after break: joins
+         ("c", "Sub-\nCommittee"),       # capitalized: untouched
+         ("d", "pages 10-\n20"),         # digit range: untouched
+         ("e", "so­ft"),            # soft hyphen: dropped
+         ("f", "well-known fact"),       # in-line hyphen: untouched
+         ("g", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: r.clean for r in df.select(
+        "doc_id", dehyphenate(F.col("text")).alias("clean")).collect()}
+    assert got == {"a": "example", "b": "multiline",
+                   "c": "Sub-\nCommittee", "d": "pages 10-\n20",
+                   "e": "soft", "f": "well-known fact", "g": None}

@@ -34,7 +34,7 @@ def main() -> None:
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf",
-                             "pdffile"],
+                             "pdffile", "ruled"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
@@ -46,7 +46,10 @@ def main() -> None:
                          "extraction; "
                          "pdffile = whole-file corpus (doc_id, pdf binary) "
                          "-> files_to_spans (xref/filter/page-tree parse + "
-                         "tokenize + layout) -> extraction")
+                         "tokenize + layout) -> extraction; "
+                         "ruled = content-stream corpus -> ruled_table_rows "
+                         "(path interpretation + grid recovery + cell "
+                         "assembly — the standalone S5 table job)")
     ap.add_argument("--walls", type=int, default=6,
                     help="timed steady-state repetitions (best is scored); "
                          "lower for long-corpus scaling runs where one "
@@ -88,6 +91,12 @@ def main() -> None:
 
         def plan(d):
             return extract(files_to_spans(d))
+    elif args.stage == "ruled":
+        from pdf_extraction_spark.operators.pdfstream import \
+            ruled_table_rows
+
+        def plan(d):
+            return ruled_table_rows(d)
     else:
         def plan(d):
             return enrich_extracted(extract(d))
@@ -107,6 +116,10 @@ def main() -> None:
         from pdf_extraction_spark.operators.pdffile import files_to_spans
         n_spans = files_to_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "ruled":
+        from pdf_extraction_spark.operators.pdfstream import \
+            ruled_table_rows
+        n_spans = ruled_table_rows(docs).count()  # table rows
     else:
         n_spans = docs.select(F.sum(F.size("spans"))).first()[0]
 

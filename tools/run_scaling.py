@@ -33,7 +33,7 @@ def make_zip(tmp: str) -> str:
 
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
-    want = {"web": "html", "pdf": "stream",
+    want = {"web": "html", "pdf": "stream", "ruled": "stream",
             "pdffile": "pdf"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
@@ -71,7 +71,7 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                 F.col("spans"), lambda sp: sp["text"]), " ").alias("t")) \
             .select("doc_id", F.expr(expr).alias("html")) \
             .write.parquet(path)
-    elif stage in ("pdf", "pdffile"):
+    elif stage in ("pdf", "pdffile", "ruled"):
         # raw-bytes-shaped input: render the WHOLE document as a PDF
         # content stream — every text span one escaped literal line
         # (Tj + T* at 14pt leading), every media span an XObject Do —
@@ -93,6 +93,21 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
         expr = ("'BT /F1 11 Tf 14 TL 72 720 Td ' || "
                 f"array_join(transform(spans, (sp, i) -> {line}), '') "
                 "|| 'ET'")
+        if stage == "ruled":
+            # prepend a drawn grid (plus a doc-conditional stacked
+            # second grid and the decoy family) so the ruled-table
+            # path has real work per page; the text body doubles as
+            # in/out-of-table words
+            expr = ("'72 628 420 72 re S "
+                    "212 628 m 212 700 l S 352 628 m 352 700 l S "
+                    "72 652 m 492 652 l S 72 676 m 492 676 l S "
+                    "72 580 m 212 580 l S 300 550 m 350 600 l S "
+                    "500 550 50 20 re W n ' || "
+                    # doc_id is the string 'doc_NNNNNNNNN'
+                    "CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 2 "
+                    "= 0 THEN "
+                    "'72 452 200 48 re S 172 452 m 172 500 l S "
+                    "72 476 m 272 476 l S ' ELSE '' END || " + expr)
         streams = docs.select("doc_id", F.expr(expr).alias("stream"))
         if stage == "pdffile":
             # whole-FILE corpus: each stream wrapped as a complete
@@ -163,7 +178,7 @@ def main() -> None:
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf",
-                             "pdffile"])
+                             "pdffile", "ruled"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
