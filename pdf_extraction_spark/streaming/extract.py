@@ -131,3 +131,33 @@ def pdf_file_extract_stream(spark: SparkSession, source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ruled_tables_stream(spark: SparkSession, source_dir: str,
+                        out_path: str, checkpoint_dir: str,
+                        schema: str = PDF_SCHEMA,
+                        max_files_per_trigger: int | None = None,
+                        available_now: bool = True):
+    """Continuous ruled-table extraction over a content-stream corpus:
+    the same ``foreachBatch`` pattern as :func:`pdf_extract_stream`
+    (the detector's per-doc grid aggregation is batch-complete logic —
+    every document arrives whole in its row, so micro-batch-local is
+    exact), running the IDENTICAL batch plan (`pdfstream.
+    ruled_table_rows`) per trigger.  Offsets exactly-once via
+    ``checkpointLocation``; parquet append at-least-once (Iceberg
+    closes that window on a cluster).  Returns the StreamingQuery."""
+    from ..operators.pdfstream import ruled_table_rows
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        ruled_table_rows(batch_df) \
+            .write.mode("append").parquet(out_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.parquet(source_dir)
+              .writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -336,3 +336,39 @@ def test_streaming_pdf_file_extraction_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got == batch and len(got) == 9
     assert all(k[1] == ("Im0",) for k in got.values())
+
+
+def test_streaming_ruled_tables_match_batch(spark, tmp_path):
+    """The ruled-table path streams: content-stream files ->
+    foreachBatch (the identical batch detector) -> parquet sink,
+    equal to the batch twin per doc across micro-batches."""
+    from pdf_extraction_spark.operators.pdfstream import \
+        ruled_table_rows
+    from pdf_extraction_spark.streaming.extract import \
+        ruled_tables_stream
+
+    grid = ("72 628 420 72 re S 212 628 m 212 700 l S "
+            "352 628 m 352 700 l S 72 652 m 492 652 l S "
+            "72 676 m 492 676 l S ")
+    tmpl = (grid + "BT /F1 10 Tf 76 688 Td (Item{i}) Tj "
+            "1 0 0 1 216 660 Tm (v{i}) Tj ET")
+    rows = [(str(i), tmpl.format(i=i)) for i in range(6)]
+    src = str(tmp_path / "streams")
+    spark.createDataFrame(rows, "doc_id string, stream string") \
+        .repartition(3).write.parquet(src)
+
+    batch = sorted(
+        (r.doc_id, r.tbl_idx, r.row_idx, r.table_text)
+        for r in ruled_table_rows(spark.read.parquet(src)).collect())
+
+    out = str(tmp_path / "out")
+    q = ruled_tables_stream(spark, src, out, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted((r.doc_id, r.tbl_idx, r.row_idx, r.table_text)
+                 for r in spark.read.parquet(out).collect())
+    assert got == batch
+    assert len({d for d, *_ in got}) == 6
