@@ -334,6 +334,7 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                  | None = None,
                  forms: dict[str, dict] | None = None,
                  with_rules: bool = False,
+                 drop_artifacts: bool = False,
                  _init: tuple | None = None) -> list[tuple]:
     """Run the §9.4 text-object machine over lexed tokens; returns
     emitted runs as tuples
@@ -372,7 +373,20 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
     endpoints to the current point, diagonal segments are skipped
     (not rulings), and clipping-only paths (``W n``) emit nothing.
     Default False: path operators clear operands exactly as before,
-    so run tables and run_idx sequences stay byte-identical."""
+    so run tables and run_idx sequences stay byte-identical.
+
+    ``drop_artifacts=True`` suppresses every run shown inside a §14.8
+    marked-content scope tagged ``/Artifact`` (BDC/BMC..EMC nesting
+    tracked independently of q/Q) — the spec's designation for
+    pagination chrome: running headers/footers, page numbers,
+    watermarks, rules.  This is the PDF-side analog of the HTML
+    boilerplate strip the north rule names: tagged PDFs label their
+    chrome explicitly, so dropping it beats any heuristic.  A ``Do``
+    inside an artifact scope is suppressed whole (form and image
+    alike).  Default False keeps untagged corpora byte-identical;
+    property dicts (``<< .. >>``) are swallowed as data in either
+    mode, so the tag NAME preceding a BDC dict survives to the
+    operator."""
     ctm = _ID
     stack: list[tuple] = []
     tm = tlm = _ID
@@ -397,7 +411,11 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
 
     def paint_rules() -> None:
         """Flush the pending path: axis-aligned segments become rule
-        runs (min-corner + extents; 'h'/'v' orientation in text)."""
+        runs (min-corner + extents; 'h'/'v' orientation in text);
+        artifact-scoped decorative rules are suppressed like text."""
+        if artifact():
+            path.clear()
+            return
         for (x0, y0), (x1, y1) in path:
             dx, dy = abs(x1 - x0), abs(y1 - y0)
             if dx <= _RULE_EPS and dy <= _RULE_EPS:
@@ -409,6 +427,16 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                 runs.append(("rule", "v", None, "", 0.0,
                              min(x0, x1), min(y0, y1), dx, dy))
         path.clear()
+
+    # §14.8 marked-content state: tag stack (independent of q/Q) and
+    # an inline property-dict swallow depth — dict contents are DATA,
+    # so they must neither execute as operators nor clear the tag
+    # name that precedes the dict
+    mc: list[str] = []
+    dict_depth = 0
+
+    def artifact() -> bool:
+        return drop_artifacts and "Artifact" in mc
 
     def show(text: str) -> None:
         nonlocal tm
@@ -437,8 +465,9 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                 * (tz / 100.0)
         h = size * abs(tm[3]) * abs(ctm[3])
         w_dev = adv * abs(tm[0]) * abs(ctm[0])
-        runs.append(("text", text, None, font, h,
-                     trm[4], trm[5], w_dev, h))
+        if not artifact():  # suppressed text still advances tm
+            runs.append(("text", text, None, font, h,
+                         trm[4], trm[5], w_dev, h))
         tm = _mult(_translate(adv, 0.0), tm)
 
     def td(tx: float, ty: float) -> None:
@@ -447,6 +476,13 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
         tm = tlm
 
     for kind, val in tokens:
+        if kind == "op" and val == "<<":
+            dict_depth += 1  # keep operands: the tag name before a
+            continue         # BDC property dict must survive
+        if dict_depth:
+            if kind == "op" and val == ">>":
+                dict_depth -= 1
+            continue  # dict interior is data, not operators
         if kind != "op":
             operands.append((kind, val))
             continue
@@ -512,6 +548,14 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                     elif k == "num":
                         shift = -v / 1000.0 * size * (tz / 100.0)
                         tm = _mult(_translate(shift, 0.0), tm)
+            elif op in ("BDC", "BMC"):
+                tags = [v for k, v in operands if k == "name"]
+                mc.append(tags[0] if tags else "")
+            elif op == "EMC":
+                if mc:
+                    mc.pop()
+            elif op == "Do" and artifact():
+                pass  # artifact-scoped placement: suppressed whole
             elif op == "Do":
                 names = [v for k, v in operands if k == "name"]
                 if names:
@@ -529,6 +573,7 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                             {**(forms or {}), **sub_x}
                             if sub_x else forms,
                             with_rules=with_rules,
+                            drop_artifacts=drop_artifacts,
                             _init=(_mult(tuple(mtx), ctm) if mtx
                                    else ctm,
                                    font, size, tc, tw, tl, tz,
@@ -540,8 +585,9 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
                 # BI .. ID <data> EI: an unnamed image placed like Do
                 # (unit square through the CTM); ref '[inline]' keeps
                 # it distinct from any legal XObject name
-                runs.append(("media", None, "[inline]", font, 0.0,
-                             ctm[4], ctm[5], ctm[0], ctm[3]))
+                if not artifact():
+                    runs.append(("media", None, "[inline]", font, 0.0,
+                                 ctm[4], ctm[5], ctm[0], ctm[3]))
             elif with_rules and op == "m":
                 a, b = [v for k, v in operands if k == "num"][-2:]
                 cur = sub0 = xf(a, b)
@@ -579,9 +625,9 @@ def machine_runs(tokens: Iterator[tuple[str, Any]],
             elif with_rules and op == "n":
                 path.clear()  # clipping-only path (W n): no paint
                 cur = sub0 = None
-            # every other operator (ET, gs, W, BDC/EMC, Tr, Ts, color
-            # ops, inline dicts — and, without with_rules, the whole
-            # path family) only clears its operands
+            # every other operator (ET, gs, W, DP/MP, Tr, Ts, color
+            # ops — and, without with_rules, the whole path family)
+            # only clears its operands
         except (IndexError, ValueError, TypeError):
             pass  # malformed operand list: spec-prescribed skip
         operands.clear()
@@ -593,10 +639,12 @@ def extract_runs(stream: str,
                  font_maps: dict[str, tuple[dict[int, str], int]]
                  | None = None,
                  forms: dict[str, dict] | None = None,
-                 with_rules: bool = False) -> list[tuple]:
+                 with_rules: bool = False,
+                 drop_artifacts: bool = False) -> list[tuple]:
     """Lex + run the machine over one content stream."""
     return machine_runs(lex_content(stream), char_width, font_maps,
-                        forms, with_rules=with_rules)
+                        forms, with_rules=with_rules,
+                        drop_artifacts=drop_artifacts)
 
 
 # ------------------------------------------------------- Spark kernel
@@ -611,7 +659,8 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                      id_col: str = "doc_id",
                      char_width: float = DEFAULT_CHAR_WIDTH,
                      maps_col: str | None = None,
-                     with_rules: bool = False) -> DataFrame:
+                     with_rules: bool = False,
+                     drop_artifacts: bool = False) -> DataFrame:
     """Batched byte-stream tokenization: (doc_id, stream) -> exploded
     positioned runs, ONE map-only ``mapInArrow`` pass (Arrow batches on
     both edges, no shuffle — the plan-shape test asserts zero
@@ -633,7 +682,9 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
     ruled-table detection; run_idx then numbers rules and text/media
     together, so leave it False (the default, byte-identical output)
     unless the consumer is rulings-aware
-    (`layout.detect_ruled_tables`)."""
+    (`layout.detect_ruled_tables`).  ``drop_artifacts=True``
+    suppresses §14.8 /Artifact-tagged content (pagination chrome) —
+    see :func:`machine_runs`."""
     import json as _json
 
     import pyarrow as pa
@@ -695,7 +746,8 @@ def tokenize_streams(docs: DataFrame, stream_col: str = "stream",
                 for idx, run in enumerate(
                         extract_runs(stream or "", char_width,
                                      fmaps, forms,
-                                     with_rules=with_rules)):
+                                     with_rules=with_rules,
+                                     drop_artifacts=drop_artifacts)):
                     cols[0].append(doc_id)
                     cols[1].append(idx)
                     for j, v in enumerate(run, start=2):
@@ -744,7 +796,8 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
                  space_frac: float | None = 0.3,
                  detect_tables: bool = False,
                  col_gap: float = 18.0,
-                 col_tol: float = 6.0) -> DataFrame:
+                 col_tol: float = 6.0,
+                 drop_artifacts: bool = False) -> DataFrame:
     """Bridge a content-stream corpus onto the contract span schema
     (BASELINE.json input_hint), the exact analog of
     ``operators/html.py html_to_spans`` for the PDF side: tokenize ->
@@ -775,6 +828,13 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
     chain — so drawn tables in raw PDFs become queryable cost tables
     end-to-end.  ``col_gap``/``col_tol`` are the cell-split gap and
     the column-agreement quantum, in points.
+
+    ``drop_artifacts=True`` suppresses §14.8 /Artifact-tagged content
+    — the pagination chrome (running headers/footers, page numbers,
+    watermarks) tagged PDFs label explicitly.  This is the PDF-side
+    boilerplate strip: where the HTML bridge classifies nav/chrome
+    blocks heuristically, tagged PDFs declare theirs, so the tagged
+    path is exact.  Untagged corpora are unaffected (no BDC scopes).
 
     ``page_col`` names an optional page-number column for corpora that
     arrive one content stream per PAGE (real PDFs): each page is
@@ -807,11 +867,15 @@ def pdf_to_spans(docs: DataFrame, stream_col: str = "stream",
         keyed = docs.select(*keyed_cols)
         runs = runs_for_layout(
             tokenize_streams(keyed, stream_col, "__pkey",
-                             maps_col=maps_col), page_height)
+                             maps_col=maps_col,
+                             drop_artifacts=drop_artifacts),
+            page_height)
     else:
         runs = runs_for_layout(
             tokenize_streams(docs, stream_col, id_col,
-                             maps_col=maps_col), page_height)
+                             maps_col=maps_col,
+                             drop_artifacts=drop_artifacts),
+            page_height)
     span_rows = spans_from_runs(runs, y_tol=y_tol, gap_tol=gap_tol,
                                 with_fonts=with_fonts,
                                 space_frac=space_frac,

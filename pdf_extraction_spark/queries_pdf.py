@@ -424,12 +424,87 @@ FROM u ORDER BY doc_id, tbl_idx, row_idx
 """
 
 
+# ------------------------------------------- /Artifact suppression
+
+_A_SLICES = {"a1": (210, 16), "a2": (227, 14)}
+
+
+def _artifact_stream_expr() -> str:
+    """Tagged-PDF pagination chrome around real body content: an
+    /Artifact header (page-number text + separator rule, property
+    dict carrying the tag), an /Artifact BMC watermark Do, an
+    /Artifact footer, one REAL figure, a /P MCID-tagged body line
+    that must survive, and two body blocks 60pt apart."""
+    e = {k: _esc(f"substr(p, {a}, {n})")
+         for k, (a, n) in _A_SLICES.items()}
+    return f"""
+  '/Artifact << /Type /Pagination /Subtype /Header >> BDC '
+  || 'BT /F1 8 Tf 72 770 Td (Page ' || CAST(doc_id % 100 AS STRING)
+  || ' of 99 - CONFIDENTIAL) Tj ET 72 760 m 540 760 l S EMC '
+  || 'BT /F2 11 Tf 72 700 Td (' || {e['a1']} || ') Tj ET '
+  || '/P << /MCID 0 >> BDC BT /F2 11 Tf 72 640 Td ('
+  || {e['a2']} || ') Tj ET EMC '
+  || 'q 1 0 0 1 60 400 cm /Fig0 Do Q '
+  || '/Artifact BMC q 4 0 0 4 150 300 cm /Wm0 Do Q EMC '
+  || CASE WHEN doc_id % 2 = 0
+       THEN 'q 2 0 0 2 306 320 cm /Img1 Do Q ' ELSE '' END
+  || '/Artifact << /Subtype /Footer >> BDC '
+  || 'BT /F1 8 Tf 72 40 Td (internal use only) Tj ET EMC'
+""".strip()
+
+
+def q_pdf_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§14.8 marked-content /Artifact suppression — the PDF-side
+    boilerplate strip (pdf_to_spans(drop_artifacts=True)): tagged
+    running header/footer/watermark content drops, /P-tagged and
+    untagged body content plus real figures survive with gapless
+    offsets."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        "doc_id",
+        F.expr(f"COALESCE(text, '') || '{_PAD}'").alias("p")) \
+        .select("doc_id",
+                F.expr(_artifact_stream_expr()).alias("stream"))
+    spans = pdf_to_spans(docs, drop_artifacts=True)
+    e = spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+# closed form: body blocks at y-down tops 81 and 141 (60pt apart =
+# separate blocks), Fig0 top 391, even docs' Img1 top 470 (h = 2)
+_SQL_PDF_ARTIFACTS = f"""
+WITH b AS (SELECT doc_id, COALESCE(text, '') || '{_PAD}' AS p
+           FROM documents),
+s AS (SELECT doc_id,
+        {", ".join(f"substr(p, {a}, {n}) AS {k}"
+                   for k, (a, n) in _A_SLICES.items())},
+        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS c
+      FROM b),
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, a1 AS t, '' AS m FROM s
+  UNION ALL SELECT doc_id, 1, 'text', a2, '' FROM s
+  UNION ALL SELECT doc_id, 2, 'media', '', 'Fig0' FROM s
+  UNION ALL SELECT doc_id, 3, 'media', '', 'Img1' FROM s WHERE c = 1)
+SELECT doc_id, CAST(off AS BIGINT) AS "offset", kind, t AS text,
+       m AS media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
 QUERIES_PDF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_runs": q_pdf_runs,
     "pdf_spans": q_pdf_spans,
     "pdf_kerned": q_pdf_kerned,
     "pdf_tables": q_pdf_tables,
     "pdf_ruled": q_pdf_ruled,
+    "pdf_artifacts": q_pdf_artifacts,
 }
 
 ORACLES_PDF: dict[str, str] = {
@@ -438,4 +513,5 @@ ORACLES_PDF: dict[str, str] = {
     "pdf_kerned": _SQL_PDF_KERNED,
     "pdf_tables": _SQL_PDF_TABLES,
     "pdf_ruled": _SQL_PDF_RULED,
+    "pdf_artifacts": _SQL_PDF_ARTIFACTS,
 }

@@ -516,3 +516,55 @@ def test_path_axis_fuzz_sample():
         assert fz.extract_runs(stream, font_maps=maps,
                                with_rules=True) == \
             fz.twin_runs(stream, font_maps=maps), seed
+
+
+# -------------------------------------------- §14.8 artifact marks
+
+
+_ART = ("/Artifact << /Type /Pagination >> BDC "
+        "BT /F1 8 Tf 72 770 Td (Page 3 of 9) Tj ET "
+        "72 760 m 540 760 l S EMC "
+        "BT /F2 11 Tf 72 700 Td (Body) Tj ET "
+        "/P << /MCID 0 >> BDC "
+        "BT /F2 11 Tf 72 640 Td (Tagged body) Tj ET EMC "
+        "/Artifact BMC q 1 0 0 1 50 50 cm /Wm0 Do Q EMC "
+        "q 1 0 0 1 60 400 cm /Fig0 Do Q")
+
+
+def test_artifacts_drop_only_when_asked():
+    on = extract_runs(_ART, with_rules=True, drop_artifacts=True)
+    assert [(r[0], r[1] or r[2]) for r in on] == [
+        ("text", "Body"), ("text", "Tagged body"),
+        ("media", "Fig0")]
+    off = extract_runs(_ART, with_rules=True)
+    assert [(r[0], r[1] or r[2]) for r in off] == [
+        ("text", "Page 3 of 9"), ("rule", "h"), ("text", "Body"),
+        ("text", "Tagged body"), ("media", "Wm0"),
+        ("media", "Fig0")]
+
+
+def test_artifact_suppressed_text_still_advances_tm():
+    # two shows on one line, the first artifact-marked: the second
+    # must land where it would with the first visible
+    s = ("BT /F1 10 Tf 72 700 Td "
+         "/Artifact BMC (gone) Tj EMC ( kept) Tj ET")
+    runs = extract_runs(s, drop_artifacts=True)
+    assert runs == [("text", " kept", None, "F1", 10.0,
+                     92.0, 700.0, 25.0, 10.0)]
+
+
+def test_artifact_nesting_and_property_dict_tag():
+    # nested non-artifact scope inside an artifact scope still drops;
+    # the tag name BEFORE a property dict must survive the dict
+    s = ("/Artifact << /Subtype /Footer >> BDC "
+         "/Span << /MCID 4 >> BDC BT /F1 9 Tf (x) Tj ET EMC EMC "
+         "BT /F1 9 Tf (y) Tj ET")
+    runs = extract_runs(s, drop_artifacts=True)
+    assert [r[1] for r in runs] == ["y"]
+
+
+def test_artifact_form_invocation_suppressed_whole():
+    forms = {"Hdr": {"text": "BT /F1 9 Tf (letterhead) Tj ET"}}
+    s = "/Artifact BMC /Hdr Do EMC BT /F1 9 Tf (body) Tj ET"
+    runs = extract_runs(s, forms=forms, drop_artifacts=True)
+    assert [r[1] for r in runs] == ["body"]

@@ -250,7 +250,17 @@ def twin_runs(stream: str, char_width: float = 0.5,
         v = np.array([x, y, 1.0]) @ ctm
         return (v[0], v[1])
 
+    ddepth = 0  # property-dict swallow: mirror the main machine's
+    # rule that << .. >> interiors are data and do not clear the
+    # operands that precede the dict (the BDC tag name must survive)
     for kind, val in twin_lex(stream):
+        if kind == "op" and val == "<<":
+            ddepth += 1
+            continue
+        if ddepth:
+            if kind == "op" and val == ">>":
+                ddepth -= 1
+            continue
         if kind != "op":
             ops.append((kind, val))
             continue
