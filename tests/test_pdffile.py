@@ -947,3 +947,21 @@ def test_files_to_ruled_tables_end_to_end(spark):
         (0, 0, 0, "Item | Qty | "),
         (0, 0, 1, "pipe |  | "),
         (0, 0, 2, " |  | 75")]
+
+
+def test_artifact_strip_through_whole_file_layer(spark):
+    """drop_artifacts flows through files_to_spans' kwargs: a tagged
+    header inside a real wrapped PDF drops, the body survives."""
+    from pdf_extraction_spark.operators.pdffile import (
+        files_to_spans, wrap_content_stream)
+    content = (b"/Artifact << /Type /Pagination >> BDC "
+               b"BT /F1 8 Tf 72 770 Td (Page 1) Tj ET EMC "
+               b"BT /F1 11 Tf 72 700 Td (Body line) Tj ET")
+    pdf = wrap_content_stream(0, content)
+    df = spark.createDataFrame([("d1", bytearray(pdf))],
+                               "doc_id string, pdf binary")
+    kept = files_to_spans(df, drop_artifacts=True).collect()[0]
+    texts = [s["text"] for s in kept.spans]
+    assert texts == ["Body line"]
+    full = files_to_spans(df).collect()[0]
+    assert [s["text"] for s in full.spans] == ["Page 1", "Body line"]

@@ -186,7 +186,8 @@ def _t(tx, ty):
 
 
 def twin_runs(stream: str, char_width: float = 0.5,
-              font_maps: dict | None = None) -> list[tuple]:
+              font_maps: dict | None = None,
+              drop_artifacts: bool = False) -> list[tuple]:
     I = np.eye(3)
     ctm = I.copy()
     stack: list[tuple] = []
@@ -230,15 +231,23 @@ def twin_runs(stream: str, char_width: float = 0.5,
             adv = ((char_width * size + tc) * n_gl
                    + tw * n_sp) * (tz / 100.0)
         h = size * abs(tm[1, 1]) * abs(ctm[1, 1])
-        runs.append(("text", text, None, font, h,
-                     trm[2, 0], trm[2, 1],
-                     adv * abs(tm[0, 0]) * abs(ctm[0, 0]), h))
+        if not hidden():
+            runs.append(("text", text, None, font, h,
+                         trm[2, 0], trm[2, 1],
+                         adv * abs(tm[0, 0]) * abs(ctm[0, 0]), h))
         tm = _t(adv, 0.0) @ tm
 
     def td(tx, ty):
         nonlocal tm, tlm
         tlm = _t(tx, ty) @ tlm
         tm = tlm.copy()
+
+    # §14.8 marked-content: independently-kept tag stack; suppression
+    # = "any open scope is tagged Artifact"
+    mcs: list[str] = []
+
+    def hidden() -> bool:
+        return drop_artifacts and any(t == "Artifact" for t in mcs)
 
     # §8.5 path state (independent of the main machine's tuple math:
     # homogeneous row vectors through the full 3x3 CTM)
@@ -321,14 +330,21 @@ def twin_runs(stream: str, char_width: float = 0.5,
                         tm = _t(-v / 1000.0 * size * (tz / 100.0),
                                 0.0) @ tm
             elif val == "Do":
-                if names():
+                if names() and not hidden():
                     runs.append(("media", None, names()[-1], font, 0.0,
                                  ctm[2, 0], ctm[2, 1],
                                  ctm[0, 0], ctm[1, 1]))
             elif val == "__inline_image__":
-                runs.append(("media", None, "[inline]", font, 0.0,
-                             ctm[2, 0], ctm[2, 1],
-                             ctm[0, 0], ctm[1, 1]))
+                if not hidden():
+                    runs.append(("media", None, "[inline]", font, 0.0,
+                                 ctm[2, 0], ctm[2, 1],
+                                 ctm[0, 0], ctm[1, 1]))
+            elif val in ("BDC", "BMC"):
+                nm = names()
+                mcs.append(nm[0] if nm else "")
+            elif val == "EMC":
+                if mcs:
+                    mcs.pop()
             elif val == "m":
                 x, y = nums()[-2:]
                 curp = sub = devp(x, y)
@@ -357,7 +373,7 @@ def twin_runs(stream: str, char_width: float = 0.5,
                 if val in ("s", "b", "b*") and curp is not None \
                         and sub is not None:
                     pth.append((curp, sub))
-                for p0, p1 in pth:
+                for p0, p1 in (() if hidden() else pth):
                     ddx = abs(p1[0] - p0[0])
                     ddy = abs(p1[1] - p0[1])
                     if ddx <= 0.5 and ddy <= 0.5:
@@ -584,6 +600,45 @@ def gen_paths(rng) -> str:
     return " ".join(parts)
 
 
+_TAGS = ["/Artifact", "/Artifact << /Type /Pagination >> ",
+         "/Artifact << /Subtype /Header /Attached [/Top] >> ",
+         "/P << /MCID 3 >> ", "/Span", "/Figure << /Alt (img) >> "]
+
+
+def gen_marks(rng) -> str:
+    """Marked-content axis (drawn after gen_paths so earlier seeds
+    keep their streams): BDC/BMC scopes — artifact and structural,
+    bare and property-dict tagged — wrapping shows, placements and
+    paths, with unbalanced/stray EMC cases.  Checked in BOTH modes
+    (drop_artifacts on and off) against the twin."""
+    if rng.random() < 0.3:
+        return ""
+    parts: list[str] = []
+    depth = 0
+    for _ in range(rng.randrange(1, 10)):
+        r = rng.random()
+        if r < 0.3:
+            tag = rng.choice(_TAGS)
+            parts.append(f"{tag} {rng.choice(['BDC', 'BMC'])}")
+            depth += 1
+        elif r < 0.45:
+            parts.append("EMC")  # may be stray: both must tolerate
+            depth -= 1
+        elif r < 0.7:
+            parts.append(f"BT /F{rng.randrange(3)} "
+                         f"{rng.choice(SIZES)} Tf "
+                         f"{rng.choice(DY)} {rng.choice(DY)} Td "
+                         + _shows(rng) + " ET")
+        elif r < 0.85:
+            parts.append(f"{_pc(rng)} {_pc(rng)} m "
+                         f"{_pc(rng)} {_pc(rng)} l S")
+        else:
+            parts.append(f"q 1 0 0 1 {rng.choice(DY)} "
+                         f"{rng.choice(DY)} cm /I{rng.randrange(3)} "
+                         f"Do Q")
+    return " ".join(parts)
+
+
 def main() -> None:
     lo, hi = int(sys.argv[1]), int(sys.argv[2])
     bad = 0
@@ -592,8 +647,14 @@ def main() -> None:
         stream = gen_stream(rng)
         maps = gen_maps(rng)
         stream = (stream + " " + gen_paths(rng)).rstrip()
+        stream = (stream + " " + gen_marks(rng)).rstrip()
         a = extract_runs(stream, font_maps=maps, with_rules=True)
         b = twin_runs(stream, font_maps=maps)
+        if a == b:
+            a = extract_runs(stream, font_maps=maps, with_rules=True,
+                             drop_artifacts=True)
+            b = twin_runs(stream, font_maps=maps,
+                          drop_artifacts=True)
         if a != b:
             bad += 1
             print(f"seed {seed}: DIVERGENCE ({len(a)} vs {len(b)} runs)")
