@@ -86,13 +86,15 @@ _DRIVER_WINDOW = [
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
+    "substr_dedup",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
     # r02/r03-green re-proofs (every remaining registered name except
     # price_parse, ngram_shingles, knn_vote, quality_routing, title,
-    # fingerprint, classification, normalize_unicode, boilerplate and
-    # token_stats — dropped to stay at 50; all ten carry r03 driver
-    # rows and overlap tables / jaccard_pairs / cosine_topk /
-    # quality_score / sections / strategy / cleaning)
+    # fingerprint, classification, normalize_unicode, boilerplate,
+    # token_stats and group_discount — dropped to stay at 50; all
+    # eleven carry r03 driver rows and overlap tables / jaccard_pairs
+    # / cosine_topk / quality_score / sections / strategy / cleaning /
+    # group_summary)
     "status_detect", "sections", "segmentation", "priority",
     "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
@@ -105,7 +107,7 @@ _DRIVER_WINDOW_R5 = [
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains",
     "langid", "quality_score",
-    "events_window", "group_discount", "calibration", "dedup_doc",
+    "events_window", "calibration", "dedup_doc",
     "metadata_enrich",
     "checkpoint_cache",
 ]

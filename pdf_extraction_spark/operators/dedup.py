@@ -773,3 +773,69 @@ def embedding_near_dup(embeddings: DataFrame, dim: int,
              .select("id_a", "id_b"))
     out = dedup_components(embeddings, edges, id_col=id_col)
     return out.withColumnRenamed("keeper_doc_id", "keeper_id")
+
+
+def substring_dup_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        window: int = 50, stride: int = 50,
+                        min_count: int = 2) -> DataFrame:
+    """Cross-document windowed substring duplication — the
+    ExactSubstr-dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") in its Spark-tractable form:
+    hash every ``stride``-strided ``window``-token span of every
+    document, count occurrences corpus-wide, and report per document
+    how much of it is duplicated text that exact/minhash DOC-level
+    dedup cannot see (boilerplate paragraphs, licence blocks, quoted
+    chains shared across otherwise-distinct documents).
+
+    A true suffix-array ExactSubstr removes the duplicated BYTES;
+    this operator yields the per-document signal (``dup_ppm``) a
+    curation pipeline thresholds on — the removal variant needs the
+    byte ranges back and is a different cost class.  Occurrence
+    counts, not distinct-document counts, so a document repeating its
+    own paragraph past the window length also scores (the in-doc
+    repetition family, `operators/repetition.py`, measures that at
+    line/bigram granularity).
+
+    Scale shape: token-linear.  Windows explode to ~n_tokens/stride
+    rows per doc (md5 window hashes, engine-portable); the occurrence
+    count is one hash exchange with map-side partial aggregation; the
+    dup-mark join is hash-on-hash (no skew — a hash key is uniform by
+    construction, and a hot WINDOW is exactly what the count finds);
+    the per-doc rollup reuses nothing but is doc-keyed and small.
+    Three shuffles total over window-hash-sized data, each linear —
+    the price of a cross-document property; every per-doc alternative
+    misses exactly the cross-document duplicates this exists to find.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_ppm):
+    ``dup_ppm`` = duplicated-window share in parts per million
+    (integer — engine-stable), 0 for docs shorter than ``window``
+    tokens."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_win = F.greatest(
+        F.floor((n - F.lit(window)) / F.lit(stride)) + 1, F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win.cast("int"),
+                   F.lit(1)),
+        lambda i: F.md5(F.array_join(
+            F.slice(toks, (i - 1) * stride + 1, window), " ")))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.when(n_win > 0, wins)).alias("whash"))
+
+    counts = exploded.where(F.col("whash").isNotNull()) \
+        .groupBy("whash").agg(F.count(F.lit(1)).alias("occ"))
+    dup = counts.where(F.col("occ") >= min_count) \
+        .select("whash", F.lit(1).alias("is_dup"))
+    marked = exploded.join(dup, "whash", "left")
+    out = marked.groupBy("doc_id").agg(
+        F.count("whash").cast("long").alias("n_windows"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long")
+        .alias("n_dup_windows"))
+    dup_ppm = F.when(
+        F.col("n_windows") > 0,
+        F.floor(F.col("n_dup_windows") * 1_000_000
+                / F.col("n_windows"))).otherwise(F.lit(0))
+    return out.select("doc_id", "n_windows", "n_dup_windows",
+                      dup_ppm.cast("long").alias("dup_ppm"))

@@ -1412,6 +1412,63 @@ FROM meta
 """
 
 
+# shared 40-token paragraph planted on every third doc so cross-doc
+# windows duplicate by construction (stray natural duplicates in the
+# corpus text compare fine too — both engines count the same data)
+_SHARED_PARA = " ".join(f"shared corpus boilerplate token{i}"
+                        for i in range(10))
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document windowed substring duplication (operators/dedup
+    substring_dup_stats — the ExactSubstr signal): 20-token windows,
+    stride 20, occurrence-counted corpus-wide."""
+    from .operators.dedup import substring_dup_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        F.expr(f"CASE WHEN doc_id % 3 = 0 THEN '{_SHARED_PARA} ' "
+               f"|| COALESCE(text, '') ELSE COALESCE(text, '') END")
+        .alias("text"))
+    out = substring_dup_stats(planted, window=20, stride=20)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_windows", "n_dup_windows", "dup_ppm")         .orderBy("doc_id")
+
+
+SQL_SUBSTR_DEDUP = f"""
+WITH d AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN '{_SHARED_PARA} '
+      || COALESCE(text, '') ELSE COALESCE(text, '') END AS text
+  FROM documents),
+tok AS (SELECT doc_id,
+          string_split_regex(trim(text), '\\s+') AS toks FROM d),
+w AS (SELECT doc_id, toks,
+        greatest(cast(floor((len(toks) - 20) / 20) as bigint) + 1,
+                 0) AS nw
+      FROM tok),
+ex AS (SELECT doc_id,
+         unnest(CASE WHEN nw > 0 THEN
+           [md5(array_to_string(toks[(i-1)*20+1:(i-1)*20+20], ' '))
+            for i in range(1, nw + 1)]
+           ELSE [NULL] END) AS whash
+       FROM w),
+cnt AS (SELECT whash, count(*) AS occ FROM ex
+        WHERE whash IS NOT NULL GROUP BY whash),
+mk AS (SELECT e.doc_id, e.whash,
+         CASE WHEN c.occ >= 2 THEN 1 END AS is_dup
+       FROM ex e LEFT JOIN cnt c ON e.whash = c.whash),
+o AS (SELECT doc_id, count(whash) AS n_windows,
+        COALESCE(sum(is_dup), 0) AS n_dup FROM mk GROUP BY doc_id)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+  CAST(n_dup AS BIGINT) AS n_dup_windows,
+  CASE WHEN n_windows > 0
+    THEN cast(floor(n_dup * 1000000 / n_windows) as bigint)
+    ELSE CAST(0 AS BIGINT) END AS dup_ppm
+FROM o ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1428,6 +1485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_parse": q_price_parse,
     "normalize_unicode": q_normalize_unicode,
     "dedup_exact": q_dedup_exact,
+    "substr_dedup": q_substr_dedup,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "langid": q_langid,
@@ -1459,6 +1517,7 @@ ORACLES: dict[str, str] = {
     "price_parse": SQL_PRICE,
     "normalize_unicode": SQL_NORMALIZE,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "substr_dedup": SQL_SUBSTR_DEDUP,
     "token_stats": SQL_TOKEN_STATS,
     "quality_score": SQL_QUALITY,
     "langid": SQL_LANGID,

@@ -730,3 +730,44 @@ def test_update_signature_store_hot_bucket_ingest(spark, tmp_path):
           for r in dedup.update_signature_store(
               spark, batch, store, threshold=0.8, max_bucket=50).collect()}
     assert all(v2[f"n{i:04d}"] == ("c0000", True) for i in range(100))
+
+
+def test_substring_dup_stats_cross_document(spark):
+    """ExactSubstr signal: a paragraph shared across docs marks its
+    windows in BOTH docs; unique text scores 0; short/NULL docs get
+    zero windows; a doc self-repeating a window also scores."""
+    from pdf_extraction_spark.operators.dedup import \
+        substring_dup_stats
+    para = " ".join(f"w{i}" for i in range(10))
+    uniq = lambda t: " ".join(f"{t}{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("a", para + " " + uniq("a")),
+         ("b", para + " " + uniq("b")),
+         ("c", uniq("c") + " " + uniq("cc")),
+         ("d", "short"), ("e", None),
+         ("f", para + " " + para)],   # self-repeat across windows
+        "doc_id string, text string")
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ppm)
+           for r in substring_dup_stats(df, window=10,
+                                        stride=10).collect()}
+    assert got == {"a": (2, 1, 500000), "b": (2, 1, 500000),
+                   "c": (2, 0, 0), "d": (0, 0, 0), "e": (0, 0, 0),
+                   "f": (2, 2, 1000000)}
+
+
+def test_substring_dup_stride_skips_offsets(spark):
+    """stride > 1 windows are aligned: the same paragraph at a
+    DIFFERENT token offset does not collide (the documented
+    approximation vs a true suffix array)."""
+    from pdf_extraction_spark.operators.dedup import \
+        substring_dup_stats
+    para = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("a", para + " tail0 tail1 tail2 tail3 tail4 tail5 tail6 "
+          "tail7 tail8 tail9"),
+         ("b", "off " + para)],  # shifted by one token
+        "doc_id string, text string")
+    got = {r.doc_id: r.n_dup_windows
+           for r in substring_dup_stats(df, window=10,
+                                        stride=10).collect()}
+    assert got == {"a": 0, "b": 0}
