@@ -157,6 +157,9 @@ def main() -> None:
                        .select("vec_id", "keeper_id", "is_near_duplicate")))
     from pdf_extraction_spark.operators.curation import curate_corpus
     timed("k_curation", lambda: noop(curate_corpus(dtab)))
+    timed("k_substr_dedup",
+          lambda: noop(dd.substring_dup_stats(dtab, window=20,
+                                              stride=20)))
     from pdf_extraction_spark.operators.sampling import pack_shards
     timed("k_pack_shards", lambda: noop(pack_shards(dtab, 2000)))
     from pdf_extraction_spark.operators.layout import spans_from_runs
