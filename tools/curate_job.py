@@ -60,6 +60,13 @@ def main() -> None:
                     help="drop filter survivors whose duplicate-line "
                          "ppm exceeds this (Gopher-style repetition "
                          "gate; zero extra shuffle)")
+    ap.add_argument("--max-substr-dup-ppm", type=int, default=None,
+                    help="drop filter survivors whose cross-document "
+                         "windowed-substring duplication (ExactSubstr "
+                         "signal, measured WITHIN this batch) exceeds "
+                         "this ppm — catches shared boilerplate "
+                         "paragraphs doc-level dedup misses; "
+                         "token-linear, three extra hash exchanges")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact email/phone/IPv4 in survivor text "
                          "before it reaches the signature store")
@@ -166,6 +173,16 @@ def main() -> None:
         survivors = gated.where(
             F.col("dup_line_ppm") <= args.max_dup_line_ppm) \
             .drop("n_lines", "dup_line_ppm")
+    n_substr = 0
+    if args.max_substr_dup_ppm is not None:
+        from pdf_extraction_spark.operators.dedup import \
+            substring_dup_stats
+        flagged = substring_dup_stats(survivors).where(
+            F.col("dup_ppm") > args.max_substr_dup_ppm) \
+            .select("doc_id").persist()
+        staged.append(flagged)
+        n_substr = flagged.count()
+        survivors = survivors.join(flagged, "doc_id", "left_anti")
     n_pii = 0
     if args.scrub_pii:
         scrubbed = scrub_pii(survivors).persist()
@@ -195,6 +212,7 @@ def main() -> None:
         "presample_docs": n_presample,
         "by_verdict": by_verdict,
         "repetitive_dropped": n_repetitive,
+        "substr_dup_dropped": n_substr,
         "pii_docs_scrubbed": n_pii,
         "near_duplicates_vs_store": n_near_dup,
         "ingested": n_final,
