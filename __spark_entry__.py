@@ -86,21 +86,21 @@ _DRIVER_WINDOW = [
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
-    "substr_dedup",
+    "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
     # r02/r03-green re-proofs (every remaining registered name except
     # price_parse, ngram_shingles, knn_vote, quality_routing, title,
     # fingerprint, classification, normalize_unicode, boilerplate,
-    # token_stats and group_discount — dropped to stay at 50; all
-    # eleven carry r03 driver rows and overlap tables / jaccard_pairs
-    # / cosine_topk / quality_score / sections / strategy / cleaning /
-    # group_summary)
+    # token_stats, group_discount and severity_normalize — dropped to
+    # stay at 50; all twelve carry r03 driver rows and overlap tables
+    # / jaccard_pairs / cosine_topk / quality_score / sections /
+    # strategy / cleaning / group_summary / action_normalize)
     "status_detect", "sections", "segmentation", "priority",
     "font_priority", "bbox_agg", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables", "raw_sections", "property_meta",
-    "severity_normalize", "action_normalize", "urgency_score",
+    "action_normalize", "urgency_score",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
     "estimate_validate", "attributes", "cleaning",
     "strategy", "taxonomy", "issue_link", "phase2_select",

@@ -116,3 +116,48 @@ def dehyphenate(text: Column) -> Column:
     t = F.replace(text, F.lit("\u00ad"), F.lit(""))
     return F.regexp_replace(
         t, F.lit("([a-z])-\n[ \t]*([a-z])"), F.lit("$1$2"))
+
+
+def lexical_commonness(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *,
+                       min_count: int = 2) -> DataFrame:
+    """Corpus-statistics lexical quality — the CCNet idea (LM
+    perplexity filtering) re-expressed with the corpus as its own
+    language model: score each document by how COMMON its tokens are
+    corpus-wide.  Gibberish, OCR noise, hash dumps and
+    wrong-tokenization text score low; fluent prose scores high.
+
+    The per-token signal is ``floor(log2(corpus_count))`` computed as
+    ``length(bin(count)) - 1`` — pure integer/string arithmetic, so
+    Spark and the DuckDB oracle agree bit-for-bit where float ``log``
+    could differ in the last ulp.  Tokens seen fewer than
+    ``min_count`` times contribute 0 (the unseen-token floor), which
+    also lets a deployment prune the frequency table's long tail.
+
+    Scale shape: explode -> token groupBy (map-side combined) builds
+    the frequency table; the score join is hash-on-token — token keys
+    are Zipf-hot, so run with AQE skew-join enabled (the session
+    default) or salt the stopword ids; the per-doc rollup keys on
+    doc_id.  Three shuffles, all token-linear.
+
+    Returns (doc_id, n_tokens, common_milli): ``common_milli`` =
+    ``floor(sum(flog2) * 1000 / n_tokens)``, 0 for empty docs."""
+    toks = tokens_col(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode_outer(toks).alias("tok"))
+    freq = ex.where(F.col("tok").isNotNull() & (F.col("tok") != "")) \
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")) \
+        .where(F.col("cnt") >= min_count) \
+        .select("tok",
+                (F.length(F.bin(F.col("cnt"))) - 1).alias("flog2"))
+    scored = ex.join(freq, "tok", "left")
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.when(F.col("tok") != "", 1)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.sum("flog2"), F.lit(0)).cast("long")
+        .alias("_sum"))
+    milli = F.when(F.col("n_tokens") > 0,
+                   F.floor(F.col("_sum") * 1000 / F.col("n_tokens"))) \
+        .otherwise(F.lit(0))
+    return out.select("doc_id", "n_tokens",
+                      milli.cast("long").alias("common_milli"))

@@ -175,14 +175,46 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_lexical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics lexical quality (operators/textstats.py
+    lexical_commonness — the CCNet perplexity-filter idea with the
+    corpus as its own LM; integer-exact flog2 scoring)."""
+    from .operators.textstats import lexical_commonness
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexical_commonness(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "common_milli").orderBy("doc_id")
+
+
+SQL_LEXICAL_QUALITY = """
+WITH ex AS (SELECT doc_id, unnest(string_split_regex(
+         trim(COALESCE(text, '')), '\\s+')) AS tok FROM documents),
+freq AS (SELECT tok, length(bin(count(*))) - 1 AS flog2
+         FROM ex WHERE tok <> '' GROUP BY tok HAVING count(*) >= 2),
+sc AS (SELECT e.doc_id, e.tok, f.flog2
+       FROM ex e LEFT JOIN freq f ON e.tok = f.tok),
+o AS (SELECT doc_id,
+        count(CASE WHEN tok <> '' THEN 1 END) AS n_tokens,
+        COALESCE(sum(flog2), 0) AS s FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN n_tokens > 0
+    THEN cast(floor(s * 1000 / n_tokens) as bigint)
+    ELSE CAST(0 AS BIGINT) END AS common_milli
+FROM o ORDER BY doc_id
+"""
+
+
 QUERIES_QUALITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "dehyphenate": q_dehyphenate,
+    "lexical_quality": q_lexical_quality,
 }
 
 ORACLES_QUALITY: dict[str, str] = {
     "repetition": SQL_REPETITION,
     "pii_scrub": _sql_pii_scrub(),
     "dehyphenate": _sql_dehyphenate(),
+    "lexical_quality": SQL_LEXICAL_QUALITY,
 }

@@ -153,3 +153,20 @@ def test_dehyphenate_rules(spark):
     assert got == {"a": "example", "b": "multiline",
                    "c": "Sub-\nCommittee", "d": "pages 10-\n20",
                    "e": "soft", "f": "well-known fact", "g": None}
+
+
+def test_lexical_commonness_scores_fluency(spark):
+    from pdf_extraction_spark.operators.textstats import \
+        lexical_commonness
+    df = spark.createDataFrame(
+        [("a", "the cat sat on the mat"),
+         ("b", "the the the the"),
+         ("c", "zxqv kjhw pqrs"),     # all-rare gibberish -> 0
+         ("d", ""), ("e", None)],
+        "doc_id string, text string")
+    got = {r.doc_id: (r.n_tokens, r.common_milli)
+           for r in lexical_commonness(df).collect()}
+    # 'the' appears 6x corpus-wide -> flog2 = 2 per occurrence
+    assert got == {"a": (6, 666), "b": (4, 2000), "c": (3, 0),
+                   "d": (0, 0), "e": (0, 0)}
+    assert got["b"][1] > got["a"][1] > got["c"][1]
