@@ -315,3 +315,23 @@ def test_ruled_tables_single_scan_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
         plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_corpus_stats_ops_no_cartesian_bounded_exchanges(docs):
+    """substring_dup_stats and lexical_commonness are token-linear:
+    hash exchanges only (explode -> count -> mark-join -> rollup), no
+    cartesian/broadcast-nested-loop, no corpus collect."""
+    import re
+
+    from pdf_extraction_spark.operators.dedup import \
+        substring_dup_stats
+    from pdf_extraction_spark.operators.textstats import \
+        lexical_commonness
+
+    for df in (substring_dup_stats(docs, window=10, stride=10),
+               lexical_commonness(docs)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex <= 4, plan
