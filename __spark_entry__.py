@@ -85,6 +85,7 @@ _DRIVER_WINDOW = [
 # from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
+    "warc_records", "warc_pages",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -100,7 +101,7 @@ _DRIVER_WINDOW_R5 = [
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables", "raw_sections", "property_meta",
-    "action_normalize", "urgency_score",
+    "action_normalize",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
     "estimate_validate", "attributes", "cleaning",
     "strategy", "taxonomy", "issue_link", "phase2_select",
@@ -108,9 +109,11 @@ _DRIVER_WINDOW_R5 = [
     "causal_chains",
     "langid", "quality_score",
     "events_window", "calibration", "dedup_doc",
-    "metadata_enrich",
     "checkpoint_cache",
 ]
+# urgency_score / metadata_enrich dropped from the r5 re-proof tail to
+# make room for the two warc gates — both carry r03 driver rows and
+# overlap topn_urgency / classification+attributes, which stay.
 
 
 def _driver_order(merged: dict) -> dict:
@@ -145,13 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_links import QUERIES_LINKS
     from pdf_extraction_spark.queries_pdf import QUERIES_PDF
     from pdf_extraction_spark.queries_pdffile import QUERIES_PDFFILE
+    from pdf_extraction_spark.queries_warc import QUERIES_WARC
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
          **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
-         **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE})
+         **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE, **QUERIES_WARC})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -170,10 +174,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_links import ORACLES_LINKS
     from pdf_extraction_spark.queries_pdf import ORACLES_PDF
     from pdf_extraction_spark.queries_pdffile import ORACLES_PDFFILE
+    from pdf_extraction_spark.queries_warc import ORACLES_WARC
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
          **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
-         **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE})
+         **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE, **ORACLES_WARC})

@@ -1,0 +1,141 @@
+"""Gate queries for the WARC container layer
+(``operators/warc.py``): raw ``.warc``/``.warc.gz`` bytes -> record
+split -> HTTP decode -> charset decode.
+
+The Spark side synthesizes one complete WARC file per document row
+with the deterministic writer (``build_one_warc``: warcinfo + request
++ response records, per-record gzip members on odd doc_ids, HTTP
+charset / meta-prescan / chunked / Content-Encoding-gzip / 404 /
+binary-resource variants all selected by doc_id arithmetic) and runs
+the actual parser over the bytes; the DuckDB oracle computes every
+expected row in CLOSED FORM from the same arithmetic — the parser is
+forced to agree with spec-implied content, not with itself.  The
+planted 'é' makes charset decoding value-gated: iso-8859-1 stores it
+as one byte, utf-8 as two, and only a correct decode chain yields the
+identical character from both channels (``payload_len`` pins the
+on-wire byte count via DuckDB ``strlen`` minus the latin-1 delta).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.warc import (build_warc_files, records_from_warc,
+                             warc_to_pages)
+
+
+def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_warc_files(d)
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-container parse to typed record rows (gzip members,
+    record framing, HTTP status/headers, transfer/content decoding,
+    charset resolution) as one map-only Arrow pass."""
+    recs = records_from_warc(_warc_files(spark, sf_dir))
+    return recs.select(
+        F.col("warc_id").cast("long").alias("doc_id"),
+        "rec_idx", "warc_type", "target_uri", "warc_date",
+        "content_type", "http_status", "charset", "charset_src",
+        "payload_len", "text") \
+        .orderBy("doc_id", "rec_idx")
+
+
+_SQL_RECORDS = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+h AS (
+  SELECT doc_id, t,
+    'https://host' || (doc_id % 10) || '.example/doc/' || doc_id
+      AS uri,
+    '2026-08-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      || 'T12:00:00Z' AS d,
+    '<html><head><title>W' || doc_id || '</title>'
+      || CASE WHEN doc_id % 3 = 2 THEN '<meta charset="utf-8">'
+              ELSE '' END
+      || '</head><body><p>' || t || '</p><p>café ' || doc_id
+      || '</p></body></html>' AS html
+  FROM b),
+u AS (
+  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+    CAST(NULL AS VARCHAR) AS target_uri, d AS warc_date,
+    'application/warc-fields' AS content_type,
+    CAST(NULL AS INT) AS http_status,
+    'utf-8' AS charset, 'default' AS charset_src,
+    CAST(66 AS BIGINT) AS payload_len,
+    'software: pdf-extraction-spark/0.4' || chr(13) || chr(10)
+      || 'format: WARC File Format 1.1' || chr(13) || chr(10) AS text
+  FROM h
+  UNION ALL
+  SELECT doc_id, 1, 'request', uri, d,
+    CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    CAST(0 AS BIGINT), CAST(NULL AS VARCHAR)
+  FROM h
+  UNION ALL
+  SELECT doc_id, 2, 'response', uri, d, 'text/html',
+    CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT),
+    CASE WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE 'utf-8' END,
+    CASE WHEN doc_id % 3 = 2 THEN 'meta' ELSE 'http' END,
+    CAST(strlen(html)
+         - CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT),
+    html
+  FROM h
+  UNION ALL
+  SELECT doc_id, 3, 'resource', uri || '/logo.png', d, 'image/png',
+    CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+    CAST(NULL AS VARCHAR), CAST(45 AS BIGINT),
+    CAST(NULL AS VARCHAR)
+  FROM h WHERE doc_id % 6 = 0)
+SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, warc_type,
+  target_uri, warc_date, content_type, http_status, charset,
+  charset_src, payload_len, text
+FROM u ORDER BY doc_id, rec_idx
+"""
+
+
+def q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-page bridge: HTTP-200 text/html response records ->
+    (doc_id = target URI, decoded html) — the row set the fused
+    extraction plan ingests via warc_to_spans."""
+    pages = warc_to_pages(_warc_files(spark, sf_dir))
+    return pages.select(
+        F.col("doc_id").alias("uri"),
+        F.length("html").cast("long").alias("html_chars"),
+        F.substring("html", 1, 40).alias("head40")) \
+        .orderBy("uri")
+
+
+_SQL_PAGES = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+  WHERE doc_id % 7 <> 0),
+h AS (
+  SELECT doc_id,
+    'https://host' || (doc_id % 10) || '.example/doc/' || doc_id
+      AS uri,
+    '<html><head><title>W' || doc_id || '</title>'
+      || CASE WHEN doc_id % 3 = 2 THEN '<meta charset="utf-8">'
+              ELSE '' END
+      || '</head><body><p>' || t || '</p><p>café ' || doc_id
+      || '</p></body></html>' AS html
+  FROM b)
+SELECT uri, CAST(length(html) AS BIGINT) AS html_chars,
+  substr(html, 1, 40) AS head40
+FROM h ORDER BY uri
+"""
+
+
+QUERIES_WARC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "warc_records": q_warc_records,
+    "warc_pages": q_warc_pages,
+}
+
+ORACLES_WARC: dict[str, str] = {
+    "warc_records": _SQL_RECORDS,
+    "warc_pages": _SQL_PAGES,
+}
