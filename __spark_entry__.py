@@ -85,7 +85,7 @@ _DRIVER_WINDOW = [
 # from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
-    "warc_records", "warc_pages",
+    "warc_records", "warc_pages", "image_meta",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -108,12 +108,13 @@ _DRIVER_WINDOW_R5 = [
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains",
     "langid", "quality_score",
-    "events_window", "calibration", "dedup_doc",
+    "events_window", "calibration",
     "checkpoint_cache",
 ]
-# urgency_score / metadata_enrich dropped from the r5 re-proof tail to
-# make room for the two warc gates — both carry r03 driver rows and
-# overlap topn_urgency / classification+attributes, which stay.
+# urgency_score / metadata_enrich / dedup_doc dropped from the r5
+# re-proof tail to make room for the warc_records / warc_pages /
+# image_meta gates — all three carry r03 driver rows and overlap
+# topn_urgency / classification+attributes / minhash_dedup, which stay.
 
 
 def _driver_order(merged: dict) -> dict:

@@ -23,6 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.multimodal import build_image_blobs, image_header_meta
 from .operators.warc import (build_warc_files, records_from_warc,
                              warc_to_pages)
 
@@ -130,12 +131,39 @@ FROM h ORDER BY uri
 """
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-header metadata sniff (operators/multimodal.py
+    sniff_image): dimensions/depth/mime from raw container bytes —
+    PNG IHDR, JPEG SOFn behind APP0/COM segments with marker bait,
+    GIF logical screen, top-down BMP, WebP VP8L 14-bit fields — as
+    one map-only Arrow pass, no codec library."""
+    meta = image_header_meta(build_image_blobs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    return meta.select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        "mime", "width", "height", "depth").orderBy("doc_id")
+
+
+_SQL_IMAGE_META = """
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/bmp'
+    ELSE 'image/webp' END AS mime,
+  CAST(64 + doc_id % 1200 AS INT) AS width,
+  CAST(48 + doc_id % 900 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 5 = 3 THEN 24 ELSE 8 END AS INT) AS depth
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES_WARC: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_records": q_warc_records,
     "warc_pages": q_warc_pages,
+    "image_meta": q_image_meta,
 }
 
 ORACLES_WARC: dict[str, str] = {
     "warc_records": _SQL_RECORDS,
     "warc_pages": _SQL_PAGES,
+    "image_meta": _SQL_IMAGE_META,
 }
