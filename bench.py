@@ -229,6 +229,22 @@ def main() -> None:
     xpdfs.count()
     timed("k_pdf_forms", lambda: noop(files_to_spans(xpdfs)))
     xpdfs.unpersist()
+    # WARC container ingestion: record framing + HTTP decode +
+    # charset resolution (gzip members on odd ids, chunked/gzip
+    # bodies in the mix), one map-only pass
+    from pdf_extraction_spark.operators.warc import (build_warc_files,
+                                                     records_from_warc)
+    warcs = build_warc_files(dtab).persist()
+    warcs.count()
+    timed("k_warc", lambda: noop(records_from_warc(warcs)))
+    warcs.unpersist()
+    # image-header metadata sniff over all five container formats
+    from pdf_extraction_spark.operators.multimodal import (
+        build_image_blobs, image_header_meta)
+    blobs = build_image_blobs(dtab).persist()
+    blobs.count()
+    timed("k_image_meta", lambda: noop(image_header_meta(blobs)))
+    blobs.unpersist()
     lpages.unpersist()
     pages.unpersist()
     runs.unpersist()

@@ -161,3 +161,39 @@ def ruled_tables_stream(spark: SparkSession, source_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+WARC_SCHEMA = "warc_id string, warc binary"
+
+
+def warc_extract_stream(spark: SparkSession, source_dir: str,
+                        out_path: str, checkpoint_dir: str,
+                        schema: str = WARC_SCHEMA,
+                        max_files_per_trigger: int | None = None,
+                        available_now: bool = True):
+    """Continuous crawl ingestion over landing WARC segments: the
+    same ``foreachBatch`` pattern as :func:`pdf_file_extract_stream`
+    (each container file arrives whole in its binary row, so the
+    computation is micro-batch-local), running the IDENTICAL batch
+    chain per trigger — `operators/warc.warc_to_spans` (record split
+    -> HTTP decode -> charset -> html bridge) -> fused extraction.
+    Offsets exactly-once via ``checkpointLocation``; parquet append
+    at-least-once (Iceberg closes that window on a cluster).  This is
+    the shape of a live Common-Crawl-style feed: new .warc.gz
+    segments land in ``source_dir``, extraction output accumulates
+    per trigger.  Returns the started StreamingQuery."""
+    from ..operators.warc import warc_to_spans
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        assemble_fused(warc_to_spans(batch_df)) \
+            .write.mode("append").parquet(out_path)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.parquet(source_dir)
+              .writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

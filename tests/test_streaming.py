@@ -372,3 +372,43 @@ def test_streaming_ruled_tables_match_batch(spark, tmp_path):
                  for r in spark.read.parquet(out).collect())
     assert got == batch
     assert len({d for d, *_ in got}) == 6
+
+
+def test_streaming_warc_extraction_matches_batch(spark, tmp_path):
+    """Crawl-container continuous ingest: landing .warc files ->
+    foreachBatch (the identical warc_to_spans -> fused extraction
+    batch chain) -> parquet sink, equal to the batch twin per doc
+    across micro-batches."""
+    from pdf_extraction_spark.operators.warc import (build_warc_files,
+                                                     warc_to_spans)
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    from pdf_extraction_spark.streaming.extract import \
+        warc_extract_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") < 24).select("doc_id", "text")
+    src = str(tmp_path / "warcs")
+    build_warc_files(docs).repartition(3).write.parquet(src)
+
+    def key(r):
+        return (r["doc_id"],
+                tuple((s["kind"], s["text"], s["order"])
+                      for s in r["spans"]))
+
+    batch = sorted(
+        key(r) for r in assemble_fused(
+            warc_to_spans(spark.read.parquet(src))).collect())
+
+    out = str(tmp_path / "out")
+    q = warc_extract_stream(spark, src, out, str(tmp_path / "ckpt"),
+                            max_files_per_trigger=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(key(r) for r in spark.read.parquet(out).collect())
+    assert got == batch
+    # 404 responses are filtered at ingest: docs 0,7,14,21 absent
+    ids = {int(d.rsplit("/", 1)[1]) for d, _ in got}
+    assert ids and all(i % 7 != 0 for i in ids)

@@ -34,7 +34,7 @@ def main() -> None:
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf",
-                             "pdffile", "ruled"],
+                             "pdffile", "ruled", "warc"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
@@ -91,6 +91,11 @@ def main() -> None:
 
         def plan(d):
             return extract(files_to_spans(d))
+    elif args.stage == "warc":
+        from pdf_extraction_spark.operators.warc import warc_to_spans
+
+        def plan(d):
+            return extract(warc_to_spans(d))
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \
             ruled_table_rows
@@ -115,6 +120,10 @@ def main() -> None:
     elif args.stage == "pdffile":
         from pdf_extraction_spark.operators.pdffile import files_to_spans
         n_spans = files_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "warc":
+        from pdf_extraction_spark.operators.warc import warc_to_spans
+        n_spans = warc_to_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \

@@ -34,7 +34,7 @@ def make_zip(tmp: str) -> str:
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
     want = {"web": "html", "pdf": "stream", "ruled": "stream",
-            "pdffile": "pdf"}.get(stage, "spans")
+            "pdffile": "pdf", "warc": "warc"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
         # clear error here instead of an AnalysisException mid-benchmark
@@ -71,6 +71,22 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                 F.col("spans"), lambda sp: sp["text"]), " ").alias("t")) \
             .select("doc_id", F.expr(expr).alias("html")) \
             .write.parquet(path)
+    elif stage == "warc":
+        # crawl-container-shaped input: each doc's span text rebuilt
+        # as a complete WARC file (warcinfo + request + response,
+        # gzip-member/chunked/content-coding/charset variants by the
+        # numeric doc id) so the scaling run covers record framing +
+        # HTTP decode + charset resolution end to end
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.warc import build_warc_files
+
+        build_warc_files(
+            docs.select(
+                "doc_id",
+                F.array_join(F.transform(
+                    F.col("spans"), lambda sp: sp["text"]), " ")
+                .alias("text"))).write.parquet(path)
     elif stage in ("pdf", "pdffile", "ruled"):
         # raw-bytes-shaped input: render the WHOLE document as a PDF
         # content stream — every text span one escaped literal line
@@ -177,7 +193,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
-                    choices=["extract", "pipeline", "web", "pdf",
+                    choices=["extract", "pipeline", "web", "pdf", "warc",
                              "pdffile", "ruled"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
