@@ -86,6 +86,7 @@ _DRIVER_WINDOW = [
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "warc_records", "warc_pages", "image_meta",
+    "robots_rules", "robots_check", "sitemap_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -97,11 +98,10 @@ _DRIVER_WINDOW_R5 = [
     # / jaccard_pairs / cosine_topk / quality_score / sections /
     # strategy / cleaning / group_summary / action_normalize)
     "status_detect", "sections", "segmentation", "priority",
-    "font_priority", "bbox_agg", "dedup_exact",
+    "font_priority", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
-    "media_features", "tables", "raw_sections", "property_meta",
-    "action_normalize",
+    "media_features", "tables", "property_meta",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
     "estimate_validate", "attributes", "cleaning",
     "strategy", "taxonomy", "issue_link", "phase2_select",
@@ -111,10 +111,13 @@ _DRIVER_WINDOW_R5 = [
     "events_window", "calibration",
     "checkpoint_cache",
 ]
-# urgency_score / metadata_enrich / dedup_doc dropped from the r5
-# re-proof tail to make room for the warc_records / warc_pages /
-# image_meta gates — all three carry r03 driver rows and overlap
-# topn_urgency / classification+attributes / minhash_dedup, which stay.
+# urgency_score / metadata_enrich / dedup_doc / action_normalize /
+# raw_sections / bbox_agg dropped from the r5 re-proof tail to make
+# room for the six round-4-session gates (warc_records, warc_pages,
+# image_meta, robots_rules, robots_check, sitemap_parse) — all six
+# dropped names carry r03 driver rows and overlap topn_urgency /
+# classification+attributes / minhash_dedup / severity_normalize-
+# family / sections / the layout gates, which keep coverage.
 
 
 def _driver_order(merged: dict) -> dict:
@@ -150,13 +153,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_pdf import QUERIES_PDF
     from pdf_extraction_spark.queries_pdffile import QUERIES_PDFFILE
     from pdf_extraction_spark.queries_warc import QUERIES_WARC
+    from pdf_extraction_spark.queries_robots import QUERIES_ROBOTS
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
          **QUERIES_ENRICH2, **QUERIES_PHASE2, **QUERIES_MISC,
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
          **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
-         **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE, **QUERIES_WARC})
+         **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE, **QUERIES_WARC,
+         **QUERIES_ROBOTS})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -176,10 +181,12 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_pdf import ORACLES_PDF
     from pdf_extraction_spark.queries_pdffile import ORACLES_PDFFILE
     from pdf_extraction_spark.queries_warc import ORACLES_WARC
+    from pdf_extraction_spark.queries_robots import ORACLES_ROBOTS
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
          **ORACLES_ENRICH2, **ORACLES_PHASE2, **ORACLES_MISC,
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
          **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
-         **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE, **ORACLES_WARC})
+         **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE, **ORACLES_WARC,
+         **ORACLES_ROBOTS})
