@@ -87,6 +87,7 @@ _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "warc_records", "warc_pages", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
+    "docx_text", "docx_spans",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -107,17 +108,19 @@ _DRIVER_WINDOW_R5 = [
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains",
-    "langid", "quality_score",
-    "events_window", "calibration",
+    "quality_score",
+    "calibration",
     "checkpoint_cache",
 ]
 # urgency_score / metadata_enrich / dedup_doc / action_normalize /
-# raw_sections / bbox_agg dropped from the r5 re-proof tail to make
-# room for the six round-4-session gates (warc_records, warc_pages,
-# image_meta, robots_rules, robots_check, sitemap_parse) — all six
-# dropped names carry r03 driver rows and overlap topn_urgency /
-# classification+attributes / minhash_dedup / severity_normalize-
-# family / sections / the layout gates, which keep coverage.
+# raw_sections / bbox_agg / langid / events_window dropped from the
+# r5 re-proof tail to make room for the eight round-4-session gates
+# (warc_records, warc_pages, image_meta, robots_rules, robots_check,
+# sitemap_parse, docx_text, docx_spans) — all eight dropped names
+# carry r03 driver rows and overlap topn_urgency / classification+
+# attributes / minhash_dedup / severity_normalize-family / sections /
+# the layout gates / quality_score (textstats twin) / stream_extract
+# (streaming twin), which keep coverage.
 
 
 def _driver_order(merged: dict) -> dict:
@@ -154,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pdf_extraction_spark.queries_pdffile import QUERIES_PDFFILE
     from pdf_extraction_spark.queries_warc import QUERIES_WARC
     from pdf_extraction_spark.queries_robots import QUERIES_ROBOTS
+    from pdf_extraction_spark.queries_docx import QUERIES_DOCX
 
     return _driver_order(
         {**QUERIES, **QUERIES_ENRICH, **QUERIES_VALIDATE,
@@ -161,7 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          **QUERIES_REPORTS, **QUERIES_MISC3, **QUERIES_SAMPLING,
          **QUERIES_QUALITY, **QUERIES_LAYOUT, **QUERIES_HTML,
          **QUERIES_LINKS, **QUERIES_PDF, **QUERIES_PDFFILE, **QUERIES_WARC,
-         **QUERIES_ROBOTS})
+         **QUERIES_ROBOTS, **QUERIES_DOCX})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -182,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.queries_pdffile import ORACLES_PDFFILE
     from pdf_extraction_spark.queries_warc import ORACLES_WARC
     from pdf_extraction_spark.queries_robots import ORACLES_ROBOTS
+    from pdf_extraction_spark.queries_docx import ORACLES_DOCX
 
     return _driver_order(
         {**ORACLES, **ORACLES_ENRICH, **ORACLES_VALIDATE,
@@ -189,4 +194,4 @@ def oracle_sql() -> dict[str, str]:
          **ORACLES_REPORTS, **ORACLES_MISC3, **ORACLES_SAMPLING,
          **ORACLES_QUALITY, **ORACLES_LAYOUT, **ORACLES_HTML,
          **ORACLES_LINKS, **ORACLES_PDF, **ORACLES_PDFFILE, **ORACLES_WARC,
-         **ORACLES_ROBOTS})
+         **ORACLES_ROBOTS, **ORACLES_DOCX})

@@ -245,6 +245,14 @@ def main() -> None:
     blobs.count()
     timed("k_image_meta", lambda: noop(image_header_meta(blobs)))
     blobs.unpersist()
+    # DOCX container ingestion: zip + WordprocessingML parse to
+    # contract spans, one map-only pass
+    from pdf_extraction_spark.operators.docx import (build_docx_files,
+                                                     docx_to_spans)
+    docxs = build_docx_files(dtab).persist()
+    docxs.count()
+    timed("k_docx", lambda: noop(docx_to_spans(docxs)))
+    docxs.unpersist()
     lpages.unpersist()
     pages.unpersist()
     runs.unpersist()

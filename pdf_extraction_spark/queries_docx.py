@@ -1,0 +1,125 @@
+"""Gate queries for the DOCX ingestion layer (``operators/docx.py``):
+raw .docx bytes -> zip container -> WordprocessingML parse -> typed
+element rows and contract spans.
+
+The Spark side synthesizes a complete .docx per document row with the
+deterministic writer (``build_one_docx``: heading style, preserved-
+space + bold runs with planted XML entities, a rels-resolved inline
+image on doc%3==0, a 2x2 table with an empty and a two-run cell on
+doc%4==0, a tab and a line break) and runs the actual parser over the
+bytes; the DuckDB oracle computes every expected row in CLOSED FORM
+from the same doc_id arithmetic — entity decoding, run concatenation,
+tab/break rendering, rels resolution and element ordering are forced
+to agree with spec-implied content."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.docx import build_docx_files, docx_rows_from_files, \
+    docx_to_spans
+
+
+def _docx_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_docx_files(d)
+
+
+def q_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element rows: kind/style/text/media_ref/n_cells in document
+    order (zip + OOXML scan as one map-only Arrow pass)."""
+    rows = docx_rows_from_files(_docx_files(spark, sf_dir))
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "el_idx", "kind", "style", "text", "media_ref", "n_cells") \
+        .orderBy("doc_id", "el_idx")
+
+
+_SQL_TEXT = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 3 = 0 AS INT) AS i3,
+    CAST(doc_id % 4 = 0 AS INT) AS i4
+  FROM documents),
+u AS (
+  SELECT doc_id, 0 AS el_idx, 'heading' AS kind,
+    'Heading1' AS style, 'Doc ' || doc_id || ' title' AS text,
+    '' AS media_ref, 0 AS n_cells FROM b
+  UNION ALL
+  SELECT doc_id, 1, 'para', '',
+    t || ' bold' || doc_id || ' & x <y>', '', 0 FROM b
+  UNION ALL
+  SELECT doc_id, 2, 'image', '', '', 'word/media/image1.png', 0
+  FROM b WHERE i3 = 1
+  UNION ALL
+  SELECT doc_id, 2 + i3, 'table_row', '',
+    'c' || doc_id || 'a | c' || doc_id || 'b', '', 2
+  FROM b WHERE i4 = 1
+  UNION ALL
+  SELECT doc_id, 3 + i3, 'table_row', '',
+    'c' || doc_id || 'c | ', '', 2 FROM b WHERE i4 = 1
+  UNION ALL
+  SELECT doc_id, 2 + i3 + 2 * i4, 'para', '',
+    'tail ' || doc_id || chr(9) || 'col' || chr(10) || 'next line',
+    '', 0 FROM b)
+SELECT doc_id, CAST(el_idx AS INT) AS el_idx, kind, style, text,
+  media_ref, CAST(n_cells AS INT) AS n_cells
+FROM u ORDER BY doc_id, el_idx
+"""
+
+
+def q_docx_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract span bridge: text spans per element, media spans for
+    rels-resolved inline images, gapless document-order offsets."""
+    spans = docx_to_spans(_docx_files(spark, sf_dir))
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id", F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+_SQL_SPANS = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 3 = 0 AS INT) AS i3,
+    CAST(doc_id % 4 = 0 AS INT) AS i4
+  FROM documents),
+u AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind,
+    'Doc ' || doc_id || ' title' AS text, '' AS media_ref FROM b
+  UNION ALL
+  SELECT doc_id, 1, 'text',
+    t || ' bold' || doc_id || ' & x <y>', '' FROM b
+  UNION ALL
+  SELECT doc_id, 2, 'media', '', 'word/media/image1.png'
+  FROM b WHERE i3 = 1
+  UNION ALL
+  SELECT doc_id, 2 + i3, 'text',
+    'c' || doc_id || 'a | c' || doc_id || 'b', '' FROM b WHERE i4 = 1
+  UNION ALL
+  SELECT doc_id, 3 + i3, 'text', 'c' || doc_id || 'c | ', ''
+  FROM b WHERE i4 = 1
+  UNION ALL
+  SELECT doc_id, 2 + i3 + 2 * i4, 'text',
+    'tail ' || doc_id || chr(9) || 'col' || chr(10) || 'next line',
+    '' FROM b)
+SELECT doc_id, CAST(off AS INT) AS "offset", kind, text, media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_DOCX: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docx_text": q_docx_text,
+    "docx_spans": q_docx_spans,
+}
+
+ORACLES_DOCX: dict[str, str] = {
+    "docx_text": _SQL_TEXT,
+    "docx_spans": _SQL_SPANS,
+}

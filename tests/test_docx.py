@@ -1,0 +1,115 @@
+"""DOCX ingestion (operators/docx.py): container + WordprocessingML
+parse, spans bridge, media parts, plan shape.  Exact-value gates:
+``docx_text``/``docx_spans`` (queries_docx.py, closed-form oracles)."""
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.docx import (build_docx_files,
+                                                 build_one_docx,
+                                                 docx_media_from_files,
+                                                 docx_rows_from_files,
+                                                 docx_to_spans,
+                                                 parse_docx)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_all_writer_variants():
+    for doc in range(0, 24):
+        rows = parse_docx(build_one_docx(doc, f"body {doc}"))
+        kinds = [r["kind"] for r in rows]
+        exp = ["heading", "para"]
+        if doc % 3 == 0:
+            exp.append("image")
+        if doc % 4 == 0:
+            exp += ["table_row", "table_row"]
+        exp.append("para")
+        assert kinds == exp, (doc, kinds)
+        assert rows[1]["text"].endswith(f"bold{doc} & x <y>")
+        assert rows[-1]["text"] == f"tail {doc}\tcol\nnext line"
+
+
+def test_damaged_inputs_yield_empty():
+    assert parse_docx(b"") == []
+    assert parse_docx(b"PK\x03\x04 truncated junk") == []
+    # a valid zip without the main part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.xml", "<x/>")
+    assert parse_docx(buf.getvalue()) == []
+
+
+def test_unresolvable_embed_keeps_raw_id():
+    buf = io.BytesIO()
+    doc = ('<w:document><w:body><w:p><w:r><w:drawing>'
+           '<a:blip r:embed="rIdMissing"/></w:drawing></w:r></w:p>'
+           '</w:body></w:document>')
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    rows = parse_docx(buf.getvalue())
+    assert rows == [{"kind": "image", "style": "", "text": "",
+                     "media_ref": "rIdMissing", "n_cells": 0}]
+
+
+def test_nested_entities_and_preserve_space():
+    buf = io.BytesIO()
+    doc = ('<w:document><w:body><w:p><w:r>'
+           '<w:t xml:space="preserve">  a&amp;amp;b  </w:t>'
+           '</w:r></w:p></w:body></w:document>')
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    rows = parse_docx(buf.getvalue())
+    # &amp;amp; decodes once to &amp; (amp substituted last, once)
+    assert rows[0]["text"] == "  a&amp;b  "
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 48).select("doc_id", "text")
+
+
+def test_docx_spans_feed_fused_extraction(spark, docs):
+    """End-to-end: .docx bytes -> contract spans -> the fused
+    extraction plan, media spans preserved in document order."""
+    from pdf_extraction_spark.plans.fused import assemble_fused
+    out = assemble_fused(docx_to_spans(build_docx_files(docs)))
+    row = out.where(F.col("doc_id") == "12").collect()[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    # fused output spells media spans kind='media_ref'
+    assert "media_ref" in kinds                  # 12 % 3 == 0
+    refs = [s["media_ref"] for s in row["spans"]
+            if s["kind"] == "media_ref"]
+    assert refs == ["word/media/image1.png"]
+    orders = [s["order"] for s in row["spans"]]
+    assert orders == sorted(orders)
+
+
+def test_docx_media_parts_parse_as_images(spark, docs):
+    """Cross-module: embedded media parts -> image_header_meta reads
+    the writer's planted dimensions (container -> bytes -> header
+    metadata, no codec)."""
+    from pdf_extraction_spark.operators.multimodal import \
+        image_header_meta
+    media = docx_media_from_files(build_docx_files(docs))
+    meta = image_header_meta(media.select(
+        F.col("doc_id").alias("media_ref"), "content"))
+    rows = meta.collect()
+    assert rows
+    for r in rows:
+        d = int(r["media_ref"])
+        assert d % 3 == 0
+        assert (r["mime"], r["width"], r["height"]) == \
+            ("image/png", 32 + d % 16, 24 + d % 8)
+
+
+def test_docx_plans_are_map_only(spark, docs):
+    files = build_docx_files(docs)
+    for df in (docx_rows_from_files(files), docx_to_spans(files),
+               docx_media_from_files(files)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
