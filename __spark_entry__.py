@@ -87,7 +87,7 @@ _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "warc_records", "warc_pages", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
-    "docx_text", "docx_spans",
+    "docx_text", "docx_spans", "feed_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -102,7 +102,7 @@ _DRIVER_WINDOW_R5 = [
     "font_priority", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
-    "media_features", "tables", "property_meta",
+    "media_features", "tables",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
     "estimate_validate", "attributes", "cleaning",
     "strategy", "taxonomy", "issue_link", "phase2_select",
@@ -120,7 +120,9 @@ _DRIVER_WINDOW_R5 = [
 # carry r03 driver rows and overlap topn_urgency / classification+
 # attributes / minhash_dedup / severity_normalize-family / sections /
 # the layout gates / quality_score (textstats twin) / stream_extract
-# (streaming twin), which keep coverage.
+# (streaming twin), which keep coverage.  property_meta also rotates
+# out for feed_parse (r03-proven; pdf_file_meta carries the
+# metadata-extraction surface with an r04 row).
 
 
 def _driver_order(merged: dict) -> dict:

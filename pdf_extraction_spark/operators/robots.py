@@ -232,3 +232,48 @@ def sitemap_urls(docs: DataFrame, xml_col: str = "xml",
         F.regexp_extract(e, r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1)
          .alias("lastmod")) \
         .where(F.col("loc") != "")
+
+
+def feed_entries(docs: DataFrame, xml_col: str = "xml",
+                 host_col: str = "host") -> DataFrame:
+    """RSS 2.0 / Atom feed XML -> (host, fmt, title, link, published)
+    rows — the third frontier-seeding format next to sitemaps and
+    page outlinks.  RSS ``<item>`` blocks carry ``<title>``,
+    ``<link>`` and ``<pubDate>``; Atom ``<entry>`` blocks carry
+    ``<title>``, ``<link href="..."/>`` and ``<updated>`` (or
+    ``<published>``, preferred when both are present).  Pure regexp
+    column expressions in the tri-engine subset — zero shuffle, zero
+    UDF, no backreferences (one extract_all per element name, same
+    trick as sitemap_urls)."""
+    xml = F.col(xml_col)
+    blocks = F.concat(
+        F.regexp_extract_all(xml, F.lit(r"(?is)<item>.*?</item>"),
+                             F.lit(0)),
+        F.regexp_extract_all(xml, F.lit(r"(?is)<entry>.*?</entry>"),
+                             F.lit(0)))
+    d = docs.select(F.col(host_col).alias("host"),
+                    F.explode(blocks).alias("entry"))
+    e = F.col("entry")
+    is_rss = F.lower(e).startswith("<item")
+    atom_link = F.regexp_extract(
+        e, r'(?is)<link[^>]*href="([^"]*)"', 1)
+    rss_link = F.regexp_extract(
+        e, r"(?is)<link>\s*(.*?)\s*</link>", 1)
+    published = F.when(
+        is_rss,
+        F.regexp_extract(e, r"(?is)<pubDate>\s*(.*?)\s*</pubDate>", 1)) \
+        .otherwise(F.coalesce(
+            F.nullif(F.regexp_extract(
+                e, r"(?is)<published>\s*(.*?)\s*</published>", 1),
+                F.lit("")),
+            F.regexp_extract(
+                e, r"(?is)<updated>\s*(.*?)\s*</updated>", 1)))
+    return d.select(
+        "host",
+        F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom"))
+         .alias("fmt"),
+        F.regexp_extract(e, r"(?is)<title>\s*(.*?)\s*</title>", 1)
+         .alias("title"),
+        F.when(is_rss, rss_link).otherwise(atom_link).alias("link"),
+        published.alias("published")) \
+        .where(F.col("link") != "")

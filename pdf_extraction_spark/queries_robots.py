@@ -219,3 +219,76 @@ ORACLES_ROBOTS: dict[str, str] = {
     "robots_check": _SQL_CHECK,
     "sitemap_parse": _SQL_SITEMAP,
 }
+
+
+# RSS on even docs, Atom on odd; entry 1 carries whitespace-padded
+# link + both Atom timestamps (published must win), entry 2 minimal,
+# RSS adds a linkless decoy item that must drop
+_FEED_EXPR = """
+  CASE WHEN doc_id % 2 = 0 THEN
+    '<rss version="2.0"><channel><title>Chan' || doc_id ||
+    '</title><item><title> I' || doc_id ||
+    'a </title><link> https://h' || doc_id ||
+    '.example/r1 </link><pubDate>Tue, 0' || (1 + doc_id % 9) ||
+    ' Jul 2026 10:00:00 GMT</pubDate></item>' ||
+    '<item><title>I' || doc_id || 'b</title><link>https://h' ||
+    doc_id || '.example/r2</link></item>' ||
+    '<item><title>nolink' || doc_id || '</title></item>' ||
+    '</channel></rss>'
+  ELSE
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>F' || doc_id ||
+    '</title><entry><title>E' || doc_id ||
+    'a</title><link rel="alternate" href="https://h' || doc_id ||
+    '.example/a1"/><published>2026-07-0' || (1 + doc_id % 9) ||
+    'T00:00:00Z</published><updated>2026-08-01T00:00:00Z</updated>' ||
+    '</entry><entry><title>E' || doc_id ||
+    'b</title><link href="https://h' || doc_id ||
+    '.example/a2"/><updated>2026-08-0' || (1 + doc_id % 9) ||
+    'T00:00:00Z</updated></entry></feed>'
+  END
+""".strip()
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed flattening: item/entry rows with link + the
+    preferred timestamp (Atom published > updated), linkless entries
+    dropped — zero shuffle."""
+    from .operators.robots import feed_entries
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"))
+         .alias("host"),
+        F.expr(_FEED_EXPR).alias("xml"))
+    out = feed_entries(d)
+    return out.select(
+        F.expr("CAST(substr(host, 2) AS BIGINT)").alias("doc_id"),
+        "fmt", "title", "link", "published") \
+        .orderBy("doc_id", "link")
+
+
+_SQL_FEED = """
+WITH u AS (
+  SELECT doc_id, 'rss' AS fmt, 'I' || doc_id || 'a' AS title,
+    'https://h' || doc_id || '.example/r1' AS link,
+    'Tue, 0' || (1 + doc_id % 9) || ' Jul 2026 10:00:00 GMT'
+      AS published
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'rss', 'I' || doc_id || 'b',
+    'https://h' || doc_id || '.example/r2', ''
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'atom', 'E' || doc_id || 'a',
+    'https://h' || doc_id || '.example/a1',
+    '2026-07-0' || (1 + doc_id % 9) || 'T00:00:00Z'
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, 'atom', 'E' || doc_id || 'b',
+    'https://h' || doc_id || '.example/a2',
+    '2026-08-0' || (1 + doc_id % 9) || 'T00:00:00Z'
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT doc_id, fmt, title, link, published
+FROM u ORDER BY doc_id, link
+"""
+
+QUERIES_ROBOTS["feed_parse"] = q_feed_parse
+ORACLES_ROBOTS["feed_parse"] = _SQL_FEED

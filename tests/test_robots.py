@@ -130,3 +130,27 @@ def test_robots_allowed_plan_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
         not in plan  # rules side broadcast; never a cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_feed_entries_rss_and_atom(spark):
+    from pdf_extraction_spark.operators.robots import feed_entries
+    rss = ("<rss version='2.0'><channel><title>Chan</title>"
+           "<item><title> A </title><link> https://e/a </link>"
+           "<pubDate>Tue, 01 Jul 2026 10:00:00 GMT</pubDate></item>"
+           "<item><title>nolink</title></item></channel></rss>")
+    atom = ("<feed><entry><title>C</title>"
+            "<link rel='alternate' href=\"https://e/c\"/>"
+            "<published>2026-07-01T10:00:00Z</published>"
+            "<updated>2026-07-02T10:00:00Z</updated></entry>"
+            "<entry><title>D</title><link href=\"https://e/d\"/>"
+            "<updated>2026-07-03T00:00:00Z</updated></entry></feed>")
+    d = spark.createDataFrame([("h0", rss), ("h1", atom)],
+                              "host string, xml string")
+    rows = {r["link"]: (r["fmt"], r["title"], r["published"])
+            for r in feed_entries(d).collect()}
+    # channel-level title untouched, linkless item dropped, link/title
+    # trimmed, Atom published preferred over updated
+    assert rows == {
+        "https://e/a": ("rss", "A", "Tue, 01 Jul 2026 10:00:00 GMT"),
+        "https://e/c": ("atom", "C", "2026-07-01T10:00:00Z"),
+        "https://e/d": ("atom", "D", "2026-07-03T00:00:00Z")}
