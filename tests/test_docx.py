@@ -113,3 +113,13 @@ def test_docx_plans_are_map_only(spark, docs):
                docx_media_from_files(files)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_fuzz_docx_sample():
+    """50-seed sample of the by-construction campaign
+    (tools/fuzz_docx.py — 0 mismatches across the committed ranges)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from fuzz_docx import check_seed
+    for seed in range(50):
+        assert check_seed(seed) == []
