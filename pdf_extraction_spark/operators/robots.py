@@ -277,3 +277,40 @@ def feed_entries(docs: DataFrame, xml_col: str = "xml",
         F.when(is_rss, rss_link).otherwise(atom_link).alias("link"),
         published.alias("published")) \
         .where(F.col("link") != "")
+
+
+def frontier_candidates(pages: DataFrame, robots: DataFrame,
+                        denylist=None, agent: str = "sparkbot",
+                        html_col: str = "html",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The composed crawl-frontier stage: crawled pages -> outlinks ->
+    normalized absolute http(s) URLs -> domain deny-list filter ->
+    robots.txt admission -> distinct (host, path, url_norm) candidate
+    rows with their admission verdict.
+
+    Composition of the individually-gated pieces (links.link_table /
+    links.url_parts gates ``html_links``/``url_normalize``,
+    curation.filter_hosts gate ``host_denylist``, parse_robots /
+    robots_allowed gates ``robots_rules``/``robots_check``) — wired
+    with the scale-sane defaults ON: the deny filter is broadcast
+    anti-joins, the robots rules are broadcast, so the only exchange
+    in the whole stage is the final ``distinct`` on the candidate
+    set (which a frontier needs anyway for visited-set merging).
+
+    ``robots`` is the raw (host, robots) table — parsed here so
+    callers hand over exactly what a robots fetch produces."""
+    from .curation import filter_hosts
+    from .links import link_table
+
+    links = link_table(pages, html_col=html_col, id_col=id_col)
+    cand = links.where(F.col("scheme").isin("http", "https") &
+                       (F.col("host") != "")) \
+        .select("host", F.when(F.col("path") == "", F.lit("/"))
+                .otherwise(F.col("path")).alias("path"),
+                "url_norm")
+    if denylist is not None:
+        cand = filter_hosts(cand.withColumnRenamed("url_norm", "url"),
+                            denylist).withColumnRenamed("url", "url_norm")
+    cand = cand.distinct()
+    rules = parse_robots(robots)
+    return robots_allowed(cand, rules, agent=agent)

@@ -154,3 +154,26 @@ def test_feed_entries_rss_and_atom(spark):
         "https://e/a": ("rss", "A", "Tue, 01 Jul 2026 10:00:00 GMT"),
         "https://e/c": ("atom", "C", "2026-07-01T10:00:00Z"),
         "https://e/d": ("atom", "D", "2026-07-03T00:00:00Z")}
+
+
+def test_frontier_candidates_composition(spark):
+    """Composed frontier stage: outlinks -> normalize -> deny-list ->
+    robots admission -> distinct, guards wired by default."""
+    from pdf_extraction_spark.operators.robots import \
+        frontier_candidates
+    pages = spark.createDataFrame([
+        ("p1", '<html><body><a href="https://good.example/page1">x'
+               '</a><a href="https://good.example/private/x">y</a>'
+               '<a href="https://ads.bad.example/z">z</a>'
+               '<a href="/rel">rel</a>'
+               '<a href="https://good.example/page1">dup</a>'
+               '</body></html>')], "doc_id string, html string")
+    robots = spark.createDataFrame(
+        [("good.example", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots string")
+    out = frontier_candidates(pages, robots,
+                              denylist=["bad.example"])
+    rows = sorted((r["url_norm"], r["allowed"]) for r in out.collect())
+    # relative link (no host) and denylisted host dropped; dup folded
+    assert rows == [("https://good.example/page1", True),
+                    ("https://good.example/private/x", False)]
