@@ -34,7 +34,7 @@ def main() -> None:
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf",
-                             "pdffile", "ruled", "warc"],
+                             "pdffile", "ruled", "warc", "docx"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
@@ -96,6 +96,11 @@ def main() -> None:
 
         def plan(d):
             return extract(warc_to_spans(d))
+    elif args.stage == "docx":
+        from pdf_extraction_spark.operators.docx import docx_to_spans
+
+        def plan(d):
+            return extract(docx_to_spans(d))
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \
             ruled_table_rows
@@ -124,6 +129,10 @@ def main() -> None:
     elif args.stage == "warc":
         from pdf_extraction_spark.operators.warc import warc_to_spans
         n_spans = warc_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "docx":
+        from pdf_extraction_spark.operators.docx import docx_to_spans
+        n_spans = docx_to_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \

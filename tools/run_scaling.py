@@ -34,7 +34,8 @@ def make_zip(tmp: str) -> str:
 def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
     want = {"web": "html", "pdf": "stream", "ruled": "stream",
-            "pdffile": "pdf", "warc": "warc"}.get(stage, "spans")
+            "pdffile": "pdf", "warc": "warc",
+            "docx": "docx"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
         # clear error here instead of an AnalysisException mid-benchmark
@@ -82,6 +83,20 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
         from pdf_extraction_spark.operators.warc import build_warc_files
 
         build_warc_files(
+            docs.select(
+                "doc_id",
+                F.array_join(F.transform(
+                    F.col("spans"), lambda sp: sp["text"]), " ")
+                .alias("text"))).write.parquet(path)
+    elif stage == "docx":
+        # office-document-shaped input: each doc's span text rebuilt
+        # as a complete .docx (zip container + WordprocessingML with
+        # the writer's style/image/table variants)
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.docx import build_docx_files
+
+        build_docx_files(
             docs.select(
                 "doc_id",
                 F.array_join(F.transform(
@@ -194,7 +209,7 @@ def main() -> None:
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf", "warc",
-                             "pdffile", "ruled"])
+                             "docx", "pdffile", "ruled"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
