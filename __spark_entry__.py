@@ -85,7 +85,7 @@ _DRIVER_WINDOW = [
 # from round 4 or 5 (most from both).
 _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
-    "warc_records", "warc_pages", "image_meta",
+    "warc_records", "warc_pages", "warc_dispatch", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
     "docx_text", "docx_spans", "feed_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
@@ -110,8 +110,11 @@ _DRIVER_WINDOW_R5 = [
     "causal_chains",
     "quality_score",
     "calibration",
-    "checkpoint_cache",
 ]
+# checkpoint_cache dropped from the r5 re-proof tail to make room for
+# warc_dispatch (new this session, never scored); it carries an r02
+# driver row (S8) and sink_metrics (r04 window) re-runs the same
+# run_incremental hash+left_anti machinery end-to-end.
 # urgency_score / metadata_enrich / dedup_doc / action_normalize /
 # raw_sections / bbox_agg / langid / events_window dropped from the
 # r5 re-proof tail to make room for the eight round-4-session gates

@@ -253,6 +253,21 @@ def main() -> None:
     docxs.count()
     timed("k_docx", lambda: noop(docx_to_spans(docxs)))
     docxs.unpersist()
+    # mime-routed dispatch: one mixed container (html/pdf/docx
+    # responses + png resources) -> unified contract spans; times the
+    # whole route incl. every family parser
+    from pdf_extraction_spark.operators.warc import (
+        build_mixed_warc_files, warc_dispatch_spans)
+    from pdf_extraction_spark.queries_html import _media_page_expr
+    mixed = build_mixed_warc_files(
+        dtab.select(
+            "doc_id", F.expr("COALESCE(text, '')").alias("t"))
+        .select("doc_id", F.col("t").alias("text"),
+                F.expr(_media_page_expr("CAST(doc_id AS STRING)"))
+                 .alias("html"))).persist()
+    mixed.count()
+    timed("k_warc_dispatch", lambda: noop(warc_dispatch_spans(mixed)))
+    mixed.unpersist()
     lpages.unpersist()
     pages.unpersist()
     runs.unpersist()

@@ -546,3 +546,163 @@ def build_warc_files(docs: DataFrame, text_col: str = "text",
                       F.coalesce(F.col(text_col), F.lit(""))
                        .alias("text"))
     return sel.mapInArrow(_build, schema="warc_id string, warc binary")
+
+
+# ------------------------------------------- mime-routed dispatch
+
+HTML_MIMES = ("text/html", "application/xhtml")
+PDF_MIME = "application/pdf"
+DOCX_MIME = ("application/vnd.openxmlformats-officedocument."
+             "wordprocessingml.document")
+
+
+def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
+    """Typed WARC record rows -> ONE unified contract span table
+    ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``,
+    routed by effective media type: ``text/html`` responses through
+    the ``html_to_spans`` bridge, ``application/pdf`` through the
+    whole-file parser chain (``pdffile.files_to_spans``),
+    WordprocessingML through the DOCX parser, and standalone image
+    ``resource`` records as single-media-span documents.  doc_id =
+    WARC-Target-URI throughout (the crawl-native identity).
+
+    This is the 'one segment, any payload' move a crawl-shaped corpus
+    needs: a mixed container lands on the BASELINE.json input_hint
+    schema in one job, and every downstream plan (plans/fused.py
+    extraction, dedup, curation, sampling) runs unchanged on the
+    union.  The reference pipeline reads *.pdf paths only
+    (reference src/pipeline.py:56-78, glob over a directory); the
+    mime column generalizes that file-extension dispatch to typed
+    crawl records.
+
+    Shape: the html/docx/media branches are map-only (each family
+    filter fuses into its branch's scan); the pdf branch pays the
+    bounded per-doc page-reassembly exchange that files_to_spans
+    documents.  No joins anywhere (plan-asserted in
+    tests/test_plan_shapes.py).  Feed this from a LANDED records
+    table (see ``warc_dispatch_spans``) so the container bytes are
+    parsed once, not once per family branch."""
+    from .docx import docx_to_spans
+    from .html import html_to_spans
+    from .pdffile import files_to_spans
+
+    resp = recs.where(F.col("warc_type") == "response")
+    if ok_only:
+        resp = resp.where(F.col("http_status") == 200)
+    html = html_to_spans(
+        resp.where(F.col("content_type").isin(*HTML_MIMES))
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("text").alias("html")))
+    pdf = files_to_spans(
+        resp.where(F.col("content_type") == PDF_MIME)
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").alias("pdf")))
+    docx = docx_to_spans(
+        resp.where(F.col("content_type") == DOCX_MIME)
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").alias("docx")))
+    media = recs.where(
+        (F.col("warc_type") == "resource") &
+        F.col("content_type").startswith("image/")).select(
+        F.col("target_uri").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.col("target_uri").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    return html.unionByName(pdf).unionByName(docx).unionByName(media)
+
+
+def warc_dispatch_spans(files: DataFrame,
+                        stage_dir: str | None = None,
+                        bytes_col: str = "warc",
+                        id_col: str = "warc_id",
+                        ok_only: bool = True) -> DataFrame:
+    """WARC container files -> unified contract spans across ALL
+    payload types.  With ``stage_dir`` the typed records land as
+    parquet first — ONE parse of the container bytes, and each family
+    branch then reads only its rows/columns from the landed table
+    (min/max + dictionary pruning on ``content_type``); without it
+    the branches compose directly over ``records_from_warc`` —
+    semantically identical, but each family branch re-parses the
+    container (3 scans), acceptable in tests and wrong at 100 TB."""
+    recs = records_from_warc(files, bytes_col, id_col)
+    if stage_dir is not None:
+        recs.write.mode("overwrite").parquet(stage_dir)
+        recs = files.sparkSession.read.parquet(stage_dir)
+    return dispatch_spans(recs, ok_only=ok_only)
+
+
+def build_one_mixed_warc(doc: int, text: str, html: str) -> bytes:
+    """Mixed-payload WARC file: one 200 response whose body is
+    doc%3-selected — 0: the caller-supplied HTML page (utf-8),
+    1: a complete PDF file (``pdffile.build_pdf``), 2: a DOCX
+    container (``docx.build_one_docx``) — plus a PNG ``resource``
+    record on doc%5==0 and per-record gzip members on odd docs.
+    Plain Content-Length framing throughout: the transfer-coding /
+    charset / entity-gzip axes are ``build_one_warc``'s gates; this
+    builder gates the ROUTING."""
+    from .docx import build_one_docx
+    from .pdffile import build_pdf
+
+    uri = f"https://host{doc % 10}.example/doc/{doc}"
+    date = f"2026-08-{1 + doc % 28:02d}T12:00:00Z"
+    rid = f"<urn:uuid:{doc:032d}>"
+    base = [("WARC-Date", date), ("WARC-Record-ID", rid)]
+    fam = doc % 3
+    if fam == 0:
+        body = html.encode("utf-8")
+        ctype = "text/html; charset=utf-8"
+    elif fam == 1:
+        body, ctype = build_pdf(doc, text), PDF_MIME
+    else:
+        body, ctype = build_one_docx(doc, text), DOCX_MIME
+    head = ["HTTP/1.1 200 OK", f"Content-Type: {ctype}",
+            f"Content-Length: {len(body)}"]
+    resp_msg = ("\r\n".join(head) + "\r\n\r\n").encode("ascii") + body
+    records = [warc_record(
+        "response",
+        base + [("WARC-Target-URI", uri),
+                ("Content-Type",
+                 "application/http;msgtype=response")],
+        resp_msg)]
+    if doc % 5 == 0:
+        records.append(warc_record(
+            "resource",
+            base + [("WARC-Target-URI", uri + "/logo.png"),
+                    ("Content-Type", "image/png")],
+            synth_png(16 + doc % 8, 9 + doc % 5)))
+    if doc % 2 == 1:
+        return b"".join(gzip_bytes(r) for r in records)
+    return b"".join(records)
+
+
+def build_mixed_warc_files(docs: DataFrame, text_col: str = "text",
+                           html_col: str = "html",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text, html) -> (warc_id, warc binary) via the mixed
+    writer; the html page column is caller-supplied so the gate keeps
+    ONE source of truth for the synthetic page (the same expression
+    DuckDB evaluates).  One map-only Arrow pass."""
+    import pyarrow as pa
+
+    def _build(batches: Iterator["pa.RecordBatch"]
+               ) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            htmls = batch.column(2).to_pylist()
+            blobs = [build_one_mixed_warc(
+                int(re.sub(r"\D", "", i) or 0), t or "", h or "")
+                for i, t, h in zip(ids, texts, htmls)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.string()),
+                 pa.array(blobs, type=pa.binary())],
+                schema=pa.schema([("warc_id", pa.string()),
+                                  ("warc", pa.binary())]))
+
+    sel = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.coalesce(F.col(text_col), F.lit(""))
+                       .alias("text"),
+                      F.coalesce(F.col(html_col), F.lit(""))
+                       .alias("html"))
+    return sel.mapInArrow(_build, schema="warc_id string, warc binary")

@@ -167,3 +167,108 @@ ORACLES_WARC: dict[str, str] = {
     "warc_pages": _SQL_PAGES,
     "image_meta": _SQL_IMAGE_META,
 }
+
+
+def q_warc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-payload container -> mime-routed unified contract spans
+    (``operators/warc.py dispatch_spans``): one WARC per document
+    whose 200 response carries doc%3-selected HTML / PDF / DOCX plus
+    doc%5 PNG resource records — the html family rides the
+    ``html_to_spans`` bridge, the pdf family the whole-file parser
+    chain, the docx family the OOXML parser, and image resources
+    land as single-media-span documents, all keyed by target URI.
+    The oracle computes every family's spans in CLOSED FORM from the
+    same doc_id arithmetic (the html/pdffile/docx gates' own closed
+    forms, restricted to their modulus class), so the ROUTING — not
+    just each parser — is value-gated."""
+    from .operators.warc import (build_mixed_warc_files,
+                                 warc_dispatch_spans)
+    from .queries_html import _media_page_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = d.select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id", F.col("t").alias("text"),
+                F.expr(_media_page_expr("CAST(doc_id AS STRING)"))
+                 .alias("html"))
+    spans = warc_dispatch_spans(build_mixed_warc_files(pages))
+    e = spans.select("doc_id", F.explode("spans").alias("s"))
+    return e.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+def _sql_warc_dispatch() -> str:
+    from .operators.pdffile import PAD
+    from .queries_html import _GATE_PAGES, _media_page_expr, \
+        sql_blocks_cte
+    from .queries_pdffile import _R
+
+    html_pages = _GATE_PAGES.format(
+        expr=_media_page_expr("CAST(doc_id AS VARCHAR)")) \
+        + " WHERE doc_id % 3 = 0"
+    uri = ("'https://host' || (doc_id % 10) || '.example/doc/' "
+           "|| doc_id")
+    return f"""
+WITH {sql_blocks_cte(html_pages)},
+keep AS (
+  SELECT doc_id,
+         list_filter(bl, b -> b.cls IN ('content', 'media')) AS kb
+  FROM blocks),
+hsp AS (
+  SELECT doc_id, unnest(list_transform(kb, (b, i) -> struct_pack(
+      off := CAST(i - 1 AS INT),
+      kind := CASE WHEN b.cls = 'media' THEN 'media' ELSE 'text' END,
+      text := CASE WHEN b.cls = 'media' THEN '' ELSE b.text END,
+      media_ref := CASE WHEN b.cls = 'media' THEN b.text
+                        ELSE '' END))) AS u
+  FROM keep),
+pb AS (
+  SELECT doc_id, COALESCE(text, '') || '{PAD}' AS p
+  FROM documents WHERE doc_id % 3 = 1),
+db AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 4 = 0 AS INT) AS i4
+  FROM documents WHERE doc_id % 3 = 2),
+allsp AS (
+  SELECT doc_id, u.off AS off, u.kind AS kind, u.text AS text,
+         u.media_ref AS media_ref, 0 AS is_logo
+  FROM hsp
+  UNION ALL
+  SELECT doc_id, 0, 'text', {_R['t']}, '', 0 FROM pb
+  UNION ALL SELECT doc_id, 1, 'text',
+    {_R['a']} || chr(10) || {_R['b']}, '', 0 FROM pb
+  UNION ALL SELECT doc_id, 2, 'media', '', 'Im0', 0 FROM pb
+  UNION ALL SELECT doc_id, 3, 'text',
+    {_R['c']} || chr(10) || {_R['d']}, '', 0 FROM pb
+  UNION ALL
+  SELECT doc_id, 0, 'text', 'Doc ' || doc_id || ' title', '', 0
+  FROM db
+  UNION ALL SELECT doc_id, 1, 'text',
+    t || ' bold' || doc_id || ' & x <y>', '', 0 FROM db
+  UNION ALL SELECT doc_id, 2, 'text',
+    'c' || doc_id || 'a | c' || doc_id || 'b', '', 0
+  FROM db WHERE i4 = 1
+  UNION ALL SELECT doc_id, 3, 'text', 'c' || doc_id || 'c | ', '', 0
+  FROM db WHERE i4 = 1
+  UNION ALL SELECT doc_id, 2 + 2 * i4, 'text',
+    'tail ' || doc_id || chr(9) || 'col' || chr(10) || 'next line',
+    '', 0 FROM db
+  UNION ALL
+  SELECT doc_id, 0, 'media', '',
+    {uri} || '/logo.png', 1
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT {uri} || CASE WHEN is_logo = 1 THEN '/logo.png' ELSE '' END
+    AS doc_id,
+  CAST(off AS INT) AS "offset", kind, text, media_ref
+FROM allsp
+ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_WARC["warc_dispatch"] = q_warc_dispatch
+ORACLES_WARC["warc_dispatch"] = _sql_warc_dispatch()

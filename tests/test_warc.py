@@ -222,3 +222,79 @@ def test_fuzz_warc_sample():
     from fuzz_warc import check_seed
     for seed in range(50):
         assert check_seed(seed) == []
+
+
+# ------------------------------------------------- mime dispatch
+
+def _mixed(spark, docs):
+    from pdf_extraction_spark.operators.warc import \
+        build_mixed_warc_files
+    from pdf_extraction_spark.queries_html import _media_page_expr
+    pages = docs.select(
+        "doc_id", F.expr("COALESCE(text, '')").alias("t")) \
+        .select("doc_id", F.col("t").alias("text"),
+                F.expr(_media_page_expr("CAST(doc_id AS STRING)"))
+                 .alias("html"))
+    return build_mixed_warc_files(pages)
+
+
+def test_dispatch_routes_every_family(spark, docs):
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+    spans = warc_dispatch_spans(_mixed(spark, docs))
+    rows = {r["doc_id"]: r["spans"] for r in spans.collect()}
+    html = rows["https://host3.example/doc/3"]       # 3%3==0
+    pdf = rows["https://host1.example/doc/1"]        # 1%3==1
+    docx = rows["https://host2.example/doc/2"]       # 2%3==2
+    logo = rows["https://host5.example/doc/5/logo.png"]  # 5%5==0
+    assert any(s["kind"] == "media" and
+               s["media_ref"].startswith("img://3/") for s in html)
+    assert [s["media_ref"] for s in pdf if s["kind"] == "media"] == \
+        ["Im0"]
+    assert docx[0]["text"] == "Doc 2 title"
+    assert len(logo) == 1 and logo[0]["kind"] == "media" and \
+        logo[0]["media_ref"].endswith("/doc/5/logo.png")
+    for sp in rows.values():                  # contract invariants
+        assert [s["offset"] for s in sp] == list(range(len(sp)))
+
+
+def test_dispatch_matches_direct_family_parsers(spark, docs):
+    """Routing through the container must yield byte-identical spans
+    to running each family's parser on the payload directly."""
+    from pdf_extraction_spark.operators.docx import (build_docx_files,
+                                                     docx_to_spans)
+    from pdf_extraction_spark.operators.pdffile import (
+        build_pdf_files, files_to_spans)
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+
+    got = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in
+           warc_dispatch_spans(_mixed(spark, docs)).collect()}
+
+    pdf_docs = docs.where(F.col("doc_id") % 3 == 1)
+    for r in files_to_spans(build_pdf_files(pdf_docs)).collect():
+        n = int(r["doc_id"])
+        uri = f"https://host{n % 10}.example/doc/{n}"
+        assert got[uri] == [tuple(s) for s in r["spans"]], uri
+
+    docx_docs = docs.where(F.col("doc_id") % 3 == 2)
+    for r in docx_to_spans(build_docx_files(docx_docs)).collect():
+        n = int(r["doc_id"])
+        uri = f"https://host{n % 10}.example/doc/{n}"
+        assert got[uri] == [tuple(s) for s in r["spans"]], uri
+
+
+def test_dispatch_staged_equals_direct(spark, docs, tmp_path):
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+    key = lambda r: r["doc_id"]  # noqa: E731
+    direct = sorted(warc_dispatch_spans(_mixed(spark, docs)).collect(),
+                    key=key)
+    staged = sorted(warc_dispatch_spans(
+        _mixed(spark, docs),
+        stage_dir=str(tmp_path / "recs")).collect(), key=key)
+    assert direct == staged
+
+
+def test_dispatch_plan_no_joins(spark, docs):
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+    plan = warc_dispatch_spans(_mixed(spark, docs)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
