@@ -87,7 +87,7 @@ _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "warc_records", "warc_pages", "warc_dispatch", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
-    "docx_text", "docx_spans", "feed_parse",
+    "docx_text", "docx_spans", "pptx_text", "pptx_spans", "feed_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -98,7 +98,7 @@ _DRIVER_WINDOW_R5 = [
     # stay at 50; all twelve carry r03 driver rows and overlap tables
     # / jaccard_pairs / cosine_topk / quality_score / sections /
     # strategy / cleaning / group_summary / action_normalize)
-    "status_detect", "sections", "segmentation", "priority",
+    "sections", "segmentation",
     "font_priority", "dedup_exact",
     "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
@@ -114,7 +114,10 @@ _DRIVER_WINDOW_R5 = [
 # checkpoint_cache dropped from the r5 re-proof tail to make room for
 # warc_dispatch (new this session, never scored); it carries an r02
 # driver row (S8) and sink_metrics (r04 window) re-runs the same
-# run_incremental hash+left_anti machinery end-to-end.
+# run_incremental hash+left_anti machinery end-to-end.  status_detect
+# and priority dropped for pptx_text/pptx_spans (new, never scored):
+# both carry r03 rows, and the in-window sections/segmentation/
+# font_priority gates exercise the same status/priority column chain.
 # urgency_score / metadata_enrich / dedup_doc / action_normalize /
 # raw_sections / bbox_agg / langid / events_window dropped from the
 # r5 re-proof tail to make room for the eight round-4-session gates

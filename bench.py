@@ -253,6 +253,14 @@ def main() -> None:
     docxs.count()
     timed("k_docx", lambda: noop(docx_to_spans(docxs)))
     docxs.unpersist()
+    # PPTX deck ingestion: zip + PresentationML parse (sldIdLst/rels
+    # deck-order resolution) to contract spans, one map-only pass
+    from pdf_extraction_spark.operators.pptx import (build_pptx_files,
+                                                     pptx_to_spans)
+    pptxs = build_pptx_files(dtab).persist()
+    pptxs.count()
+    timed("k_pptx", lambda: noop(pptx_to_spans(pptxs)))
+    pptxs.unpersist()
     # mime-routed dispatch: one mixed container (html/pdf/docx
     # responses + png resources) -> unified contract spans; times the
     # whole route incl. every family parser

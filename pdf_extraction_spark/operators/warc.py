@@ -554,6 +554,8 @@ HTML_MIMES = ("text/html", "application/xhtml")
 PDF_MIME = "application/pdf"
 DOCX_MIME = ("application/vnd.openxmlformats-officedocument."
              "wordprocessingml.document")
+PPTX_MIME = ("application/vnd.openxmlformats-officedocument."
+             "presentationml.presentation")
 
 
 def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
@@ -562,8 +564,9 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
     routed by effective media type: ``text/html`` responses through
     the ``html_to_spans`` bridge, ``application/pdf`` through the
     whole-file parser chain (``pdffile.files_to_spans``),
-    WordprocessingML through the DOCX parser, and standalone image
-    ``resource`` records as single-media-span documents.  doc_id =
+    WordprocessingML / PresentationML through the office parsers,
+    and standalone image ``resource`` records as single-media-span
+    documents.  doc_id =
     WARC-Target-URI throughout (the crawl-native identity).
 
     This is the 'one segment, any payload' move a crawl-shaped corpus
@@ -575,9 +578,9 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
     mime column generalizes that file-extension dispatch to typed
     crawl records.
 
-    Shape: the html/docx/media branches are map-only (each family
-    filter fuses into its branch's scan); the pdf branch pays the
-    bounded per-doc page-reassembly exchange that files_to_spans
+    Shape: the html/docx/pptx/media branches are map-only (each
+    family filter fuses into its branch's scan); the pdf branch pays
+    the bounded per-doc page-reassembly exchange that files_to_spans
     documents.  No joins anywhere (plan-asserted in
     tests/test_plan_shapes.py).  Feed this from a LANDED records
     table (see ``warc_dispatch_spans``) so the container bytes are
@@ -601,6 +604,11 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
         resp.where(F.col("content_type") == DOCX_MIME)
             .select(F.col("target_uri").alias("doc_id"),
                     F.col("payload").alias("docx")))
+    from .pptx import pptx_to_spans
+    pptx = pptx_to_spans(
+        resp.where(F.col("content_type") == PPTX_MIME)
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").alias("pptx")))
     media = recs.where(
         (F.col("warc_type") == "resource") &
         F.col("content_type").startswith("image/")).select(
@@ -609,7 +617,8 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
             F.lit("media").alias("kind"), F.lit("").alias("text"),
             F.col("target_uri").alias("media_ref"),
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
-    return html.unionByName(pdf).unionByName(docx).unionByName(media)
+    return html.unionByName(pdf).unionByName(docx) \
+        .unionByName(pptx).unionByName(media)
 
 
 def warc_dispatch_spans(files: DataFrame,
@@ -624,7 +633,8 @@ def warc_dispatch_spans(files: DataFrame,
     (min/max + dictionary pruning on ``content_type``); without it
     the branches compose directly over ``records_from_warc`` —
     semantically identical, but each family branch re-parses the
-    container (3 scans), acceptable in tests and wrong at 100 TB."""
+    container (one scan per family), acceptable in tests and wrong
+    at 100 TB."""
     recs = records_from_warc(files, bytes_col, id_col)
     if stage_dir is not None:
         recs.write.mode("overwrite").parquet(stage_dir)
@@ -634,28 +644,32 @@ def warc_dispatch_spans(files: DataFrame,
 
 def build_one_mixed_warc(doc: int, text: str, html: str) -> bytes:
     """Mixed-payload WARC file: one 200 response whose body is
-    doc%3-selected — 0: the caller-supplied HTML page (utf-8),
+    doc%4-selected — 0: the caller-supplied HTML page (utf-8),
     1: a complete PDF file (``pdffile.build_pdf``), 2: a DOCX
-    container (``docx.build_one_docx``) — plus a PNG ``resource``
-    record on doc%5==0 and per-record gzip members on odd docs.
-    Plain Content-Length framing throughout: the transfer-coding /
-    charset / entity-gzip axes are ``build_one_warc``'s gates; this
-    builder gates the ROUTING."""
+    container (``docx.build_one_docx``), 3: a PPTX deck
+    (``pptx.build_one_pptx``) — plus a PNG ``resource`` record on
+    doc%5==0 and per-record gzip members on odd docs.  Plain
+    Content-Length framing throughout: the transfer-coding / charset
+    / entity-gzip axes are ``build_one_warc``'s gates; this builder
+    gates the ROUTING."""
     from .docx import build_one_docx
     from .pdffile import build_pdf
+    from .pptx import build_one_pptx
 
     uri = f"https://host{doc % 10}.example/doc/{doc}"
     date = f"2026-08-{1 + doc % 28:02d}T12:00:00Z"
     rid = f"<urn:uuid:{doc:032d}>"
     base = [("WARC-Date", date), ("WARC-Record-ID", rid)]
-    fam = doc % 3
+    fam = doc % 4
     if fam == 0:
         body = html.encode("utf-8")
         ctype = "text/html; charset=utf-8"
     elif fam == 1:
         body, ctype = build_pdf(doc, text), PDF_MIME
-    else:
+    elif fam == 2:
         body, ctype = build_one_docx(doc, text), DOCX_MIME
+    else:
+        body, ctype = build_one_pptx(doc, text), PPTX_MIME
     head = ["HTTP/1.1 200 OK", f"Content-Type: {ctype}",
             f"Content-Length: {len(body)}"]
     resp_msg = ("\r\n".join(head) + "\r\n\r\n").encode("ascii") + body

@@ -123,3 +123,102 @@ ORACLES_DOCX: dict[str, str] = {
     "docx_text": _SQL_TEXT,
     "docx_spans": _SQL_SPANS,
 }
+
+
+def _pptx_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pptx import build_pptx_files
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_pptx_files(d)
+
+
+def q_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX element rows in DECK order: title/body/image per slide,
+    with the sldIdLst->rels chain load-bearing (doc%4==2 decks list
+    slide 2 first, so part numbering and zip order both disagree with
+    the expected output)."""
+    from .operators.pptx import pptx_rows_from_files
+    rows = pptx_rows_from_files(_pptx_files(spark, sf_dir))
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "slide", "el_idx", "kind", "text", "media_ref") \
+        .orderBy("doc_id", "el_idx")
+
+
+_SQL_PPTX_TEXT = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 3 = 0 AS INT) AS img,
+    CAST(doc_id % 2 = 0 AS INT) AS two,
+    CAST(doc_id % 4 = 2 AS INT) AS rev
+  FROM documents),
+u AS (
+  SELECT doc_id, 1 + rev AS slide, 2 * rev + 0 AS el,
+    'title' AS kind, 'Deck ' || doc_id || ' title' AS text,
+    '' AS mr FROM b
+  UNION ALL
+  SELECT doc_id, 1 + rev, 2 * rev + 1, 'body',
+    t || ' s1p' || doc_id || ' & a <b>', '' FROM b
+  UNION ALL
+  SELECT doc_id, 1 + rev, 2 * rev + 2, 'image', '',
+    'ppt/media/image1.png' FROM b WHERE img = 1
+  UNION ALL
+  SELECT doc_id, 2 - rev,
+    CASE WHEN rev = 1 THEN 0 ELSE 2 + img END, 'body',
+    's2 ' || doc_id, '' FROM b WHERE two = 1
+  UNION ALL
+  SELECT doc_id, 2 - rev,
+    CASE WHEN rev = 1 THEN 1 ELSE 3 + img END, 'body',
+    'second half', '' FROM b WHERE two = 1)
+SELECT doc_id, CAST(slide AS INT) AS slide, CAST(el AS INT) AS el_idx,
+  kind, text, mr AS media_ref
+FROM u ORDER BY doc_id, el_idx
+"""
+
+
+def q_pptx_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract span bridge for slide decks: text spans per
+    title/body paragraph, media spans for slide images, deck-order
+    gapless offsets."""
+    from .operators.pptx import pptx_to_spans
+    spans = pptx_to_spans(_pptx_files(spark, sf_dir))
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id", F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+_SQL_PPTX_SPANS = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 3 = 0 AS INT) AS img,
+    CAST(doc_id % 2 = 0 AS INT) AS two,
+    CAST(doc_id % 4 = 2 AS INT) AS rev
+  FROM documents),
+u AS (
+  SELECT doc_id, 2 * rev + 0 AS off, 'text' AS kind,
+    'Deck ' || doc_id || ' title' AS text, '' AS mr FROM b
+  UNION ALL
+  SELECT doc_id, 2 * rev + 1, 'text',
+    t || ' s1p' || doc_id || ' & a <b>', '' FROM b
+  UNION ALL
+  SELECT doc_id, 2 * rev + 2, 'media', '', 'ppt/media/image1.png'
+  FROM b WHERE img = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN rev = 1 THEN 0 ELSE 2 + img END, 'text',
+    's2 ' || doc_id, '' FROM b WHERE two = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN rev = 1 THEN 1 ELSE 3 + img END, 'text',
+    'second half', '' FROM b WHERE two = 1)
+SELECT doc_id, CAST(off AS INT) AS "offset", kind, text,
+  mr AS media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_DOCX["pptx_text"] = q_pptx_text
+QUERIES_DOCX["pptx_spans"] = q_pptx_spans
+ORACLES_DOCX["pptx_text"] = _SQL_PPTX_TEXT
+ORACLES_DOCX["pptx_spans"] = _SQL_PPTX_SPANS

@@ -172,15 +172,15 @@ ORACLES_WARC: dict[str, str] = {
 def q_warc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload container -> mime-routed unified contract spans
     (``operators/warc.py dispatch_spans``): one WARC per document
-    whose 200 response carries doc%3-selected HTML / PDF / DOCX plus
-    doc%5 PNG resource records — the html family rides the
+    whose 200 response carries doc%4-selected HTML / PDF / DOCX /
+    PPTX plus doc%5 PNG resource records — the html family rides the
     ``html_to_spans`` bridge, the pdf family the whole-file parser
-    chain, the docx family the OOXML parser, and image resources
-    land as single-media-span documents, all keyed by target URI.
-    The oracle computes every family's spans in CLOSED FORM from the
-    same doc_id arithmetic (the html/pdffile/docx gates' own closed
-    forms, restricted to their modulus class), so the ROUTING — not
-    just each parser — is value-gated."""
+    chain, the office families the OOXML parsers, and image
+    resources land as single-media-span documents, all keyed by
+    target URI.  The oracle computes every family's spans in CLOSED
+    FORM from the same doc_id arithmetic (the html/pdffile/docx/pptx
+    gates' own closed forms, restricted to their modulus class), so
+    the ROUTING — not just each parser — is value-gated."""
     from .operators.warc import (build_mixed_warc_files,
                                  warc_dispatch_spans)
     from .queries_html import _media_page_expr
@@ -210,9 +210,14 @@ def _sql_warc_dispatch() -> str:
 
     html_pages = _GATE_PAGES.format(
         expr=_media_page_expr("CAST(doc_id AS VARCHAR)")) \
-        + " WHERE doc_id % 3 = 0"
+        + " WHERE doc_id % 4 = 0"
     uri = ("'https://host' || (doc_id % 10) || '.example/doc/' "
            "|| doc_id")
+    # family restrictions imply: docx family (doc%4==2) never has the
+    # doc%4==0 table branch (i4=0) but CAN carry the doc%3==0 inline
+    # image (i3); pptx family (doc%4==3) is always odd, so the
+    # two-slide/reversed-sldIdLst branches never fire there (covered
+    # by the dedicated pptx gates) while its doc%3 image can
     return f"""
 WITH {sql_blocks_cte(html_pages)},
 keep AS (
@@ -229,11 +234,15 @@ hsp AS (
   FROM keep),
 pb AS (
   SELECT doc_id, COALESCE(text, '') || '{PAD}' AS p
-  FROM documents WHERE doc_id % 3 = 1),
+  FROM documents WHERE doc_id % 4 = 1),
 db AS (
   SELECT doc_id, COALESCE(text, '') AS t,
-    CAST(doc_id % 4 = 0 AS INT) AS i4
-  FROM documents WHERE doc_id % 3 = 2),
+    CAST(doc_id % 3 = 0 AS INT) AS i3
+  FROM documents WHERE doc_id % 4 = 2),
+xb AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 3 = 0 AS INT) AS i3
+  FROM documents WHERE doc_id % 4 = 3),
 allsp AS (
   SELECT doc_id, u.off AS off, u.kind AS kind, u.text AS text,
          u.media_ref AS media_ref, 0 AS is_logo
@@ -250,14 +259,18 @@ allsp AS (
   FROM db
   UNION ALL SELECT doc_id, 1, 'text',
     t || ' bold' || doc_id || ' & x <y>', '', 0 FROM db
-  UNION ALL SELECT doc_id, 2, 'text',
-    'c' || doc_id || 'a | c' || doc_id || 'b', '', 0
-  FROM db WHERE i4 = 1
-  UNION ALL SELECT doc_id, 3, 'text', 'c' || doc_id || 'c | ', '', 0
-  FROM db WHERE i4 = 1
-  UNION ALL SELECT doc_id, 2 + 2 * i4, 'text',
+  UNION ALL SELECT doc_id, 2, 'media', '',
+    'word/media/image1.png', 0 FROM db WHERE i3 = 1
+  UNION ALL SELECT doc_id, 2 + i3, 'text',
     'tail ' || doc_id || chr(9) || 'col' || chr(10) || 'next line',
     '', 0 FROM db
+  UNION ALL
+  SELECT doc_id, 0, 'text', 'Deck ' || doc_id || ' title', '', 0
+  FROM xb
+  UNION ALL SELECT doc_id, 1, 'text',
+    t || ' s1p' || doc_id || ' & a <b>', '', 0 FROM xb
+  UNION ALL SELECT doc_id, 2, 'media', '',
+    'ppt/media/image1.png', 0 FROM xb WHERE i3 = 1
   UNION ALL
   SELECT doc_id, 0, 'media', '',
     {uri} || '/logo.png', 1

@@ -123,3 +123,74 @@ def test_fuzz_docx_sample():
     from fuzz_docx import check_seed
     for seed in range(50):
         assert check_seed(seed) == []
+
+
+# ------------------------------------------------------------- pptx
+
+def test_pptx_parse_variants():
+    from pdf_extraction_spark.operators.pptx import (build_one_pptx,
+                                                     parse_pptx)
+    rows = parse_pptx(build_one_pptx(0, "hello"))
+    assert [(r["slide"], r["kind"]) for r in rows] == \
+        [(1, "title"), (1, "body"), (1, "image"),
+         (2, "body"), (2, "body")]
+    assert rows[1]["text"] == "hello s1p0 & a <b>"   # entities + runs
+    assert rows[2]["media_ref"] == "ppt/media/image1.png"
+    assert rows[4]["text"] == "second half"          # two-run concat
+
+
+def test_pptx_sldidlst_order_beats_part_numbering():
+    """doc%4==2 decks list slide 2 first in sldIdLst; output must
+    follow the presentation order, not slideN.xml numbering."""
+    from pdf_extraction_spark.operators.pptx import (build_one_pptx,
+                                                     parse_pptx)
+    rows = parse_pptx(build_one_pptx(2, "x"))
+    assert rows[0] == {"slide": 1, "kind": "body", "text": "s2 2",
+                       "media_ref": ""}
+    assert rows[2]["kind"] == "title"                # slide1 second
+    assert rows[2]["slide"] == 2
+
+
+def test_pptx_damaged_and_unresolvable():
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.pptx import parse_pptx
+    assert parse_pptx(b"junk") == []
+    assert parse_pptx(b"") == []
+    # a slide with an image whose rels part is missing keeps raw rid
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/slides/slide1.xml",
+                    '<p:sld><p:cSld><p:spTree><p:pic><p:blipFill>'
+                    '<a:blip r:embed="rId3"/></p:blipFill></p:pic>'
+                    '</p:spTree></p:cSld></p:sld>')
+    rows = parse_pptx(buf.getvalue())    # numeric-name fallback order
+    assert rows == [{"slide": 1, "kind": "image", "text": "",
+                     "media_ref": "rId3"}]
+
+
+def test_pptx_spans_contract_and_plan(spark):
+    from pdf_extraction_spark.operators.pptx import (build_pptx_files,
+                                                     pptx_to_spans)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 40).select("doc_id", "text")
+    spans = pptx_to_spans(build_pptx_files(docs))
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan        # map-only, writer + bridge
+    for r in spans.collect():
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_pptx_media_part_feeds_image_sniffer():
+    """The embedded PNG the writer plants is a real container the
+    image-header sniffer can read (cross-module contract)."""
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.multimodal import sniff_image
+    from pdf_extraction_spark.operators.pptx import build_one_pptx
+    blob = build_one_pptx(6, "x")        # 6%3==0 -> image present
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    png = zf.read("ppt/media/image1.png")
+    mime, w, h, d = sniff_image(png)
+    assert (mime, w, h) == ("image/png", 40 + 6 % 12, 30 + 6 % 6)

@@ -242,15 +242,18 @@ def test_dispatch_routes_every_family(spark, docs):
     from pdf_extraction_spark.operators.warc import warc_dispatch_spans
     spans = warc_dispatch_spans(_mixed(spark, docs))
     rows = {r["doc_id"]: r["spans"] for r in spans.collect()}
-    html = rows["https://host3.example/doc/3"]       # 3%3==0
-    pdf = rows["https://host1.example/doc/1"]        # 1%3==1
-    docx = rows["https://host2.example/doc/2"]       # 2%3==2
+    html = rows["https://host4.example/doc/4"]       # 4%4==0
+    pdf = rows["https://host1.example/doc/1"]        # 1%4==1
+    docx = rows["https://host2.example/doc/2"]       # 2%4==2
+    pptx = rows["https://host3.example/doc/3"]       # 3%4==3
     logo = rows["https://host5.example/doc/5/logo.png"]  # 5%5==0
     assert any(s["kind"] == "media" and
-               s["media_ref"].startswith("img://3/") for s in html)
+               s["media_ref"].startswith("img://4/") for s in html)
     assert [s["media_ref"] for s in pdf if s["kind"] == "media"] == \
         ["Im0"]
     assert docx[0]["text"] == "Doc 2 title"
+    assert pptx[0]["text"] == "Deck 3 title"
+    assert pptx[2]["media_ref"] == "ppt/media/image1.png"  # 3%3==0
     assert len(logo) == 1 and logo[0]["kind"] == "media" and \
         logo[0]["media_ref"].endswith("/doc/5/logo.png")
     for sp in rows.values():                  # contract invariants
@@ -269,14 +272,22 @@ def test_dispatch_matches_direct_family_parsers(spark, docs):
     got = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in
            warc_dispatch_spans(_mixed(spark, docs)).collect()}
 
-    pdf_docs = docs.where(F.col("doc_id") % 3 == 1)
+    pdf_docs = docs.where(F.col("doc_id") % 4 == 1)
     for r in files_to_spans(build_pdf_files(pdf_docs)).collect():
         n = int(r["doc_id"])
         uri = f"https://host{n % 10}.example/doc/{n}"
         assert got[uri] == [tuple(s) for s in r["spans"]], uri
 
-    docx_docs = docs.where(F.col("doc_id") % 3 == 2)
+    docx_docs = docs.where(F.col("doc_id") % 4 == 2)
     for r in docx_to_spans(build_docx_files(docx_docs)).collect():
+        n = int(r["doc_id"])
+        uri = f"https://host{n % 10}.example/doc/{n}"
+        assert got[uri] == [tuple(s) for s in r["spans"]], uri
+
+    from pdf_extraction_spark.operators.pptx import (build_pptx_files,
+                                                     pptx_to_spans)
+    pptx_docs = docs.where(F.col("doc_id") % 4 == 3)
+    for r in pptx_to_spans(build_pptx_files(pptx_docs)).collect():
         n = int(r["doc_id"])
         uri = f"https://host{n % 10}.example/doc/{n}"
         assert got[uri] == [tuple(s) for s in r["spans"]], uri
