@@ -194,3 +194,13 @@ def test_pptx_media_part_feeds_image_sniffer():
     png = zf.read("ppt/media/image1.png")
     mime, w, h, d = sniff_image(png)
     assert (mime, w, h) == ("image/png", 40 + 6 % 12, 30 + 6 % 6)
+
+
+def test_fuzz_pptx_sample():
+    """50-seed sample of the by-construction campaign
+    (tools/fuzz_pptx.py — 0 mismatches across the committed ranges)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from fuzz_pptx import check_seed
+    for seed in range(50):
+        assert check_seed(seed) == []
