@@ -34,7 +34,8 @@ def main() -> None:
                          "(span-count dispatch at 500k)")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf",
-                             "pdffile", "ruled", "warc", "docx"],
+                             "pdffile", "ruled", "warc", "docx",
+                             "dispatch"],
                     help="extract = fused/salted extraction only; "
                          "pipeline = extraction + full 6-phase enrichment "
                          "(both map-only, the production chain); "
@@ -101,6 +102,14 @@ def main() -> None:
 
         def plan(d):
             return extract(docx_to_spans(d))
+    elif args.stage == "dispatch":
+        # the mixed-container capstone: mime-routed html/pdf/docx/pptx
+        # payloads -> unified contract spans -> fused extraction
+        from pdf_extraction_spark.operators.warc import \
+            warc_dispatch_spans
+
+        def plan(d):
+            return extract(warc_dispatch_spans(d))
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \
             ruled_table_rows
@@ -133,6 +142,11 @@ def main() -> None:
     elif args.stage == "docx":
         from pdf_extraction_spark.operators.docx import docx_to_spans
         n_spans = docx_to_spans(docs) \
+            .select(F.sum(F.size("spans"))).first()[0]
+    elif args.stage == "dispatch":
+        from pdf_extraction_spark.operators.warc import \
+            warc_dispatch_spans
+        n_spans = warc_dispatch_spans(docs) \
             .select(F.sum(F.size("spans"))).first()[0]
     elif args.stage == "ruled":
         from pdf_extraction_spark.operators.pdfstream import \

@@ -35,7 +35,7 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                     stage: str = "extract") -> None:
     want = {"web": "html", "pdf": "stream", "ruled": "stream",
             "pdffile": "pdf", "warc": "warc",
-            "docx": "docx"}.get(stage, "spans")
+            "docx": "docx", "dispatch": "warc"}.get(stage, "spans")
     if os.path.exists(path):
         # the cache is keyed by path only — make a stage mismatch a
         # clear error here instead of an AnalysisException mid-benchmark
@@ -102,6 +102,28 @@ def generate_corpus(path: str, n_docs: int, partitions: int = 128,
                 F.array_join(F.transform(
                     F.col("spans"), lambda sp: sp["text"]), " ")
                 .alias("text"))).write.parquet(path)
+    elif stage == "dispatch":
+        # mixed-container input: each doc one WARC whose response is
+        # the doc%4-selected html/pdf/docx/pptx payload (+ doc%5 png
+        # resources) — the corpus the mime-routed dispatch ingests
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.warc import \
+            build_mixed_warc_files
+        from pdf_extraction_spark.queries_html import _media_page_expr
+
+        num = ("CAST(regexp_extract(doc_id, '([0-9]+)', 1) "
+               "AS BIGINT)")
+        expr = _media_page_expr(num).replace("doc_id %", f"{num} %")
+        flat = docs.select(
+            "doc_id",
+            F.array_join(F.transform(
+                F.col("spans"), lambda sp: sp["text"]), " ")
+            .alias("t"))
+        build_mixed_warc_files(
+            flat.select("doc_id", F.col("t").alias("text"),
+                        F.expr(expr).alias("html"))
+        ).write.parquet(path)
     elif stage in ("pdf", "pdffile", "ruled"):
         # raw-bytes-shaped input: render the WHOLE document as a PDF
         # content stream — every text span one escaped literal line
@@ -209,7 +231,7 @@ def main() -> None:
     ap.add_argument("--plan", default="fused")
     ap.add_argument("--stage", default="extract",
                     choices=["extract", "pipeline", "web", "pdf", "warc",
-                             "docx", "pdffile", "ruled"])
+                             "docx", "dispatch", "pdffile", "ruled"])
     ap.add_argument("--data", default="/tmp/scaling_corpus")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH"))
     ap.add_argument("--runs", type=int, default=3,
