@@ -87,7 +87,8 @@ _DRIVER_WINDOW_R5 = [
     # the only never-scored names left after round 4
     "warc_records", "warc_pages", "warc_dispatch", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
-    "docx_text", "docx_spans", "pptx_text", "pptx_spans", "feed_parse",
+    "docx_text", "docx_spans", "pptx_text", "pptx_spans",
+    "xlsx_text", "xlsx_spans", "feed_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW_R5 = [
     # strategy / cleaning / group_summary / action_normalize)
     "sections", "segmentation",
     "font_priority", "dedup_exact",
-    "cosine_topk", "jaccard_pairs",
     "simhash_pairs", "minhash_dedup", "minhash_incremental", "ann_topk",
     "media_features", "tables",
     "trade_classify", "cost_estimate", "issue_grouping", "topn_urgency",
@@ -118,6 +118,9 @@ _DRIVER_WINDOW_R5 = [
 # and priority dropped for pptx_text/pptx_spans (new, never scored):
 # both carry r03 rows, and the in-window sections/segmentation/
 # font_priority gates exercise the same status/priority column chain.
+# cosine_topk and jaccard_pairs dropped for xlsx_text/xlsx_spans (new,
+# never scored): both carry r03 rows, and the in-window simhash/
+# minhash/ann gates keep the similarity family covered.
 # urgency_score / metadata_enrich / dedup_doc / action_normalize /
 # raw_sections / bbox_agg / langid / events_window dropped from the
 # r5 re-proof tail to make room for the eight round-4-session gates

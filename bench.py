@@ -261,6 +261,14 @@ def main() -> None:
     pptxs.count()
     timed("k_pptx", lambda: noop(pptx_to_spans(pptxs)))
     pptxs.unpersist()
+    # XLSX ingestion: zip + SpreadsheetML parse (shared-string
+    # indirection, workbook-order resolution) to contract spans
+    from pdf_extraction_spark.operators.xlsx import (build_xlsx_files,
+                                                     xlsx_to_spans)
+    xlsxs = build_xlsx_files(dtab).persist()
+    xlsxs.count()
+    timed("k_xlsx", lambda: noop(xlsx_to_spans(xlsxs)))
+    xlsxs.unpersist()
     # mime-routed dispatch: one mixed container (html/pdf/docx
     # responses + png resources) -> unified contract spans; times the
     # whole route incl. every family parser

@@ -556,6 +556,8 @@ DOCX_MIME = ("application/vnd.openxmlformats-officedocument."
              "wordprocessingml.document")
 PPTX_MIME = ("application/vnd.openxmlformats-officedocument."
              "presentationml.presentation")
+XLSX_MIME = ("application/vnd.openxmlformats-officedocument."
+             "spreadsheetml.sheet")
 
 
 def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
@@ -609,6 +611,11 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
         resp.where(F.col("content_type") == PPTX_MIME)
             .select(F.col("target_uri").alias("doc_id"),
                     F.col("payload").alias("pptx")))
+    from .xlsx import xlsx_to_spans
+    xlsx = xlsx_to_spans(
+        resp.where(F.col("content_type") == XLSX_MIME)
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").alias("xlsx")))
     media = recs.where(
         (F.col("warc_type") == "resource") &
         F.col("content_type").startswith("image/")).select(
@@ -618,7 +625,7 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
             F.col("target_uri").alias("media_ref"),
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
     return html.unionByName(pdf).unionByName(docx) \
-        .unionByName(pptx).unionByName(media)
+        .unionByName(pptx).unionByName(xlsx).unionByName(media)
 
 
 def warc_dispatch_spans(files: DataFrame,

@@ -222,3 +222,100 @@ QUERIES_DOCX["pptx_text"] = q_pptx_text
 QUERIES_DOCX["pptx_spans"] = q_pptx_spans
 ORACLES_DOCX["pptx_text"] = _SQL_PPTX_TEXT
 ORACLES_DOCX["pptx_spans"] = _SQL_PPTX_SPANS
+
+
+def _xlsx_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.xlsx import build_xlsx_files
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_xlsx_files(d)
+
+
+def q_xlsx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX element rows in WORKBOOK order: sheet names + ' | '-joined
+    cell rows, with shared-string indirection, rich-text <si> runs,
+    inline/formula strings, raw numerics, a value-less cell, and the
+    workbook-rels order resolution all value-gated (doc%4==2
+    workbooks list sheet 2 first with non-sequential rIds)."""
+    from .operators.xlsx import xlsx_rows_from_files
+    rows = xlsx_rows_from_files(_xlsx_files(spark, sf_dir))
+    return rows.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sheet", "el_idx", "kind", "text", "n_cells") \
+        .orderBy("doc_id", "el_idx")
+
+
+_SQL_XLSX_TEXT = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 2 = 0 AS INT) AS two,
+    CAST(doc_id % 4 = 2 AS INT) AS rev
+  FROM documents),
+u AS (
+  SELECT doc_id, 1 + rev AS sheet, 2 * rev + 0 AS el,
+    'sheet' AS kind, 'Alpha ' || doc_id AS text, 0 AS n_cells FROM b
+  UNION ALL
+  SELECT doc_id, 1 + rev, 2 * rev + 1, 'row',
+    'Doc ' || doc_id || ' head | inl ' || doc_id, 2 FROM b
+  UNION ALL
+  SELECT doc_id, 1 + rev, 2 * rev + 2, 'row',
+    CAST(10 + doc_id % 90 AS VARCHAR) || ' |  | ' || substr(t, 1, 40)
+      || ' & x <y>', 3 FROM b
+  UNION ALL
+  SELECT doc_id, 2 - rev, CASE WHEN rev = 1 THEN 0 ELSE 3 END,
+    'sheet', 'Beta', 0 FROM b WHERE two = 1
+  UNION ALL
+  SELECT doc_id, 2 - rev, CASE WHEN rev = 1 THEN 1 ELSE 4 END,
+    'row', 'mark' || doc_id || ' | f' || doc_id, 2 FROM b
+  WHERE two = 1)
+SELECT doc_id, CAST(sheet AS INT) AS sheet, CAST(el AS INT) AS el_idx,
+  kind, text, CAST(n_cells AS INT) AS n_cells
+FROM u ORDER BY doc_id, el_idx
+"""
+
+
+def q_xlsx_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract span bridge for spreadsheets: sheet names and row
+    texts as text spans in workbook order, gapless offsets."""
+    from .operators.xlsx import xlsx_to_spans
+    spans = xlsx_to_spans(_xlsx_files(spark, sf_dir))
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id", F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+_SQL_XLSX_SPANS = """
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 2 = 0 AS INT) AS two,
+    CAST(doc_id % 4 = 2 AS INT) AS rev
+  FROM documents),
+u AS (
+  SELECT doc_id, 2 * rev + 0 AS off, 'Alpha ' || doc_id AS text
+  FROM b
+  UNION ALL
+  SELECT doc_id, 2 * rev + 1,
+    'Doc ' || doc_id || ' head | inl ' || doc_id FROM b
+  UNION ALL
+  SELECT doc_id, 2 * rev + 2,
+    CAST(10 + doc_id % 90 AS VARCHAR) || ' |  | ' || substr(t, 1, 40)
+      || ' & x <y>' FROM b
+  UNION ALL
+  SELECT doc_id, CASE WHEN rev = 1 THEN 0 ELSE 3 END, 'Beta'
+  FROM b WHERE two = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN rev = 1 THEN 1 ELSE 4 END,
+    'mark' || doc_id || ' | f' || doc_id FROM b WHERE two = 1)
+SELECT doc_id, CAST(off AS INT) AS "offset", 'text' AS kind, text,
+  '' AS media_ref
+FROM u ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_DOCX["xlsx_text"] = q_xlsx_text
+QUERIES_DOCX["xlsx_spans"] = q_xlsx_spans
+ORACLES_DOCX["xlsx_text"] = _SQL_XLSX_TEXT
+ORACLES_DOCX["xlsx_spans"] = _SQL_XLSX_SPANS

@@ -204,3 +204,86 @@ def test_fuzz_pptx_sample():
     from fuzz_pptx import check_seed
     for seed in range(50):
         assert check_seed(seed) == []
+
+
+# ------------------------------------------------------------- xlsx
+
+def test_xlsx_parse_variants():
+    from pdf_extraction_spark.operators.xlsx import (build_one_xlsx,
+                                                     parse_xlsx)
+    rows = parse_xlsx(build_one_xlsx(0, "cell text payload"))
+    assert [(r["sheet"], r["kind"], r["n_cells"]) for r in rows] == \
+        [(1, "sheet", 0), (1, "row", 2), (1, "row", 3),
+         (2, "sheet", 0), (2, "row", 2)]
+    assert rows[1]["text"] == "Doc 0 head | inl 0"  # rich-si + inline
+    # raw numeric | VALUE-LESS cell -> '' | entity-decoded shared ref
+    assert rows[2]["text"] == "10 |  | cell text payload & x <y>"
+    assert rows[4]["text"] == "mark0 | f0"          # t="str" formula
+
+
+def test_xlsx_workbook_order_beats_part_numbering():
+    from pdf_extraction_spark.operators.xlsx import (build_one_xlsx,
+                                                     parse_xlsx)
+    rows = parse_xlsx(build_one_xlsx(2, "x"))
+    assert rows[0] == {"sheet": 1, "kind": "sheet", "text": "Beta",
+                       "n_cells": 0}
+    assert rows[2]["text"] == "Alpha 2"
+
+
+def test_xlsx_damaged_and_fallbacks():
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.xlsx import parse_xlsx
+    assert parse_xlsx(b"junk") == []
+    # no workbook part: numeric-name fallback order, default names;
+    # shared-string ref with no sharedStrings part -> ''
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    '<worksheet><sheetData><row r="1">'
+                    '<c r="A1" t="s"><v>0</v></c>'
+                    '<c r="B1"><v>7</v></c></row>'
+                    "</sheetData></worksheet>")
+    rows = parse_xlsx(buf.getvalue())
+    assert rows == [
+        {"sheet": 1, "kind": "sheet", "text": "Sheet1", "n_cells": 0},
+        {"sheet": 1, "kind": "row", "text": " | 7", "n_cells": 2}]
+
+
+def test_xlsx_spans_contract_and_plan(spark):
+    from pdf_extraction_spark.operators.xlsx import (build_xlsx_files,
+                                                     xlsx_to_spans)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 40).select("doc_id", "text")
+    spans = xlsx_to_spans(build_xlsx_files(docs))
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for r in spans.collect():
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_dispatch_routes_xlsx_mime(spark):
+    """An XLSX response record routes through the spreadsheet parser
+    with spans byte-identical to the direct parse."""
+    from pdf_extraction_spark.operators.warc import (
+        XLSX_MIME, dispatch_spans, records_from_warc, warc_record)
+    from pdf_extraction_spark.operators.xlsx import (build_one_xlsx,
+                                                     build_xlsx_files,
+                                                     xlsx_to_spans)
+    body = build_one_xlsx(4, "dispatch me")
+    msg = (f"HTTP/1.1 200 OK\r\nContent-Type: {XLSX_MIME}\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    blob = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/d/4"),
+         ("Content-Type", "application/http;msgtype=response")], msg)
+    files = spark.createDataFrame([("w1", bytearray(blob))],
+                                  "warc_id string, warc binary")
+    got = dispatch_spans(records_from_warc(files)).collect()
+    docs = spark.createDataFrame([(4, "dispatch me")],
+                                 "doc_id long, text string")
+    exp = xlsx_to_spans(build_xlsx_files(docs)).collect()
+    assert len(got) == 1
+    assert [tuple(s) for s in got[0]["spans"]] == \
+        [tuple(s) for s in exp[0]["spans"]]
