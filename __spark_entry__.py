@@ -88,7 +88,7 @@ _DRIVER_WINDOW_R5 = [
     "warc_records", "warc_pages", "warc_dispatch", "image_meta",
     "robots_rules", "robots_check", "sitemap_parse",
     "docx_text", "docx_spans", "pptx_text", "pptx_spans",
-    "xlsx_text", "xlsx_spans", "feed_parse",
+    "xlsx_text", "xlsx_spans", "epub_spans", "feed_parse",
     "pdf_ruled", "html_tables", "dehyphenate", "pdf_artifacts",
     "substr_dedup", "lexical_quality",
     "pdf_file_links", "pdf_file_attach", "pdf_file_annots",
@@ -108,7 +108,6 @@ _DRIVER_WINDOW_R5 = [
     "strategy", "taxonomy", "issue_link", "phase2_select",
     "phase2_houston", "phase2_confidence", "hybrid_routing",
     "causal_chains",
-    "quality_score",
     "calibration",
 ]
 # checkpoint_cache dropped from the r5 re-proof tail to make room for
@@ -120,7 +119,9 @@ _DRIVER_WINDOW_R5 = [
 # font_priority gates exercise the same status/priority column chain.
 # cosine_topk and jaccard_pairs dropped for xlsx_text/xlsx_spans (new,
 # never scored): both carry r03 rows, and the in-window simhash/
-# minhash/ann gates keep the similarity family covered.
+# minhash/ann gates keep the similarity family covered.  quality_score
+# dropped for epub_spans (new, never scored): it carries an r03 row
+# and the textstats family stays covered by its r03/r04 rows.
 # urgency_score / metadata_enrich / dedup_doc / action_normalize /
 # raw_sections / bbox_agg / langid / events_window dropped from the
 # r5 re-proof tail to make room for the eight round-4-session gates

@@ -269,6 +269,14 @@ def main() -> None:
     xlsxs.count()
     timed("k_xlsx", lambda: noop(xlsx_to_spans(xlsxs)))
     xlsxs.unpersist()
+    # EPUB ingestion: zip + container/OPF/spine resolution + the gated
+    # html block classifier per chapter + per-book reassembly
+    from pdf_extraction_spark.operators.epub import (build_epub_files,
+                                                     epub_to_spans)
+    epubs = build_epub_files(dtab).persist()
+    epubs.count()
+    timed("k_epub", lambda: noop(epub_to_spans(epubs)))
+    epubs.unpersist()
     # mime-routed dispatch: one mixed container (html/pdf/docx
     # responses + png resources) -> unified contract spans; times the
     # whole route incl. every family parser

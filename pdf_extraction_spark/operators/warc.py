@@ -558,6 +558,7 @@ PPTX_MIME = ("application/vnd.openxmlformats-officedocument."
              "presentationml.presentation")
 XLSX_MIME = ("application/vnd.openxmlformats-officedocument."
              "spreadsheetml.sheet")
+EPUB_MIME = "application/epub+zip"
 
 
 def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
@@ -616,6 +617,11 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
         resp.where(F.col("content_type") == XLSX_MIME)
             .select(F.col("target_uri").alias("doc_id"),
                     F.col("payload").alias("xlsx")))
+    from .epub import epub_to_spans
+    epub = epub_to_spans(
+        resp.where(F.col("content_type") == EPUB_MIME)
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").alias("epub")))
     media = recs.where(
         (F.col("warc_type") == "resource") &
         F.col("content_type").startswith("image/")).select(
@@ -625,7 +631,8 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
             F.col("target_uri").alias("media_ref"),
             F.lit(0).cast("int").alias("offset"))).alias("spans"))
     return html.unionByName(pdf).unionByName(docx) \
-        .unionByName(pptx).unionByName(xlsx).unionByName(media)
+        .unionByName(pptx).unionByName(xlsx).unionByName(epub) \
+        .unionByName(media)
 
 
 def warc_dispatch_spans(files: DataFrame,

@@ -319,3 +319,77 @@ QUERIES_DOCX["xlsx_text"] = q_xlsx_text
 QUERIES_DOCX["xlsx_spans"] = q_xlsx_spans
 ORACLES_DOCX["xlsx_text"] = _SQL_XLSX_TEXT
 ORACLES_DOCX["xlsx_spans"] = _SQL_XLSX_SPANS
+
+
+def _epub_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.epub import build_epub_files
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return build_epub_files(d)
+
+
+def q_epub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB -> contract spans: container.xml -> OPF -> spine
+    resolution (rotated spine with non-sequential manifest ids on
+    doc%4==2 — filename order must NOT win), each chapter through the
+    gated html block classifier, chapters concatenated in spine order
+    with globally gapless offsets."""
+    from .operators.epub import epub_to_spans
+    spans = epub_to_spans(_epub_files(spark, sf_dir))
+    e = spans.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.explode("spans").alias("s"))
+    return e.select(
+        "doc_id", F.col("s.offset").cast("int").alias("offset"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref")) \
+        .orderBy("doc_id", "offset")
+
+
+def _sql_epub_spans() -> str:
+    from .queries_html import _WS_SQL
+
+    # per-(doc, chapter) spine POSITION in closed form: rev implies
+    # doc even (c2=1); rotation puts the last chapter (3 if present,
+    # else 2) first
+    return f"""
+WITH b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    CAST(doc_id % 2 = 0 AS INT) AS c2,
+    CAST(doc_id % 3 = 0 AS INT) AS c3,
+    CAST(doc_id % 4 = 2 AS INT) AS rev
+  FROM documents),
+ch AS (
+  SELECT doc_id, t, 1 AS k,
+    CASE WHEN rev = 1 THEN 2 ELSE 1 END AS pos FROM b
+  UNION ALL
+  SELECT doc_id, t, 2,
+    CASE WHEN rev = 1 AND c3 = 1 THEN 3
+         WHEN rev = 1 THEN 1 ELSE 2 END FROM b WHERE c2 = 1
+  UNION ALL
+  SELECT doc_id, t, 3,
+    CASE WHEN rev = 1 THEN 1 ELSE 2 + c2 END FROM b WHERE c3 = 1),
+sp AS (
+  SELECT doc_id, 4 * (pos - 1) + 0 AS off, 'text' AS kind,
+    'Heading ' || k || ' of ' || doc_id
+      || ' spanning enough characters' AS text, '' AS mr FROM ch
+  UNION ALL
+  SELECT doc_id, 4 * (pos - 1) + 1, 'text',
+    trim(regexp_replace(
+      substr(t, 40 * (k - 1) + 1, 80) || ' chapter ' || k
+        || ' body of doc ' || doc_id
+        || ' with padding past the minimum',
+      '{_WS_SQL}', ' ', 'g')), '' FROM ch
+  UNION ALL
+  SELECT doc_id, 4 * (pos - 1) + 2, 'media', '',
+    'img://' || doc_id || '/' || k FROM ch
+  UNION ALL
+  SELECT doc_id, 4 * (pos - 1) + 3, 'text',
+    'Closing paragraph ' || k || ' of document ' || doc_id
+      || ' with sufficient length for the gate', '' FROM ch)
+SELECT doc_id, CAST(off AS INT) AS "offset", kind, text,
+  mr AS media_ref
+FROM sp ORDER BY doc_id, "offset"
+"""
+
+
+QUERIES_DOCX["epub_spans"] = q_epub_spans
+ORACLES_DOCX["epub_spans"] = _sql_epub_spans()

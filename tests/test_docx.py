@@ -297,3 +297,73 @@ def test_fuzz_xlsx_sample():
     from fuzz_xlsx import check_seed
     for seed in range(50):
         assert check_seed(seed) == []
+
+
+# ------------------------------------------------------------- epub
+
+def test_epub_spine_order_beats_filename_order():
+    from pdf_extraction_spark.operators.epub import (build_one_epub,
+                                                     parse_epub)
+    rows = parse_epub(build_one_epub(6, "x" * 200))
+    # 6%4==2: spine rotates last-first -> ch3, ch1, ch2
+    assert [r["path"] for r in rows] == \
+        ["OEBPS/ch3.xhtml", "OEBPS/ch1.xhtml", "OEBPS/ch2.xhtml"]
+    assert [r["chapter"] for r in rows] == [1, 2, 3]
+
+
+def test_epub_fallback_and_damage():
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.epub import parse_epub
+    assert parse_epub(b"broken") == []
+    # no container.xml: zip-order xhtml fallback; css ignored
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("b.xhtml", "<html><body><p>B</p></body></html>")
+        zf.writestr("a.xhtml", "<html><body><p>A</p></body></html>")
+        zf.writestr("s.css", "p{}")
+    rows = parse_epub(buf.getvalue())
+    assert [r["path"] for r in rows] == ["b.xhtml", "a.xhtml"]
+
+
+def test_epub_spans_reading_order_and_offsets(spark):
+    from pdf_extraction_spark.operators.epub import (build_epub_files,
+                                                     epub_to_spans)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") < 40).select("doc_id", "text")
+    spans = epub_to_spans(build_epub_files(docs))
+    rows = {r["doc_id"]: r["spans"] for r in spans.collect()}
+    six = rows["6"]                       # spine ch3, ch1, ch2
+    assert [s["offset"] for s in six] == list(range(12))
+    assert six[0]["text"].startswith("Heading 3 of 6")
+    assert six[2] == ("media", "", "img://6/3", 2)
+    assert six[4]["text"].startswith("Heading 1 of 6")
+    # media spans interleave in reading order for every book
+    for sp in rows.values():
+        offs = [s["offset"] for s in sp]
+        assert offs == list(range(len(offs)))
+        assert [s["kind"] for s in sp].count("media") == len(sp) // 4
+
+
+def test_dispatch_routes_epub_mime(spark):
+    from pdf_extraction_spark.operators.epub import (build_epub_files,
+                                                     build_one_epub,
+                                                     epub_to_spans)
+    from pdf_extraction_spark.operators.warc import (
+        EPUB_MIME, dispatch_spans, records_from_warc, warc_record)
+    body = build_one_epub(6, "dispatch epub " * 30)
+    msg = (f"HTTP/1.1 200 OK\r\nContent-Type: {EPUB_MIME}\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    blob = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/b/6"),
+         ("Content-Type", "application/http;msgtype=response")], msg)
+    files = spark.createDataFrame([("w1", bytearray(blob))],
+                                  "warc_id string, warc binary")
+    got = dispatch_spans(records_from_warc(files)).collect()
+    docs = spark.createDataFrame([(6, "dispatch epub " * 30)],
+                                 "doc_id long, text string")
+    exp = epub_to_spans(build_epub_files(docs)).collect()
+    assert len(got) == 1
+    assert [tuple(s) for s in got[0]["spans"]] == \
+        [tuple(s) for s in exp[0]["spans"]]
