@@ -367,3 +367,13 @@ def test_dispatch_routes_epub_mime(spark):
     assert len(got) == 1
     assert [tuple(s) for s in got[0]["spans"]] == \
         [tuple(s) for s in exp[0]["spans"]]
+
+
+def test_fuzz_epub_sample():
+    """50-seed sample of the by-construction campaign
+    (tools/fuzz_epub.py — 0 mismatches across the committed ranges)."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from fuzz_epub import check_seed
+    for seed in range(50):
+        assert check_seed(seed) == []
