@@ -385,7 +385,9 @@ def warc_to_pages(files: DataFrame, bytes_col: str = "warc",
     map-only: the filter fuses into the same scan stage."""
     recs = records_from_warc(files, bytes_col, id_col)
     cond = (F.col("warc_type") == "response") & \
-        F.col("content_type").isin("text/html", "application/xhtml")
+        F.col("content_type").isin(
+            "text/html", "application/xhtml",
+            "application/xhtml+xml")
     if ok_only:
         cond = cond & (F.col("http_status") == 200)
     return recs.where(cond).select(
@@ -550,7 +552,10 @@ def build_warc_files(docs: DataFrame, text_col: str = "text",
 
 # ------------------------------------------- mime-routed dispatch
 
-HTML_MIMES = ("text/html", "application/xhtml")
+# the real XHTML media type is application/xhtml+xml (RFC 3236); the
+# bare application/xhtml alias appears in older crawls, so both route
+HTML_MIMES = ("text/html", "application/xhtml",
+              "application/xhtml+xml")
 PDF_MIME = "application/pdf"
 DOCX_MIME = ("application/vnd.openxmlformats-officedocument."
              "wordprocessingml.document")

@@ -309,3 +309,22 @@ def test_dispatch_plan_no_joins(spark, docs):
     plan = warc_dispatch_spans(_mixed(spark, docs)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_xhtml_xml_mime_routes_to_pages(spark):
+    """RFC 3236 application/xhtml+xml responses must reach the page
+    bridge (it is textual-decoded either way; dropping it at the
+    routing filter silently loses every XHTML page in a crawl)."""
+    body = ("<html><body><p>" + "x" * 60 + "</p></body></html>") \
+        .encode()
+    msg = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: application/xhtml+xml; charset=utf-8\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    blob = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/x"),
+         ("Content-Type", "application/http;msgtype=response")], msg)
+    files = spark.createDataFrame([("w1", bytearray(blob))],
+                                  "warc_id string, warc binary")
+    pages = warc_to_pages(files).collect()
+    assert len(pages) == 1 and "x" * 60 in pages[0]["html"]
