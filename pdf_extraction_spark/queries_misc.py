@@ -31,8 +31,19 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 summarize_issues + A5 estimate_summary via the real
     enrich_rules code, one row per document. Count maps are emitted as
     sorted 'key:count' strings so the gate compare stays hashable.
-    Urgency/complexity inputs are integers, which keeps the per-doc
-    averages off every round() boundary (see the oracle's derivation)."""
+
+    Float discipline (round-5 rewrite): this gate went driver-RED in r02
+    AND r04 with rows/schema green but hash red, while passing the local
+    bit-exact comparator — the r02 "x100 BIGINT" fix scaled the output
+    but left `round_even(round_even(sum/count, 2) * 100, 0)` float
+    division in the oracle, whose result is DuckDB-version-sensitive.
+    The three average columns are now DEFINED as truncating integer
+    division of the exact integer sums — avg_x100 = (100*sum) div n,
+    est_avg_conf = sum div n, all operands non-negative so truncation
+    == floor on both engines — computed from the raw integer inputs in
+    Python here and as BIGINT `//` in the oracle. summarize_issues /
+    estimate_summary still run for every other column (their float
+    averages are unit-tested separately against the reference rule)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     b = (1 + F.pmod(F.floor(k / 23), F.lit(50))).cast("long")
@@ -84,16 +95,17 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "by_strategy": dct(s["by_strategy"]),
             "safety_issues": s["safety_issues"],
             "grouped_issues": s["grouped_issues"],
-            # integer-scaled: the round-2 driver hashed raw doubles and
-            # found a last-bit divergence the local atol comparator missed;
-            # v*100 of a 2-decimal double rounds to an unambiguous BIGINT
-            "avg_urgency_x100": int(round(float(s["avg_urgency"]) * 100)),
+            # gate columns defined in pure integer arithmetic (see
+            # docstring): the urg/cxf doubles are exactly integer-valued,
+            # so int() is lossless and // matches the oracle's BIGINT //
+            "avg_urgency_x100":
+                (100 * int(pdf["urg"].sum())) // len(pdf),
             "avg_complexity_x100":
-                int(round(float(s["avg_complexity"]) * 100)),
+                (100 * int(pdf["cxf"].sum())) // len(pdf),
             "est_issues": e["estimated_issues"],
             "est_low_total": e["total_estimated_low"],
             "est_high_total": e["total_estimated_high"],
-            "est_avg_conf": e["average_confidence"],
+            "est_avg_conf": int(pdf["conf"].sum()) // len(pdf),
             "est_needs_review": e["needs_review"],
         }])
 
@@ -129,8 +141,8 @@ WITH inputs AS (
     {_pick_sql(SUM_CX, 17, 3)} AS cx,
     o_orderkey % 4 = 0 AS safety,
     (o_orderkey // 5) % 3 = 0 AS grouped,
-    CAST(4 + 2 * ((o_orderkey // 19) % 4) AS DOUBLE) AS urg,
-    CAST(4 + 2 * ((o_orderkey // 29) % 4) AS DOUBLE) AS cxf,
+    CAST(4 + 2 * ((o_orderkey // 19) % 4) AS BIGINT) AS urg,
+    CAST(4 + 2 * ((o_orderkey // 29) % 4) AS BIGINT) AS cxf,
     (o_orderkey // 37) % 4 = 0 AS review,
     CAST(40 + 10 * ((o_orderkey // 31) % 6) AS BIGINT) AS conf
   FROM orders)
@@ -144,18 +156,17 @@ SELECT doc_id,
   {_dim_sql('strat', SUM_STRATS)} AS by_strategy,
   count(*) FILTER (WHERE safety) AS safety_issues,
   count(*) FILTER (WHERE grouped) AS grouped_issues,
-  -- EVEN-integer urgency/complexity: the sums are exact and even, so
-  -- avg = S/n is the same double both engines and the .xx5 rounding tie
-  -- 200S = n(2m+1) has no even-S solution for n in {30, 300, 3000};
-  -- x100 BIGINT so the driver's exact value hash can't see float repr
-  CAST(round_even(round_even(sum(urg) / count(*), 2) * 100, 0) AS BIGINT)
-    AS avg_urgency_x100,
-  CAST(round_even(round_even(sum(cxf) / count(*), 2) * 100, 0) AS BIGINT)
-    AS avg_complexity_x100,
+  -- pure BIGINT truncating division (all operands non-negative, so
+  -- // == floor == Spark's Python //): no float, no round_even, no
+  -- DuckDB-version-sensitive decimal promotion anywhere in the hash
+  (100 * CAST(sum(urg) AS BIGINT)) // count(*) AS avg_urgency_x100,
+  (100 * CAST(sum(cxf) AS BIGINT)) // count(*) AS avg_complexity_x100,
   count(*) AS est_issues,
-  sum(4 * b) AS est_low_total,
-  sum(8 * b) AS est_high_total,
-  CAST(floor(sum(conf) * 1.0 / count(*)) AS BIGINT) AS est_avg_conf,
+  -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64, a dtype
+  -- divergence vs Spark's int64 sum even when values are equal
+  CAST(sum(4 * b) AS BIGINT) AS est_low_total,
+  CAST(sum(8 * b) AS BIGINT) AS est_high_total,
+  CAST(sum(conf) AS BIGINT) // count(*) AS est_avg_conf,
   count(*) FILTER (WHERE review) AS est_needs_review
 FROM inputs GROUP BY doc_id
 """

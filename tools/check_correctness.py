@@ -52,6 +52,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
+        if EXACT and sv.dtype.kind != ov.dtype.kind:
+            # the driver's value hash is dtype-sensitive: DuckDB SUM(int)
+            # returns HUGEINT which pandas fetches as float64 while the
+            # Spark long stays int64 — equal values, red hash.  The r04
+            # reds (summaries/variance_report/verify_report) all had
+            # naked integer SUMs in their oracles; surface the class
+            # loudly so it can't ship again.
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} "
+                f"oracle={ov.dtype} (driver hash is dtype-sensitive; "
+                f"CAST integer SUMs back to BIGINT in the oracle)")
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = pd.to_numeric(sv, errors="coerce")
             ov = pd.to_numeric(ov, errors="coerce")
