@@ -39,6 +39,7 @@ are not parsed (the spine IS the reading order).
 from __future__ import annotations
 
 import io
+import posixpath
 import re
 import zipfile
 from typing import Any, Iterator
@@ -67,7 +68,18 @@ def chapter_paths(zf: "zipfile.ZipFile") -> list[str]:
             opf = zf.read(opf_path).decode("utf-8", "replace")
             base = opf_path.rsplit("/", 1)[0] + "/" \
                 if "/" in opf_path else ""
-            items = {i: (base + href.lstrip("./"), mt)
+
+            def resolve(href: str) -> str:
+                # manifest hrefs are OPF-relative (a '../text/ch1'
+                # href is routine when the OPF lives in a subdir);
+                # a leading '/' means container root.  normpath
+                # collapses '../' segments, which plain prefixing
+                # did not.
+                if href.startswith("/"):
+                    return posixpath.normpath(href.lstrip("/"))
+                return posixpath.normpath(base + href)
+
+            items = {i: (resolve(href), mt)
                      for i, href, mt in _ITEM.findall(opf)}
             order = [items[idref][0]
                      for idref in _ITEMREF.findall(opf)
@@ -123,7 +135,14 @@ def epub_chapters_from_files(files: DataFrame,
             blobs = batch.column(1).to_pylist()
             rows: list[tuple] = []
             for did, blob in zip(ids, blobs):
-                for r in parse_epub(blob or b""):
+                chapters = parse_epub(blob or b"")
+                if not chapters:
+                    # sentinel: a damaged/empty book must surface as
+                    # an empty-span document downstream, not vanish
+                    # (same contract as the docx/pptx/xlsx bridges,
+                    # which keep the row with an empty spans array)
+                    rows.append((did, 0, None, ""))
+                for r in chapters:
                     rows.append((did, r["chapter"], r["path"],
                                  r["html"]))
             cols = list(zip(*rows)) if rows else [[]] * len(fields)
@@ -158,16 +177,24 @@ def epub_to_spans(files: DataFrame, bytes_col: str = "epub",
                     F.col("chapter").cast("string")).alias("doc_id"),
         "html")
     sp = html_to_spans(keyed)
+    # explode_outer keeps zero-span chapters (including the damaged-
+    # book sentinel row) as a null-span row, so every input doc_id
+    # survives the groupBy as at least an empty spans array — the
+    # family-wide contract; the null entries are filtered out of the
+    # collected array below.  Still join-free.
     rows = sp.select(
         F.substring_index("doc_id", _SEP, 1).alias("doc_id"),
         F.substring_index("doc_id", _SEP, -1).cast("int")
         .alias("chapter"),
-        F.explode("spans").alias("s"))
+        F.explode_outer("spans").alias("s"))
     # lexicographic struct sort: (chapter, in-chapter offset) first
-    arr = F.array_sort(F.collect_list(F.struct(
-        F.col("chapter"), F.col("s.offset").alias("o"),
-        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"))))
+    arr = F.filter(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("chapter"), F.col("s.offset").alias("o"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref")))),
+        lambda x: x["kind"].isNotNull())
     spans = F.transform(
         arr,
         lambda x, i: F.struct(

@@ -37,6 +37,7 @@ sldIdLst falls back to numeric slide-name order; unresolvable
 from __future__ import annotations
 
 import io
+import posixpath
 import re
 import zipfile
 from typing import Any, Iterator
@@ -62,7 +63,11 @@ def _slide_order(zf: "zipfile.ZipFile") -> list[str]:
                                                       "replace")
         rx = zf.read("ppt/_rels/presentation.xml.rels") \
             .decode("utf-8", "replace")
-        rels = {rid: "ppt/" + target.lstrip("/")
+        # presentation rels targets resolve against ppt/ (the part's
+        # directory); leading '/' means package root
+        rels = {rid: posixpath.normpath(
+                    target.lstrip("/") if target.startswith("/")
+                    else "ppt/" + target)
                 for rid, target in _REL.findall(rx)}
         order = [rels[rid] for rid in _SLD_ID.findall(pres)
                  if rid in rels]
@@ -97,9 +102,18 @@ def parse_pptx(data: bytes) -> list[dict[str, Any]]:
             rx = zf.read(f"{base[0]}/_rels/{base[1]}.rels") \
                 .decode("utf-8", "replace")
             for rid, target in _REL.findall(rx):
-                # slide rels targets are slide-relative (../media/x)
-                rels[rid] = "ppt/" + target.lstrip("/").lstrip("./") \
-                    .replace("../", "")
+                # rels targets resolve against the slide part's own
+                # directory (ECMA-376 part-relative); a leading '/'
+                # means package root.  posixpath.normpath handles the
+                # usual '../media/x' as well as plain-relative
+                # 'media/x' (-> ppt/slides/media/x) and absolute
+                # '/ppt/media/x' correctly, where string stripping
+                # did not.
+                if target.startswith("/"):
+                    rels[rid] = posixpath.normpath(target.lstrip("/"))
+                else:
+                    rels[rid] = posixpath.normpath(
+                        f"{base[0]}/{target}")
         except KeyError:
             pass
         for shape in _SHAPE.finditer(xml):

@@ -566,7 +566,73 @@ XLSX_MIME = ("application/vnd.openxmlformats-officedocument."
 EPUB_MIME = "application/epub+zip"
 
 
-def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
+def dedupe_captures(recs: DataFrame) -> DataFrame:
+    """Latest capture per (target_uri, warc_type) wins.  Revisits and
+    re-crawls are routine in crawl segments — a segment can carry two
+    response records for one URI — and since dispatch keys documents by
+    target URI, distinct captures of one URI would otherwise collide:
+    the pdf/epub branches groupBy doc_id and would interleave pages from
+    different captures into one corrupted span array, and the flat
+    families would emit duplicate doc_id rows.  Winner = max
+    (WARC-Date, warc_id, rec_idx) lexicographically, so the newest
+    capture is kept with a total deterministic tie-break.
+
+    warc_type is part of the key because request records carry the
+    same WARC-Target-URI as their response — deduping on URI alone
+    could keep the request and drop the payload.
+
+    Shape at 100 TB: one shuffle on target_uri with map-side partial
+    ``max_by`` combine — duplicate captures collapse inside each map
+    task before the exchange, so the shuffle carries ~one row per
+    distinct (uri, type) per task, not the duplicate payloads."""
+    cols = [c for c in recs.columns
+            if c not in ("target_uri", "warc_type")]
+    ordk = F.struct(
+        F.coalesce(F.col("warc_date"), F.lit("")).alias("d"),
+        F.col("warc_id").alias("w"), F.col("rec_idx").alias("i"))
+    return (recs.where(F.col("target_uri").isNotNull())
+            .groupBy("target_uri", "warc_type")
+            .agg(F.max_by(F.struct(*cols), ordk).alias("_w"))
+            .select("target_uri", "warc_type", "_w.*"))
+
+
+def _media_span_docs(media_recs: DataFrame,
+                     sniff: bool = True) -> DataFrame:
+    """Standalone image ``resource`` records -> single-media-span
+    documents.  With ``sniff`` the span's ``text`` carries the typed
+    header metadata ('<mime> <width>x<height>', e.g. 'image/png
+    16x9') sniffed from the container bytes by
+    ``multimodal.sniff_image`` — PNG/JPEG/GIF/BMP/WebP, header bytes
+    only, one map-only Arrow pass, no codec library — so dispatch
+    output preserves image dimensions without a decode stage."""
+    sel = media_recs.select(F.col("target_uri").alias("doc_id"),
+                            F.col("payload"))
+    if sniff:
+        from .multimodal import image_header_meta
+        meta = image_header_meta(sel, bytes_col="payload",
+                                 ref_col="doc_id")
+        sel = meta.select(
+            F.col("media_ref").alias("doc_id"),
+            F.when(F.col("mime").isNull(), F.lit(""))
+            .when(F.col("width").isNull(), F.col("mime"))
+            .otherwise(F.concat_ws(
+                " ", F.col("mime"),
+                F.concat_ws("x", F.col("width"), F.col("height"))))
+            .alias("_meta"))
+    else:
+        sel = sel.select("doc_id", F.lit("").alias("_meta"))
+    return sel.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("media").alias("kind"),
+            F.col("_meta").alias("text"),
+            F.col("doc_id").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+
+
+def dispatch_spans(recs: DataFrame, ok_only: bool = True,
+                   dedupe: bool = True,
+                   sniff_media: bool = True) -> DataFrame:
     """Typed WARC record rows -> ONE unified contract span table
     ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``,
     routed by effective media type: ``text/html`` responses through
@@ -586,17 +652,21 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
     mime column generalizes that file-extension dispatch to typed
     crawl records.
 
-    Shape: the html/docx/pptx/media branches are map-only (each
-    family filter fuses into its branch's scan); the pdf branch pays
-    the bounded per-doc page-reassembly exchange that files_to_spans
-    documents.  No joins anywhere (plan-asserted in
-    tests/test_plan_shapes.py).  Feed this from a LANDED records
-    table (see ``warc_dispatch_spans``) so the container bytes are
-    parsed once, not once per family branch."""
+    Shape: with ``dedupe`` (default) the record rows pay ONE shuffle —
+    the latest-capture-per-URI ``dedupe_captures`` aggregation, which
+    crawl semantics require (see its docstring) — after which the
+    html/docx/pptx/xlsx/media branches are map-only; the pdf/epub
+    branches pay their documented bounded per-doc reassembly
+    exchanges.  No joins anywhere (plan-asserted in
+    tests/test_warc.py).  Feed this from a LANDED records table
+    (``warc_dispatch_spans`` lands automatically) so the container
+    bytes are parsed once, not once per family branch."""
     from .docx import docx_to_spans
     from .html import html_to_spans
     from .pdffile import files_to_spans
 
+    if dedupe:
+        recs = dedupe_captures(recs)
     resp = recs.where(F.col("warc_type") == "response")
     if ok_only:
         resp = resp.where(F.col("http_status") == 200)
@@ -627,14 +697,10 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True) -> DataFrame:
         resp.where(F.col("content_type") == EPUB_MIME)
             .select(F.col("target_uri").alias("doc_id"),
                     F.col("payload").alias("epub")))
-    media = recs.where(
-        (F.col("warc_type") == "resource") &
-        F.col("content_type").startswith("image/")).select(
-        F.col("target_uri").alias("doc_id"),
-        F.array(F.struct(
-            F.lit("media").alias("kind"), F.lit("").alias("text"),
-            F.col("target_uri").alias("media_ref"),
-            F.lit(0).cast("int").alias("offset"))).alias("spans"))
+    media = _media_span_docs(
+        recs.where((F.col("warc_type") == "resource") &
+                   F.col("content_type").startswith("image/")),
+        sniff=sniff_media)
     return html.unionByName(pdf).unionByName(docx) \
         .unionByName(pptx).unionByName(xlsx).unionByName(epub) \
         .unionByName(media)
@@ -644,21 +710,32 @@ def warc_dispatch_spans(files: DataFrame,
                         stage_dir: str | None = None,
                         bytes_col: str = "warc",
                         id_col: str = "warc_id",
-                        ok_only: bool = True) -> DataFrame:
+                        ok_only: bool = True,
+                        land: bool = True,
+                        dedupe: bool = True,
+                        sniff_media: bool = True) -> DataFrame:
     """WARC container files -> unified contract spans across ALL
-    payload types.  With ``stage_dir`` the typed records land as
-    parquet first — ONE parse of the container bytes, and each family
-    branch then reads only its rows/columns from the landed table
-    (min/max + dictionary pruning on ``content_type``); without it
-    the branches compose directly over ``records_from_warc`` —
-    semantically identical, but each family branch re-parses the
-    container (one scan per family), acceptable in tests and wrong
-    at 100 TB."""
+    payload types.  The container bytes are parsed ONCE by default:
+    with ``stage_dir`` the typed records land as parquet (each family
+    branch then reads only its rows/columns from the landed table,
+    min/max + dictionary pruning on ``content_type``); otherwise the
+    records are eagerly ``localCheckpoint``-ed — materialized in
+    executor storage at call time, so the seven family branches scan
+    the checkpointed rows instead of re-running the container parse
+    once per family (the r04 bench measured that re-parse shape at
+    ~10x the single-parse cost).  ``land=False`` restores the
+    recompute-per-branch composition for plan-shape tests only —
+    semantically identical, wrong at 100 TB.  For production runs
+    prefer ``stage_dir`` (durable parquet, survives executor loss;
+    localCheckpoint storage does not)."""
     recs = records_from_warc(files, bytes_col, id_col)
     if stage_dir is not None:
         recs.write.mode("overwrite").parquet(stage_dir)
         recs = files.sparkSession.read.parquet(stage_dir)
-    return dispatch_spans(recs, ok_only=ok_only)
+    elif land:
+        recs = recs.localCheckpoint(eager=True)
+    return dispatch_spans(recs, ok_only=ok_only, dedupe=dedupe,
+                          sniff_media=sniff_media)
 
 
 def build_one_mixed_warc(doc: int, text: str, html: str) -> bytes:

@@ -176,8 +176,11 @@ def q_warc_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPTX plus doc%5 PNG resource records — the html family rides the
     ``html_to_spans`` bridge, the pdf family the whole-file parser
     chain, the office families the OOXML parsers, and image
-    resources land as single-media-span documents, all keyed by
-    target URI.  The oracle computes every family's spans in CLOSED
+    resources land as single-media-span documents whose span text
+    carries the header-sniffed '<mime> <w>x<h>' metadata
+    (``multimodal.sniff_image``), all keyed by target URI after the
+    latest-capture-per-URI dedupe.  The oracle computes every
+    family's spans in CLOSED
     FORM from the same doc_id arithmetic (the html/pdffile/docx/pptx
     gates' own closed forms, restricted to their modulus class), so
     the ROUTING — not just each parser — is value-gated."""
@@ -272,7 +275,8 @@ allsp AS (
   UNION ALL SELECT doc_id, 2, 'media', '',
     'ppt/media/image1.png', 0 FROM xb WHERE i3 = 1
   UNION ALL
-  SELECT doc_id, 0, 'media', '',
+  SELECT doc_id, 0, 'media',
+    'image/png ' || (16 + doc_id % 8) || 'x' || (9 + doc_id % 5),
     {uri} || '/logo.png', 1
   FROM documents WHERE doc_id % 5 = 0)
 SELECT {uri} || CASE WHEN is_logo = 1 THEN '/logo.png' ELSE '' END

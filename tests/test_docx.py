@@ -377,3 +377,85 @@ def test_fuzz_epub_sample():
     from fuzz_epub import check_seed
     for seed in range(50):
         assert check_seed(seed) == []
+
+
+def test_pptx_rel_target_resolution_variants():
+    """Rels targets resolve against the slide part's directory:
+    '../media/x' -> ppt/media/x, plain-relative 'media/x' ->
+    ppt/slides/media/x, absolute '/ppt/media/x' -> ppt/media/x
+    (string-stripping used to mangle the last two)."""
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.pptx import parse_pptx
+
+    def deck(target: str) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("ppt/slides/slide1.xml",
+                        '<p:sld><p:cSld><p:spTree><p:pic>'
+                        '<p:blipFill><a:blip r:embed="rId1"/>'
+                        '</p:blipFill></p:pic>'
+                        '</p:spTree></p:cSld></p:sld>')
+            zf.writestr("ppt/slides/_rels/slide1.xml.rels",
+                        '<Relationships><Relationship Id="rId1" '
+                        f'Target="{target}"/></Relationships>')
+        return buf.getvalue()
+
+    for target, want in [
+            ("../media/image1.png", "ppt/media/image1.png"),
+            ("media/image1.png", "ppt/slides/media/image1.png"),
+            ("/ppt/media/image1.png", "ppt/media/image1.png")]:
+        rows = parse_pptx(deck(target))
+        assert rows == [{"slide": 1, "kind": "image", "text": "",
+                         "media_ref": want}], target
+
+
+def test_epub_opf_relative_href_normalization():
+    """Manifest hrefs with '../' (OPF in a subdirectory) and with a
+    leading '/' (container root) must resolve to real zip members
+    instead of being silently skipped."""
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.epub import parse_epub
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("META-INF/container.xml",
+                    '<container><rootfiles><rootfile '
+                    'full-path="OEBPS/content.opf"/>'
+                    '</rootfiles></container>')
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<package><manifest>'
+            '<item id="c1" href="../text/ch1.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            '<item id="c2" href="/text/ch2.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            '</manifest><spine>'
+            '<itemref idref="c1"/><itemref idref="c2"/>'
+            '</spine></package>')
+        zf.writestr("text/ch1.xhtml",
+                    "<html><body><p>one</p></body></html>")
+        zf.writestr("text/ch2.xhtml",
+                    "<html><body><p>two</p></body></html>")
+    rows = parse_epub(buf.getvalue())
+    assert [r["path"] for r in rows] == \
+        ["text/ch1.xhtml", "text/ch2.xhtml"]
+    assert [r["chapter"] for r in rows] == [1, 2]
+
+
+def test_epub_damaged_book_surfaces_as_empty_spans(spark):
+    """A damaged EPUB must surface as an empty-span document row —
+    the same contract as the docx/pptx/xlsx bridges — not silently
+    vanish from the output."""
+    from pdf_extraction_spark.operators.epub import (build_one_epub,
+                                                     epub_to_spans)
+    files = spark.createDataFrame(
+        [("good", bytearray(build_one_epub(1, "hello " * 40))),
+         ("bad", bytearray(b"not a zip at all"))],
+        "doc_id string, epub binary")
+    rows = {r["doc_id"]: r["spans"] for r in
+            epub_to_spans(files).collect()}
+    assert set(rows) == {"good", "bad"}
+    assert rows["bad"] == []
+    assert len(rows["good"]) > 0

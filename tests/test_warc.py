@@ -328,3 +328,99 @@ def test_xhtml_xml_mime_routes_to_pages(spark):
                                   "warc_id string, warc binary")
     pages = warc_to_pages(files).collect()
     assert len(pages) == 1 and "x" * 60 in pages[0]["html"]
+
+
+def test_dispatch_dedupes_revisit_captures(spark):
+    """Two response captures of one URI (revisits are routine in
+    crawl segments) must not collide into one corrupted document:
+    the latest capture by (WARC-Date, warc_id, rec_idx) wins."""
+    from pdf_extraction_spark.operators.warc import (dispatch_spans,
+                                                     records_from_warc,
+                                                     warc_record)
+
+    def resp(date: str, text: str) -> bytes:
+        body = f"<html><body><p>{text} {'x' * 60}</p></body>" \
+            "</html>".encode()
+        msg = (b"HTTP/1.1 200 OK\r\n"
+               b"Content-Type: text/html; charset=utf-8\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(body)) + body
+        return warc_record(
+            "response",
+            [("WARC-Target-URI", "https://h.example/page"),
+             ("WARC-Date", date),
+             ("Content-Type", "application/http;msgtype=response")],
+            msg)
+
+    blob = resp("2026-01-01T00:00:00Z", "OLD") + \
+        resp("2026-06-01T00:00:00Z", "NEW")
+    files = spark.createDataFrame([("w1", bytearray(blob))],
+                                  "warc_id string, warc binary")
+    rows = dispatch_spans(records_from_warc(files)).collect()
+    assert len(rows) == 1
+    texts = " ".join(s["text"] for s in rows[0]["spans"])
+    assert "NEW" in texts and "OLD" not in texts
+    # and with dedupe off the collision is visible (two rows)
+    rows2 = dispatch_spans(records_from_warc(files),
+                           dedupe=False).collect()
+    assert len(rows2) == 2
+
+
+def test_dispatch_dedupe_keeps_request_response_distinct(spark):
+    """Request records share WARC-Target-URI with their response;
+    deduping on URI alone could keep the request and drop the
+    payload — warc_type is part of the dedupe key."""
+    from pdf_extraction_spark.operators.warc import (dispatch_spans,
+                                                     records_from_warc,
+                                                     warc_record)
+    body = b"<html><body><p>" + b"y" * 60 + b"</p></body></html>"
+    msg = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/html; charset=utf-8\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    req = warc_record(
+        "request",
+        [("WARC-Target-URI", "https://h.example/p"),
+         ("WARC-Date", "2026-06-01T00:00:00Z"),
+         ("Content-Type", "application/http;msgtype=request")],
+        b"GET /p HTTP/1.1\r\nHost: h.example\r\n\r\n")
+    rsp = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/p"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("Content-Type", "application/http;msgtype=response")],
+        msg)
+    files = spark.createDataFrame([("w1", bytearray(rsp + req))],
+                                  "warc_id string, warc binary")
+    rows = dispatch_spans(records_from_warc(files)).collect()
+    assert len(rows) == 1 and \
+        "y" * 60 in rows[0]["spans"][0]["text"]
+
+
+def test_dispatch_media_spans_carry_sniffed_meta(spark, docs):
+    """Standalone image resources surface header-sniffed
+    '<mime> <w>x<h>' metadata in the media span's text (doc 5's
+    logo is synth_png(16+5%8, 9+5%5) = 21x9)."""
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+    rows = {r["doc_id"]: r["spans"] for r in
+            warc_dispatch_spans(_mixed(spark, docs)).collect()}
+    logo = rows["https://host5.example/doc/5/logo.png"]
+    assert logo[0]["kind"] == "media"
+    assert logo[0]["text"] == "image/png 21x9"
+
+
+def test_dispatch_lands_records_once_by_default(spark, docs):
+    """By default the container parse is materialized once
+    (localCheckpoint) before the family branches fan out — the
+    original files scan must not appear once per family in the
+    executed plan.  land=False restores the recompute shape (and
+    must stay value-identical)."""
+    from pdf_extraction_spark.operators.warc import warc_dispatch_spans
+    mixed = _mixed(spark, docs)
+    landed = warc_dispatch_spans(mixed)
+    plan = landed._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    direct = warc_dispatch_spans(mixed, land=False)
+    plan2 = direct._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInArrow") > plan.count("MapInArrow")
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(landed.collect(), key=key) == \
+        sorted(direct.collect(), key=key)

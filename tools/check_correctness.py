@@ -17,10 +17,14 @@ from __future__ import annotations
 
 import sys
 import time
+import warnings
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+# pandas fillna-downcasting chatter drowns the per-query verdict lines
+warnings.filterwarnings("ignore", category=FutureWarning)
 
 sys.path.insert(0, ".")
 
