@@ -513,20 +513,29 @@ def r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 
 # ------------------------------------------------------- object parser
 
+_DELIM_WS = _DELIM + _WS  # int-in-bytes membership for token ends
+
+
 def _skip_ws(data: bytes, i: int) -> int:
+    # hot path (called once per token): int indexing + int-in-bytes
+    # membership, no per-character slice allocation
     n = len(data)
     while i < n:
-        c = data[i:i + 1]
-        if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+        c = data[i]
+        if c in _WS:
             i += 1
-        elif c == b"%":  # comment to EOL (§7.2.4)
+        elif c == 0x25:  # '%' comment to EOL (§7.2.4)
             j = data.find(b"\n", i)
             k = data.find(b"\r", i)
-            end = min(x for x in (j, k, len(data)) if x >= 0)
+            end = min(x for x in (j, k, n) if x >= 0)
             i = end
         else:
             break
     return i
+
+
+_ESC_TABLE = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+              b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
 def _scan_literal(data: bytes, i: int) -> tuple[bytes, int]:
@@ -543,10 +552,8 @@ def _scan_literal(data: bytes, i: int) -> tuple[bytes, int]:
             if i >= n:
                 break
             e = data[i:i + 1]
-            table = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
-                     b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
-            if e in table:
-                out += table[e]
+            if e in _ESC_TABLE:
+                out += _ESC_TABLE[e]
                 i += 1
             elif e.isdigit() and e < b"8":
                 m = re.match(rb"[0-7]{1,3}", data[i:i + 3])
@@ -579,16 +586,64 @@ def parse_object(data: bytes, i: int) -> tuple[Any, int]:
     Returns (object, index past it).  Dict values / array elements that
     look like ``N G R`` become :class:`Ref`."""
     i = _skip_ws(data, i)
-    c = data[i:i + 1]
-    if c == b"<":
-        if data[i:i + 2] == b"<<":
+    n = len(data)
+    if i >= n:
+        raise ValueError(f"unparsable object at byte {i}")
+    # int dispatch ordered by token frequency (names and numbers
+    # dominate real dictionaries), no per-token slice allocation
+    c = data[i]
+    if c == 0x2F:  # '/'
+        j = i + 1
+        while j < n and data[j] not in _DELIM_WS:
+            j += 1
+        raw = data[i + 1:j]
+        if 0x23 in raw:  # '#' escapes are rare; skip the regex if none
+            raw = _NAME_ESC_RE.sub(
+                lambda m: bytes([int(m.group(1), 16)]), raw)
+        return Name(raw.decode("latin-1")), j
+    if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
+        m = _NUM_RE.match(data, i)
+        tok = m.group(0)
+        j = m.end()
+        if b"." not in tok:
+            # ``N G R`` lookahead for an indirect reference (digit
+            # guard skips the second regex when the next token can't
+            # be a generation number)
+            k = _skip_ws(data, j)
+            if k < n and 0x30 <= data[k] <= 0x39:
+                m2 = _NUM_RE.match(data, k)
+                if b"." not in m2.group(0):
+                    k2 = _skip_ws(data, m2.end())
+                    if data[k2:k2 + 1] == b"R" and (
+                            k2 + 1 >= n
+                            or data[k2 + 1] in _DELIM_WS):
+                        return (Ref(int(tok), int(m2.group(0))),
+                                k2 + 1)
+            return int(tok), j
+        return float(tok), j
+    if c == 0x3C:  # '<'
+        if data[i + 1:i + 2] == b"<":
             d: dict = {}
             i += 2
             while True:
                 i = _skip_ws(data, i)
-                if data[i:i + 2] == b">>":
+                if i < n and data[i] == 0x2F:
+                    # fast path: dict keys are names — inline the
+                    # name scan instead of a recursive dispatch
+                    j = i + 1
+                    while j < n and data[j] not in _DELIM_WS:
+                        j += 1
+                    raw = data[i + 1:j]
+                    if 0x23 in raw:
+                        raw = _NAME_ESC_RE.sub(
+                            lambda m: bytes([int(m.group(1), 16)]),
+                            raw)
+                    key = Name(raw.decode("latin-1"))
+                    i = j
+                elif data[i:i + 2] == b">>":
                     return d, i + 2
-                key, i = parse_object(data, i)
+                else:
+                    key, i = parse_object(data, i)
                 val, i = parse_object(data, i)
                 d[key] = val
         j = data.index(b">", i)
@@ -596,50 +651,24 @@ def parse_object(data: bytes, i: int) -> tuple[Any, int]:
         if len(h) % 2:
             h += b"0"
         return bytes.fromhex(h.decode("ascii")), j + 1
-    if c == b"[":
+    if c == 0x5B:  # '['
         arr: list = []
+        append = arr.append
         i += 1
         while True:
             i = _skip_ws(data, i)
             if data[i:i + 1] == b"]":
                 return arr, i + 1
             v, i = parse_object(data, i)
-            arr.append(v)
-    if c == b"(":
+            append(v)
+    if c == 0x28:  # '('
         s, i = _scan_literal(data, i)
         return s.decode("latin-1"), i
-    if c == b"/":
-        j = i + 1
-        n = len(data)
-        while j < n and data[j:j + 1] not in _DELIM \
-                and data[j] not in _WS:
-            j += 1
-        raw = data[i + 1:j]
-        raw = _NAME_ESC_RE.sub(
-            lambda m: bytes([int(m.group(1), 16)]), raw)
-        return Name(raw.decode("latin-1")), j
-    m = _NUM_RE.match(data, i)
-    if m:
-        tok = m.group(0)
-        j = m.end()
-        if b"." not in tok:
-            # ``N G R`` lookahead for an indirect reference
-            k = _skip_ws(data, j)
-            m2 = _NUM_RE.match(data, k)
-            if m2 and b"." not in m2.group(0):
-                k2 = _skip_ws(data, m2.end())
-                if data[k2:k2 + 1] == b"R" and (
-                        k2 + 1 >= len(data)
-                        or data[k2 + 1] in _WS
-                        or data[k2 + 1:k2 + 2] in _DELIM):
-                    return Ref(int(tok), int(m2.group(0))), k2 + 1
-            return int(tok), j
-        return float(tok), j
-    if data[i:i + 4] == b"true":
+    if c == 0x74 and data[i:i + 4] == b"true":
         return True, i + 4
-    if data[i:i + 5] == b"false":
+    if c == 0x66 and data[i:i + 5] == b"false":
         return False, i + 5
-    if data[i:i + 4] == b"null":
+    if c == 0x6E and data[i:i + 4] == b"null":
         return None, i + 4
     raise ValueError(f"unparsable object at byte {i}")
 
@@ -691,6 +720,7 @@ class PdfFile:
         self.xref_kind = ""  # 'table' | 'stream' (newest section) | 'rebuilt'
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._pages_memo: list[dict] | None = None
         self._file_key: bytes | None = None
         self._cipher = "rc4"
         try:
@@ -973,10 +1003,17 @@ class PdfFile:
 
     def pages(self) -> list[dict]:
         """DFS over the page tree with §7.7.3.4 attribute inheritance;
-        returns one merged dict per leaf page in document order."""
+        returns one merged dict per leaf page in document order.
+        Memoized per instance (page_texts / page_font_maps /
+        page_forms / outlines each need the leaf list; the tree walk
+        and its ``get`` chain run once).  Callers treat the returned
+        list as read-only."""
+        if self._pages_memo is not None:
+            return self._pages_memo
         root = self.get(self.trailer.get("Root"))
         if not isinstance(root, dict):
-            return []  # unrecoverable input: zero pages, not a crash
+            self._pages_memo = []
+            return self._pages_memo  # unrecoverable: zero pages, not a crash
         out: list[dict] = []
         visiting: set[int] = set()  # cycle guard: a malformed tree
         # with a /Kids loop must terminate, not hang the executor
@@ -1002,6 +1039,7 @@ class PdfFile:
                 walk(kid, inh)
 
         walk(root.get("Pages"), {})
+        self._pages_memo = out
         return out
 
     def page_streams(self) -> list[tuple[list[str], bytes]]:
