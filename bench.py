@@ -89,10 +89,20 @@ def main() -> None:
     # ------------------------------------------------------------------
     # operator kernels straight on the SF-dir tables
     # ------------------------------------------------------------------
+    # The sf-dir parquet files are single-row-group (one scan
+    # partition), which would time every map-side kernel on ONE core —
+    # an artifact of the tiny test files, not of the operators: at
+    # production scale the input arrives as thousands of splits.
+    # Repartition the persisted kernel corpora to the session's
+    # parallelism OUTSIDE the timed regions so the kernels measure the
+    # operator, not the test-file layout.
+    cpus = spark.sparkContext.defaultParallelism
     dtab = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text").persist()
+        F.col("doc_id").cast("string").alias("doc_id"), "text") \
+        .repartition(cpus).persist()
     n_dtab = dtab.count()
-    etab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    etab = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(cpus).persist()
     etab.count()
     dim = len(etab.select("embedding").head()[0])
     qvec = [float(x) for x in etab.select("embedding").head()[0]]
@@ -164,24 +174,24 @@ def main() -> None:
     timed("k_pack_shards", lambda: noop(pack_shards(dtab, 2000)))
     from pdf_extraction_spark.operators.layout import spans_from_runs
     from pdf_extraction_spark.queries_layout import _runs_media_corpus
-    runs = _runs_media_corpus(spark, sf_dir).persist()
+    runs = _runs_media_corpus(spark, sf_dir).repartition(cpus).persist()
     n_runs = runs.count()
     timed("k_layout_spans", lambda: noop(spans_from_runs(runs)))
     from pdf_extraction_spark.operators.html import extract_main_content
     from pdf_extraction_spark.queries_html import _spark_pages
-    pages = _spark_pages(spark, sf_dir).persist()
+    pages = _spark_pages(spark, sf_dir).repartition(cpus).persist()
     pages.count()
     timed("k_html_main", lambda: noop(extract_main_content(pages)))
     from pdf_extraction_spark.operators.links import (host_stats,
                                                       link_table)
     from pdf_extraction_spark.queries_links import _pages_spark
-    lpages = _pages_spark(spark, sf_dir).persist()
+    lpages = _pages_spark(spark, sf_dir).repartition(cpus).persist()
     lpages.count()
     timed("k_html_links", lambda: noop(
         host_stats(link_table(lpages, carry=("page_host",)))))
     from pdf_extraction_spark.operators.pdfstream import pdf_to_spans
     from pdf_extraction_spark.queries_pdf import _pdf_streams
-    streams = _pdf_streams(spark, sf_dir).persist()
+    streams = _pdf_streams(spark, sf_dir).repartition(cpus).persist()
     streams.count()
     timed("k_pdf_spans", lambda: noop(pdf_to_spans(streams)))
     streams.unpersist()
@@ -200,9 +210,11 @@ def main() -> None:
     rstreams.count()
     timed("k_pdf_ruled", lambda: noop(ruled_table_rows(rstreams)))
     rstreams.unpersist()
-    from pdf_extraction_spark.operators.pdffile import files_to_spans
-    from pdf_extraction_spark.queries_pdffile import _pdf_files
-    pdfs = _pdf_files(spark, sf_dir).persist()
+    from pdf_extraction_spark.operators.pdffile import (build_pdf_files,
+                                                        files_to_spans)
+    # build from the repartitioned dtab (not the 1-split parquet) so
+    # the parse kernel runs at session parallelism
+    pdfs = build_pdf_files(dtab).persist()
     pdfs.count()
     timed("k_pdf_files", lambda: noop(files_to_spans(pdfs)))
     pdfs.unpersist()
