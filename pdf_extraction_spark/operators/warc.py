@@ -566,7 +566,8 @@ XLSX_MIME = ("application/vnd.openxmlformats-officedocument."
 EPUB_MIME = "application/epub+zip"
 
 
-def dedupe_captures(recs: DataFrame) -> DataFrame:
+def dedupe_captures(recs: DataFrame,
+                    strategy: str = "shuffle") -> DataFrame:
     """Latest capture per (target_uri, warc_type) wins.  Revisits and
     re-crawls are routine in crawl segments — a segment can carry two
     response records for one URI — and since dispatch keys documents by
@@ -581,19 +582,50 @@ def dedupe_captures(recs: DataFrame) -> DataFrame:
     same WARC-Target-URI as their response — deduping on URI alone
     could keep the request and drop the payload.
 
-    Shape at 100 TB: one shuffle on target_uri with map-side partial
-    ``max_by`` combine — duplicate captures collapse inside each map
-    task before the exchange, so the shuffle carries ~one row per
-    distinct (uri, type) per task, not the duplicate payloads."""
-    cols = [c for c in recs.columns
-            if c not in ("target_uri", "warc_type")]
+    Two strategies, identical output:
+
+    - ``strategy='shuffle'`` (default, always correct): one shuffle on
+      (target_uri, warc_type) with map-side partial ``max_by`` combine.
+      Duplicate captures collapse inside each map task before the
+      exchange — but every surviving row's PAYLOAD still crosses the
+      wire once, so at 100 TB this moves the corpus.
+    - ``strategy='broadcast'``: the full rows never move.  A slim
+      projection (key + ordering columns, no payload) shuffles to find
+      the LOSING captures — revisits are a small fraction of a crawl,
+      so the loser set is small — which broadcast to a left_anti join
+      against the records.  Two map-only scans of the (landed) records
+      table, zero payload shuffle.  Use when the loser set fits the
+      broadcast budget (it is one row per superseded capture, not per
+      record); fall back to 'shuffle' for adversarial revisit-heavy
+      segments."""
+    key = ["target_uri", "warc_type"]
     ordk = F.struct(
         F.coalesce(F.col("warc_date"), F.lit("")).alias("d"),
         F.col("warc_id").alias("w"), F.col("rec_idx").alias("i"))
-    return (recs.where(F.col("target_uri").isNotNull())
-            .groupBy("target_uri", "warc_type")
+    live = recs.where(F.col("target_uri").isNotNull())
+    if strategy == "broadcast":
+        cap = F.struct(F.col("warc_id").alias("w"),
+                       F.col("rec_idx").alias("i"))
+        losers = (live.groupBy(*key)
+                  .agg(F.collect_list(F.struct(ordk.alias("o"),
+                                               cap.alias("c")))
+                       .alias("caps"))
+                  .where(F.size("caps") > 1)
+                  .select(*key, F.explode(F.expr(
+                      # drop the max element (the winner); struct sort
+                      # is lexicographic on (o, c), so the last entry
+                      # is the kept capture
+                      "slice(array_sort(caps), 1, size(caps) - 1)"))
+                      .alias("l"))
+                  .select(*key, F.col("l.c.w").alias("warc_id"),
+                          F.col("l.c.i").alias("rec_idx")))
+        return live.join(F.broadcast(losers),
+                         on=key + ["warc_id", "rec_idx"],
+                         how="left_anti")
+    cols = [c for c in recs.columns if c not in key]
+    return (live.groupBy(*key)
             .agg(F.max_by(F.struct(*cols), ordk).alias("_w"))
-            .select("target_uri", "warc_type", "_w.*"))
+            .select(*key, "_w.*"))
 
 
 def _media_span_docs(media_recs: DataFrame,
@@ -632,7 +664,8 @@ def _media_span_docs(media_recs: DataFrame,
 
 def dispatch_spans(recs: DataFrame, ok_only: bool = True,
                    dedupe: bool = True,
-                   sniff_media: bool = True) -> DataFrame:
+                   sniff_media: bool = True,
+                   dedupe_strategy: str = "shuffle") -> DataFrame:
     """Typed WARC record rows -> ONE unified contract span table
     ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``,
     routed by effective media type: ``text/html`` responses through
@@ -666,7 +699,7 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True,
     from .pdffile import files_to_spans
 
     if dedupe:
-        recs = dedupe_captures(recs)
+        recs = dedupe_captures(recs, strategy=dedupe_strategy)
     resp = recs.where(F.col("warc_type") == "response")
     if ok_only:
         resp = resp.where(F.col("http_status") == 200)
@@ -713,7 +746,8 @@ def warc_dispatch_spans(files: DataFrame,
                         ok_only: bool = True,
                         land: bool = True,
                         dedupe: bool = True,
-                        sniff_media: bool = True) -> DataFrame:
+                        sniff_media: bool = True,
+                        dedupe_strategy: str = "shuffle") -> DataFrame:
     """WARC container files -> unified contract spans across ALL
     payload types.  The container bytes are parsed ONCE by default:
     with ``stage_dir`` the typed records land as parquet (each family
@@ -735,7 +769,8 @@ def warc_dispatch_spans(files: DataFrame,
     elif land:
         recs = recs.localCheckpoint(eager=True)
     return dispatch_spans(recs, ok_only=ok_only, dedupe=dedupe,
-                          sniff_media=sniff_media)
+                          sniff_media=sniff_media,
+                          dedupe_strategy=dedupe_strategy)
 
 
 def build_one_mixed_warc(doc: int, text: str, html: str) -> bytes:

@@ -424,3 +424,44 @@ def test_dispatch_lands_records_once_by_default(spark, docs):
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(landed.collect(), key=key) == \
         sorted(direct.collect(), key=key)
+
+
+def test_dedupe_strategies_equivalent(spark):
+    """'broadcast' (loser anti-join, zero payload shuffle) must yield
+    exactly the rows 'shuffle' (max_by) keeps, and the anti-join plan
+    must broadcast the loser side."""
+    from pdf_extraction_spark.operators.warc import (dedupe_captures,
+                                                     records_from_warc,
+                                                     warc_record)
+
+    def resp(uri: str, date: str, text: str) -> bytes:
+        body = f"<html><body><p>{text}</p></body></html>".encode()
+        msg = (b"HTTP/1.1 200 OK\r\n"
+               b"Content-Type: text/html; charset=utf-8\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(body)) + body
+        return warc_record(
+            "response",
+            [("WARC-Target-URI", uri), ("WARC-Date", date),
+             ("Content-Type", "application/http;msgtype=response")],
+            msg)
+
+    blob = b"".join([
+        resp("https://h.example/a", "2026-01-01T00:00:00Z", "a-old"),
+        resp("https://h.example/a", "2026-05-01T00:00:00Z", "a-new"),
+        resp("https://h.example/b", "2026-02-01T00:00:00Z", "b-only"),
+        resp("https://h.example/a", "2026-03-01T00:00:00Z", "a-mid"),
+    ])
+    files = spark.createDataFrame([("w1", bytearray(blob))],
+                                  "warc_id string, warc binary")
+    recs = records_from_warc(files)
+    key = lambda r: (r["target_uri"], r["warc_type"],  # noqa: E731
+                     r["rec_idx"])
+    shuf = sorted(dedupe_captures(recs).collect(), key=key)
+    bcast_df = dedupe_captures(recs, strategy="broadcast")
+    bcast = sorted(bcast_df.collect(), key=key)
+    texts = {r["target_uri"]: r["text"] for r in shuf}
+    assert "a-new" in texts["https://h.example/a"]
+    assert [tuple(sorted(r.asDict().items())) for r in shuf] == \
+        [tuple(sorted(r.asDict().items())) for r in bcast]
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
