@@ -749,20 +749,31 @@ def warc_dispatch_spans(files: DataFrame,
                         sniff_media: bool = True,
                         dedupe_strategy: str = "shuffle") -> DataFrame:
     """WARC container files -> unified contract spans across ALL
-    payload types.  The container bytes are parsed ONCE by default:
-    with ``stage_dir`` the typed records land as parquet (each family
-    branch then reads only its rows/columns from the landed table,
-    min/max + dictionary pruning on ``content_type``); otherwise the
-    records are eagerly ``localCheckpoint``-ed — materialized in
-    executor storage at call time, so the seven family branches scan
-    the checkpointed rows instead of re-running the container parse
-    once per family (the r04 bench measured that re-parse shape at
-    ~10x the single-parse cost).  ``land=False`` restores the
-    recompute-per-branch composition for plan-shape tests only —
-    semantically identical, wrong at 100 TB.  For production runs
-    prefer ``stage_dir`` (durable parquet, survives executor loss;
-    localCheckpoint storage does not)."""
+    payload types.  The container bytes are parsed and the revisit
+    captures deduped ONCE by default, and the DEDUPED records are what
+    lands: with ``stage_dir`` as parquet (each family branch then
+    reads only its rows/columns from the landed table, min/max +
+    dictionary pruning on ``content_type``), otherwise via an eager
+    ``localCheckpoint``, so the seven family branches are pure map
+    stages over storage.
+
+    Landing AFTER the dedupe matters: the family branches filter on
+    ``warc_type``, which is a dedupe GROUPING key, so Catalyst legally
+    pushes each branch's filter through the aggregate — the branches'
+    dedupe subplans stop being identical, exchange reuse never fires,
+    and an un-landed composition re-runs the dedupe shuffle once per
+    family (measured: 7 exchanges in the plan).  With the deduped
+    table landed there is exactly ONE parse and ONE dedupe exchange
+    in the whole job.
+
+    ``land=False`` restores the recompute-per-branch composition for
+    plan-shape tests only — semantically identical, wrong at 100 TB.
+    For production runs prefer ``stage_dir`` (durable parquet,
+    survives executor loss; localCheckpoint storage does not)."""
     recs = records_from_warc(files, bytes_col, id_col)
+    if dedupe and (stage_dir is not None or land):
+        recs = dedupe_captures(recs, strategy=dedupe_strategy)
+        dedupe = False            # landed table is already deduped
     if stage_dir is not None:
         recs.write.mode("overwrite").parquet(stage_dir)
         recs = files.sparkSession.read.parquet(stage_dir)
