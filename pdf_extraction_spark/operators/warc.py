@@ -374,7 +374,10 @@ def records_from_warc(files: DataFrame, bytes_col: str = "warc",
 
     sel = files.select(F.col(id_col).cast("string").alias("warc_id"),
                        F.col(bytes_col).alias("warc"))
-    return sel.mapInArrow(_parse, schema=RECORDS_SCHEMA)
+    # the alias is a plan-visible marker: dispatch_spans warns when fed
+    # this subtree un-landed (each family branch would re-run the parse)
+    return sel.mapInArrow(_parse, schema=RECORDS_SCHEMA) \
+        .alias("warc_records_unlanded")
 
 
 def warc_to_pages(files: DataFrame, bytes_col: str = "warc",
@@ -698,6 +701,17 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True,
     from .html import html_to_spans
     from .pdffile import files_to_spans
 
+    try:
+        analyzed = recs._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        analyzed = ""
+    if "warc_records_unlanded" in analyzed:
+        import warnings
+        warnings.warn(
+            "dispatch_spans fed an un-landed records_from_warc plan: "
+            "each family branch will re-run the container parse. Use "
+            "warc_dispatch_spans (lands by default) or persist the "
+            "records table first.", RuntimeWarning, stacklevel=2)
     if dedupe:
         recs = dedupe_captures(recs, strategy=dedupe_strategy)
     resp = recs.where(F.col("warc_type") == "response")

@@ -465,3 +465,22 @@ def test_dedupe_strategies_equivalent(spark):
         [tuple(sorted(r.asDict().items())) for r in bcast]
     plan = bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dispatch_warns_on_unlanded_records(spark, docs):
+    """Feeding dispatch_spans the raw records_from_warc subtree (each
+    family branch re-runs the container parse) raises a loud
+    RuntimeWarning; the landed path stays silent."""
+    import warnings as _w
+    from pdf_extraction_spark.operators.warc import (dispatch_spans,
+                                                     records_from_warc)
+    mixed = _mixed(spark, docs)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        dispatch_spans(records_from_warc(mixed))
+    assert any("un-landed" in str(c.message) for c in caught)
+    recs = records_from_warc(mixed).localCheckpoint(eager=True)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        dispatch_spans(recs)
+    assert not any("un-landed" in str(c.message) for c in caught)
