@@ -581,6 +581,21 @@ def _scan_literal(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
+def _scan_name(data: bytes, i: int, n: int) -> tuple["Name", int]:
+    """Name token at the '/' at ``i`` -> (Name, index past it).  One
+    implementation for both the dispatch branch and the dict-key fast
+    path so the lexing rules (delimiter set, '#' hex escapes, latin-1
+    decode) cannot diverge."""
+    j = i + 1
+    while j < n and data[j] not in _DELIM_WS:
+        j += 1
+    raw = data[i + 1:j]
+    if 0x23 in raw:  # '#' escapes are rare; skip the regex if none
+        raw = _NAME_ESC_RE.sub(
+            lambda m: bytes([int(m.group(1), 16)]), raw)
+    return Name(raw.decode("latin-1")), j
+
+
 def parse_object(data: bytes, i: int) -> tuple[Any, int]:
     """Parse one object at ``i`` (whitespace/comments allowed before).
     Returns (object, index past it).  Dict values / array elements that
@@ -593,16 +608,11 @@ def parse_object(data: bytes, i: int) -> tuple[Any, int]:
     # dominate real dictionaries), no per-token slice allocation
     c = data[i]
     if c == 0x2F:  # '/'
-        j = i + 1
-        while j < n and data[j] not in _DELIM_WS:
-            j += 1
-        raw = data[i + 1:j]
-        if 0x23 in raw:  # '#' escapes are rare; skip the regex if none
-            raw = _NAME_ESC_RE.sub(
-                lambda m: bytes([int(m.group(1), 16)]), raw)
-        return Name(raw.decode("latin-1")), j
+        return _scan_name(data, i, n)
     if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
         m = _NUM_RE.match(data, i)
+        if m is None:  # bare '+'/'-'/'.': keep the ValueError contract
+            raise ValueError(f"unparsable object at byte {i}")
         tok = m.group(0)
         j = m.end()
         if b"." not in tok:
@@ -628,18 +638,9 @@ def parse_object(data: bytes, i: int) -> tuple[Any, int]:
             while True:
                 i = _skip_ws(data, i)
                 if i < n and data[i] == 0x2F:
-                    # fast path: dict keys are names — inline the
-                    # name scan instead of a recursive dispatch
-                    j = i + 1
-                    while j < n and data[j] not in _DELIM_WS:
-                        j += 1
-                    raw = data[i + 1:j]
-                    if 0x23 in raw:
-                        raw = _NAME_ESC_RE.sub(
-                            lambda m: bytes([int(m.group(1), 16)]),
-                            raw)
-                    key = Name(raw.decode("latin-1"))
-                    i = j
+                    # fast path: dict keys are names — direct scan
+                    # instead of a recursive dispatch
+                    key, i = _scan_name(data, i, n)
                 elif data[i:i + 2] == b">>":
                     return d, i + 2
                 else:

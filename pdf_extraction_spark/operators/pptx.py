@@ -97,15 +97,19 @@ def parse_pptx(data: bytes) -> list[dict[str, Any]]:
         except KeyError:
             continue
         rels: dict[str, str] = {}
-        base = part.rsplit("/", 1)
+        # rpartition tolerates a root-level part name (no '/'): the
+        # rels part is then '_rels/<name>.rels' and targets resolve
+        # from the package root
+        base_dir, _, base_name = part.rpartition("/")
+        rels_part = (f"{base_dir}/_rels/{base_name}.rels"
+                     if base_dir else f"_rels/{base_name}.rels")
         try:
-            rx = zf.read(f"{base[0]}/_rels/{base[1]}.rels") \
-                .decode("utf-8", "replace")
+            rx = zf.read(rels_part).decode("utf-8", "replace")
             for rid, target in _REL.findall(rx):
                 # rels targets resolve against the slide part's own
                 # directory (ECMA-376 part-relative); a leading '/'
-                # means package root.  posixpath.normpath handles the
-                # usual '../media/x' as well as plain-relative
+                # means package root.  posixpath join+normpath handles
+                # the usual '../media/x' as well as plain-relative
                 # 'media/x' (-> ppt/slides/media/x) and absolute
                 # '/ppt/media/x' correctly, where string stripping
                 # did not.
@@ -113,7 +117,7 @@ def parse_pptx(data: bytes) -> list[dict[str, Any]]:
                     rels[rid] = posixpath.normpath(target.lstrip("/"))
                 else:
                     rels[rid] = posixpath.normpath(
-                        f"{base[0]}/{target}")
+                        posixpath.join(base_dir, target))
         except KeyError:
             pass
         for shape in _SHAPE.finditer(xml):

@@ -583,7 +583,9 @@ def dedupe_captures(recs: DataFrame,
 
     warc_type is part of the key because request records carry the
     same WARC-Target-URI as their response — deduping on URI alone
-    could keep the request and drop the payload.
+    could keep the request and drop the payload.  Records with no
+    WARC-Target-URI at all (warcinfo, some metadata records) have no
+    capture identity: they pass through untouched in both strategies.
 
     Two strategies, identical output:
 
@@ -605,6 +607,10 @@ def dedupe_captures(recs: DataFrame,
     ordk = F.struct(
         F.coalesce(F.col("warc_date"), F.lit("")).alias("d"),
         F.col("warc_id").alias("w"), F.col("rec_idx").alias("i"))
+    # records with no WARC-Target-URI (warcinfo, some metadata) have
+    # no capture identity to dedupe on: they pass through untouched
+    # rather than being dropped or collapsed into one NULL-key group
+    keep = recs.where(F.col("target_uri").isNull())
     live = recs.where(F.col("target_uri").isNotNull())
     if strategy == "broadcast":
         cap = F.struct(F.col("warc_id").alias("w"),
@@ -624,11 +630,12 @@ def dedupe_captures(recs: DataFrame,
                           F.col("l.c.i").alias("rec_idx")))
         return live.join(F.broadcast(losers),
                          on=key + ["warc_id", "rec_idx"],
-                         how="left_anti")
+                         how="left_anti").unionByName(keep)
     cols = [c for c in recs.columns if c not in key]
     return (live.groupBy(*key)
             .agg(F.max_by(F.struct(*cols), ordk).alias("_w"))
-            .select(*key, "_w.*"))
+            .select(*key, "_w.*")
+            .unionByName(keep.select(*key, *cols)))
 
 
 def _media_span_docs(media_recs: DataFrame,

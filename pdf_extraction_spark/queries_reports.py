@@ -63,7 +63,11 @@ def q_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grand_total", F.sum("total_variance").over(grand)).select(
         "category", "n_issues", "total_variance", "max_variance",
         "max_variance_pct",
-        F.expr("(total_variance * 100) div grand_total").alias("share_pct"))
+        # -1 sentinel when every estimate is point-valued (grand total
+        # spread 0): keeps the column non-null int64 on both engines
+        F.when(F.col("grand_total") > 0,
+               F.expr("(total_variance * 100) div grand_total"))
+        .otherwise(F.lit(-1).cast("long")).alias("share_pct"))
 
 
 def _sql_variance_report() -> str:
@@ -88,8 +92,10 @@ per_cat AS (
              END), -1) AS max_variance_pct
   FROM v GROUP BY category)
 SELECT category, n_issues, total_variance, max_variance, max_variance_pct,
-  CAST((total_variance * 100) // CAST(SUM(total_variance) OVER () AS BIGINT)
-       AS BIGINT) AS share_pct
+  CASE WHEN SUM(total_variance) OVER () > 0 THEN
+    CAST((total_variance * 100) // CAST(SUM(total_variance) OVER () AS BIGINT)
+         AS BIGINT)
+  ELSE -1 END AS share_pct
 FROM per_cat
 """
 
@@ -202,15 +208,24 @@ def q_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = [F.coalesce(F.element_at("_top", i), F.lit(-1).cast("long"))
            .alias(f"top{i}_most_likely")
            for i in (1, 2, 3)]
+    # -1 sentinel when a doc's summed low is 0 (all-null/zero lows are
+    # possible in the rule's output — see verify_report's valid gate):
+    # keeps the pct columns non-null int64 on both engines
+    ovar = F.when(F.col("orig_low") > 0,
+                  F.expr("((orig_high - orig_low) * 100) div orig_low")) \
+        .otherwise(F.lit(-1).cast("long"))
+    pvar = F.when(F.col("prec_low") > 0,
+                  F.expr("((prec_high - prec_low) * 100) div prec_low")) \
+        .otherwise(F.lit(-1).cast("long"))
     return agg.select(
         "doc_id", "n_estimates", "orig_low", "orig_high",
-        F.expr("((orig_high - orig_low) * 100) div orig_low")
-        .alias("orig_var_pct"),
+        ovar.alias("orig_var_pct"),
         "prec_low", "prec_high",
-        F.expr("((prec_high - prec_low) * 100) div prec_low")
-        .alias("prec_var_pct"),
-        F.expr("((orig_high - orig_low) * 100) div orig_low - "
-               "((prec_high - prec_low) * 100) div prec_low")
+        pvar.alias("prec_var_pct"),
+        # the script computes improvement only when the original
+        # variance is meaningful; -1-sentinel rows report 0
+        F.when((F.col("orig_low") > 0) & (F.col("prec_low") > 0),
+               ovar - pvar).otherwise(F.lit(0).cast("long"))
         .alias("improvement_pct"),
         "total_most_likely", *top)
 
@@ -243,11 +258,17 @@ agg AS (
          list_sort(list(most_likely), 'DESC') AS top_list
   FROM p GROUP BY doc_id)
 SELECT doc_id, n_estimates, orig_low, orig_high,
-  ((orig_high - orig_low) * 100) // orig_low AS orig_var_pct,
+  CASE WHEN orig_low > 0
+    THEN ((orig_high - orig_low) * 100) // orig_low
+    ELSE -1 END AS orig_var_pct,
   prec_low, prec_high,
-  ((prec_high - prec_low) * 100) // prec_low AS prec_var_pct,
-  ((orig_high - orig_low) * 100) // orig_low
-    - ((prec_high - prec_low) * 100) // prec_low AS improvement_pct,
+  CASE WHEN prec_low > 0
+    THEN ((prec_high - prec_low) * 100) // prec_low
+    ELSE -1 END AS prec_var_pct,
+  CASE WHEN orig_low > 0 AND prec_low > 0 THEN
+    ((orig_high - orig_low) * 100) // orig_low
+      - ((prec_high - prec_low) * 100) // prec_low
+  ELSE 0 END AS improvement_pct,
   total_most_likely,
   COALESCE(top_list[1], -1) AS top1_most_likely,
   COALESCE(top_list[2], -1) AS top2_most_likely,

@@ -459,3 +459,33 @@ def test_epub_damaged_book_surfaces_as_empty_spans(spark):
     assert set(rows) == {"good", "bad"}
     assert rows["bad"] == []
     assert len(rows["good"]) > 0
+
+
+def test_pptx_root_level_slide_part_with_rels():
+    """A rels-resolved deck whose slide part lives at package root
+    (no '/' in the part name) must parse, not crash on the rels-part
+    path derivation — damaged-input contract is [] or rows, never an
+    uncaught exception."""
+    import io
+    import zipfile
+    from pdf_extraction_spark.operators.pptx import parse_pptx
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml",
+                    '<p:presentation><p:sldIdLst>'
+                    '<p:sldId id="256" r:id="rId1"/>'
+                    '</p:sldIdLst></p:presentation>')
+        zf.writestr("ppt/_rels/presentation.xml.rels",
+                    '<Relationships><Relationship Id="rId1" '
+                    'Target="/slide1.xml"/></Relationships>')
+        zf.writestr("slide1.xml",
+                    '<p:sld><p:cSld><p:spTree><p:pic><p:blipFill>'
+                    '<a:blip r:embed="rId9"/></p:blipFill></p:pic>'
+                    '</p:spTree></p:cSld></p:sld>')
+        zf.writestr("_rels/slide1.xml.rels",
+                    '<Relationships><Relationship Id="rId9" '
+                    'Target="media/logo.png"/></Relationships>')
+    rows = parse_pptx(buf.getvalue())
+    assert rows == [{"slide": 1, "kind": "image", "text": "",
+                     "media_ref": "media/logo.png"}]

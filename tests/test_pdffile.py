@@ -965,3 +965,14 @@ def test_artifact_strip_through_whole_file_layer(spark):
     assert texts == ["Body line"]
     full = files_to_spans(df).collect()[0]
     assert [s["text"] for s in full.spans] == ["Page 1", "Body line"]
+
+
+def test_parse_object_bare_sign_keeps_valueerror_contract():
+    """'+', '-' or '.' not followed by digits must raise the
+    documented ValueError (callers catch it for damage tolerance),
+    not an AttributeError from the regex fast path."""
+    import pytest
+    from pdf_extraction_spark.operators.pdffile import parse_object
+    for bad in (b"<< /Foo - >>", b"[ . ]", b"+"):
+        with pytest.raises(ValueError):
+            parse_object(bad, 0)

@@ -484,3 +484,33 @@ def test_dispatch_warns_on_unlanded_records(spark, docs):
         _w.simplefilter("always")
         dispatch_spans(recs)
     assert not any("un-landed" in str(c.message) for c in caught)
+
+
+def test_dedupe_passes_through_null_uri_records(spark):
+    """warcinfo/metadata records carry no WARC-Target-URI — they have
+    no capture identity, so both dedupe strategies must pass them
+    through untouched, not drop them or collapse them into one
+    NULL-key group."""
+    from pdf_extraction_spark.operators.warc import (dedupe_captures,
+                                                     records_from_warc,
+                                                     warc_record)
+    info1 = warc_record("warcinfo", [("WARC-Date", "2026-01-01T00:00:00Z")],
+                        b"software: testwriter 1\r\n")
+    info2 = warc_record("warcinfo", [("WARC-Date", "2026-01-02T00:00:00Z")],
+                        b"software: testwriter 2\r\n")
+    body = b"<html><body><p>" + b"z" * 60 + b"</p></body></html>"
+    msg = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/html; charset=utf-8\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    rsp = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/z"),
+         ("Content-Type", "application/http;msgtype=response")], msg)
+    files = spark.createDataFrame(
+        [("w1", bytearray(info1 + info2 + rsp))],
+        "warc_id string, warc binary")
+    recs = records_from_warc(files)
+    for strat in ("shuffle", "broadcast"):
+        out = dedupe_captures(recs, strategy=strat).collect()
+        types = sorted(r["warc_type"] for r in out)
+        assert types == ["response", "warcinfo", "warcinfo"], strat
