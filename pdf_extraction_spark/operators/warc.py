@@ -587,7 +587,15 @@ def dedupe_captures(recs: DataFrame,
     WARC-Target-URI at all (warcinfo, some metadata records) have no
     capture identity: they pass through untouched in both strategies.
 
-    Two strategies, identical output:
+    Two strategies, identical capture SELECTION (the same winning
+    capture per key).  One documented divergence: exact physical
+    duplicates of the winning row — same (target_uri, warc_type,
+    warc_id, rec_idx), i.e. the same record ingested twice via a
+    repeated segment manifest — collapse to one row under 'shuffle'
+    but survive as duplicates under 'broadcast' (identity-based
+    anti-join cannot tell copies apart; it removes losing IDENTITIES,
+    never the winning one).  Feed each segment once, or use 'shuffle',
+    when the input may contain repeated files.
 
     - ``strategy='shuffle'`` (default, always correct): one shuffle on
       (target_uri, warc_type) with map-side partial ``max_by`` combine.
@@ -620,14 +628,26 @@ def dedupe_captures(recs: DataFrame,
                                                cap.alias("c")))
                        .alias("caps"))
                   .where(F.size("caps") > 1)
-                  .select(*key, F.explode(F.expr(
-                      # drop the max element (the winner); struct sort
-                      # is lexicographic on (o, c), so the last entry
-                      # is the kept capture
-                      "slice(array_sort(caps), 1, size(caps) - 1)"))
-                      .alias("l"))
+                  .select(*key,
+                          F.expr("element_at(array_sort(caps), -1).c")
+                          .alias("_win"),
+                          F.explode(F.expr(
+                              # drop the max element (the winner);
+                              # struct sort is lexicographic on
+                              # (o, c), so the last entry is kept
+                              "slice(array_sort(caps), 1, "
+                              "size(caps) - 1)"))
+                          .alias("l"))
+                  # a loser entry that shares the WINNING identity is
+                  # an exact physical duplicate of the kept row —
+                  # anti-joining it would delete the winner too, so
+                  # losers are identities strictly different from the
+                  # winner's
+                  .where((F.col("l.c.w") != F.col("_win.w"))
+                         | (F.col("l.c.i") != F.col("_win.i")))
                   .select(*key, F.col("l.c.w").alias("warc_id"),
-                          F.col("l.c.i").alias("rec_idx")))
+                          F.col("l.c.i").alias("rec_idx"))
+                  .distinct())
         return live.join(F.broadcast(losers),
                          on=key + ["warc_id", "rec_idx"],
                          how="left_anti").unionByName(keep)
@@ -700,8 +720,10 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True,
     crawl semantics require (see its docstring) — after which the
     html/docx/pptx/xlsx/media branches are map-only; the pdf/epub
     branches pay their documented bounded per-doc reassembly
-    exchanges.  No joins anywhere (plan-asserted in
-    tests/test_warc.py).  Feed this from a LANDED records table
+    exchanges.  No joins with the default strategies (plan-asserted
+    in tests/test_warc.py; ``dedupe_strategy='broadcast'`` is the one
+    documented exception — it adds the loser broadcast left_anti
+    join).  Feed this from a LANDED records table
     (``warc_dispatch_spans`` lands automatically) so the container
     bytes are parsed once, not once per family branch."""
     from .docx import docx_to_spans
@@ -709,16 +731,36 @@ def dispatch_spans(recs: DataFrame, ok_only: bool = True,
     from .pdffile import files_to_spans
 
     try:
-        analyzed = recs._jdf.queryExecution().analyzed().toString()
+        from pyspark import StorageLevel
+        persisted = recs.storageLevel != StorageLevel.NONE
+    except Exception:
+        persisted = False
+    try:
+        analyzed = ("" if persisted
+                    else recs._jdf.queryExecution().analyzed().toString())
     except Exception:
         analyzed = ""
-    if "warc_records_unlanded" in analyzed:
+    unlanded = "warc_records_unlanded" in analyzed
+    if unlanded:
         import warnings
         warnings.warn(
             "dispatch_spans fed an un-landed records_from_warc plan: "
             "each family branch will re-run the container parse. Use "
             "warc_dispatch_spans (lands by default) or persist the "
             "records table first.", RuntimeWarning, stacklevel=2)
+    if dedupe and not unlanded:
+        # landed/persisted input + in-plan dedupe: the branches filter
+        # on warc_type (a dedupe grouping key), Catalyst pushes each
+        # branch's filter through the aggregate, and the dedupe
+        # exchange re-runs once per family.  The single-exchange shape
+        # is dedupe_captures -> land -> dispatch_spans(dedupe=False),
+        # which warc_dispatch_spans does automatically.
+        import warnings
+        warnings.warn(
+            "dispatch_spans dedupe=True runs the dedupe exchange once "
+            "per family branch. Prefer warc_dispatch_spans (dedupes "
+            "before landing), or dedupe_captures + persist the result "
+            "and pass dedupe=False.", RuntimeWarning, stacklevel=2)
     if dedupe:
         recs = dedupe_captures(recs, strategy=dedupe_strategy)
     resp = recs.where(F.col("warc_type") == "response")

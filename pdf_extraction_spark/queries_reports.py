@@ -205,7 +205,12 @@ def q_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort is deterministic on both engines
         F.expr("slice(reverse(array_sort(collect_list(most_likely))), 1, 3)")
         .alias("_top"))
-    top = [F.coalesce(F.element_at("_top", i), F.lit(-1).cast("long"))
+    # try_element_at: plain element_at THROWS under ANSI mode (the
+    # session default) when a doc has fewer than 3 estimates; the
+    # missing-slot contract is -1, matching the oracle's out-of-range
+    # NULL -> COALESCE
+    top = [F.coalesce(F.try_element_at("_top", F.lit(i)),
+                      F.lit(-1).cast("long"))
            .alias(f"top{i}_most_likely")
            for i in (1, 2, 3)]
     # -1 sentinel when a doc's summed low is 0 (all-null/zero lows are

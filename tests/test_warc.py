@@ -514,3 +514,51 @@ def test_dedupe_passes_through_null_uri_records(spark):
         out = dedupe_captures(recs, strategy=strat).collect()
         types = sorted(r["warc_type"] for r in out)
         assert types == ["response", "warcinfo", "warcinfo"], strat
+
+
+def test_dedupe_broadcast_survives_exact_duplicate_segments(spark):
+    """The same segment fed twice (duplicate warc_id rows) gives two
+    record copies with IDENTICAL capture identity: the broadcast
+    anti-join must not delete the winning identity (which would drop
+    the document entirely).  Documented divergence: broadcast keeps
+    both physical copies; shuffle collapses to one."""
+    from pdf_extraction_spark.operators.warc import (dedupe_captures,
+                                                     records_from_warc,
+                                                     warc_record)
+    body = b"<html><body><p>" + b"q" * 60 + b"</p></body></html>"
+    msg = (b"HTTP/1.1 200 OK\r\n"
+           b"Content-Type: text/html; charset=utf-8\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(body)) + body
+    blob = warc_record(
+        "response",
+        [("WARC-Target-URI", "https://h.example/dup"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("Content-Type", "application/http;msgtype=response")], msg)
+    files = spark.createDataFrame(
+        [("w1", bytearray(blob)), ("w1", bytearray(blob))],
+        "warc_id string, warc binary")
+    recs = records_from_warc(files)
+    assert len(dedupe_captures(recs).collect()) == 1
+    bc = dedupe_captures(recs, strategy="broadcast").collect()
+    assert len(bc) == 2          # copies survive; document NOT lost
+    assert all(r["target_uri"] == "https://h.example/dup" for r in bc)
+
+
+def test_dispatch_warns_on_landed_plus_in_plan_dedupe(spark, docs):
+    """dedupe=True over a landed table re-runs the dedupe exchange
+    once per family branch — warn; warc_dispatch_spans' pre-deduped
+    path stays silent."""
+    import warnings as _w
+    from pdf_extraction_spark.operators.warc import (dispatch_spans,
+                                                     records_from_warc)
+    recs = records_from_warc(_mixed(spark, docs)) \
+        .localCheckpoint(eager=True)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        dispatch_spans(recs)                      # dedupe=True default
+    assert any("once per family branch" in str(c.message)
+               for c in caught)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        dispatch_spans(recs, dedupe=False)
+    assert not caught
