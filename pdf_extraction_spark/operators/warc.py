@@ -615,14 +615,21 @@ def dedupe_captures(recs: DataFrame,
     ordk = F.struct(
         F.coalesce(F.col("warc_date"), F.lit("")).alias("d"),
         F.col("warc_id").alias("w"), F.col("rec_idx").alias("i"))
-    # records with no WARC-Target-URI (warcinfo, some metadata) have
+    # Records with no WARC-Target-URI (warcinfo, some metadata) have
     # no capture identity to dedupe on: they pass through untouched
-    # rather than being dropped or collapsed into one NULL-key group
-    keep = recs.where(F.col("target_uri").isNull())
-    live = recs.where(F.col("target_uri").isNotNull())
+    # rather than being dropped or collapsed into one NULL-key group.
+    # Both strategies keep the passthrough inside ONE scan of `recs`
+    # (a where/union split would reference the subtree twice, and when
+    # the input is the un-landed container parse that re-runs the
+    # parse once per branch — measured 2x on the dispatch bench).
     if strategy == "broadcast":
         cap = F.struct(F.col("warc_id").alias("w"),
                        F.col("rec_idx").alias("i"))
+        # losers are computed from URI-carrying records only (a slim
+        # no-payload projection); NULL-URI rows on the probe side can
+        # never equal a loser key, so the left_anti join keeps them —
+        # the passthrough falls out of standard NULL join semantics
+        live = recs.where(F.col("target_uri").isNotNull())
         losers = (live.groupBy(*key)
                   .agg(F.collect_list(F.struct(ordk.alias("o"),
                                                cap.alias("c")))
@@ -648,14 +655,21 @@ def dedupe_captures(recs: DataFrame,
                   .select(*key, F.col("l.c.w").alias("warc_id"),
                           F.col("l.c.i").alias("rec_idx"))
                   .distinct())
-        return live.join(F.broadcast(losers),
+        return recs.join(F.broadcast(losers),
                          on=key + ["warc_id", "rec_idx"],
-                         how="left_anti").unionByName(keep)
-    cols = [c for c in recs.columns if c not in key]
-    return (live.groupBy(*key)
+                         how="left_anti")
+    # NULL-URI rows get a per-record surrogate group key (the "\\x00"
+    # prefix cannot occur in a real URI), so each passes through as
+    # its own group in the SAME aggregation — one scan, one exchange
+    gkey = F.coalesce(
+        F.col("target_uri"),
+        F.concat_ws("\x00", F.lit(""), F.col("warc_id"),
+                    F.col("rec_idx"))).alias("_gkey")
+    cols = [c for c in recs.columns if c != "warc_type"]
+    return (recs.groupBy(gkey, "warc_type")
             .agg(F.max_by(F.struct(*cols), ordk).alias("_w"))
-            .select(*key, "_w.*")
-            .unionByName(keep.select(*key, *cols)))
+            .select("warc_type", "_w.*")
+            .select(*recs.columns))
 
 
 def _media_span_docs(media_recs: DataFrame,
