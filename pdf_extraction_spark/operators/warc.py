@@ -658,15 +658,18 @@ def dedupe_captures(recs: DataFrame,
         return recs.join(F.broadcast(losers),
                          on=key + ["warc_id", "rec_idx"],
                          how="left_anti")
-    # NULL-URI rows get a per-record surrogate group key (the "\\x00"
-    # prefix cannot occur in a real URI), so each passes through as
-    # its own group in the SAME aggregation — one scan, one exchange
+    # NULL-URI rows get a per-record surrogate group key so each
+    # passes through as its own group in the SAME aggregation — one
+    # scan, one exchange.  The isNull flag is part of the grouping
+    # key so a crafted real URI (headers are attacker-controlled
+    # bytes) can never collide with a surrogate, whatever its content
     gkey = F.coalesce(
         F.col("target_uri"),
         F.concat_ws("\x00", F.lit(""), F.col("warc_id"),
                     F.col("rec_idx"))).alias("_gkey")
+    gnull = F.col("target_uri").isNull().alias("_gnull")
     cols = [c for c in recs.columns if c != "warc_type"]
-    return (recs.groupBy(gkey, "warc_type")
+    return (recs.groupBy(gkey, gnull, "warc_type")
             .agg(F.max_by(F.struct(*cols), ordk).alias("_w"))
             .select("warc_type", "_w.*")
             .select(*recs.columns))

@@ -562,3 +562,31 @@ def test_dispatch_warns_on_landed_plus_in_plan_dedupe(spark, docs):
         _w.simplefilter("always")
         dispatch_spans(recs, dedupe=False)
     assert not caught
+
+
+def test_dedupe_surrogate_key_immune_to_crafted_nul_uri(spark):
+    """Header bytes are attacker-controlled: a real WARC-Target-URI
+    crafted to equal a NULL-URI record's surrogate group key (NUL +
+    warc_id + NUL + rec_idx) must not merge with the warcinfo
+    record's passthrough group — the isNull flag in the grouping key
+    keeps the two spaces disjoint."""
+    from pdf_extraction_spark.operators.warc import (dedupe_captures,
+                                                     records_from_warc,
+                                                     warc_record)
+    info = warc_record("warcinfo",
+                       [("WARC-Date", "2026-01-01T00:00:00Z")],
+                       b"software: w\r\n")
+    # rec_idx of the crafted record is 1 (second record); the
+    # warcinfo's surrogate is "\x00w1\x000" (rec_idx 0) — craft the
+    # URI to match exactly that
+    crafted = warc_record(
+        "warcinfo",
+        [("WARC-Target-URI", "\x00w1\x000"),
+         ("WARC-Date", "2026-06-01T00:00:00Z")],
+        b"software: evil\r\n")
+    files = spark.createDataFrame([("w1", bytearray(info + crafted))],
+                                  "warc_id string, warc binary")
+    out = dedupe_captures(records_from_warc(files)).collect()
+    # both records survive: the crafted URI dedupes in the URI space,
+    # the true warcinfo passes through in the surrogate space
+    assert len(out) == 2
